@@ -1,0 +1,27 @@
+"""sparkcdc — a PySpark-native CDC / incremental-ingest engine.
+
+A from-scratch re-creation of the *capabilities* of Debezium
+(reference: /root/reference, Java) on idiomatic PySpark:
+
+- consistent snapshot -> log replay -> transform -> exactly-once upsert sink
+- Debezium change-event envelope (op=c/u/d/r, before/after, source, tombstone)
+  as a nested StructType (``envelope.py``)
+- per-key last-write-wins reduction (``apply.py``, cf. reference
+  ReducedRecordBuffer.java:24-79) and key-partitioned MERGE into a versioned,
+  hash-bucketed Parquet lake table (``lake.py`` — the stand-in for Iceberg
+  MERGE INTO, since no Iceberg runtime jar ships in this environment; the
+  layout mirrors Iceberg's manifest + bucket-partition + copy-on-write model)
+- schema history / schema evolution with field-id based rename
+  (``schema_history.py``, cf. core/relational/history/SchemaHistory.java)
+- offset checkpoints + idempotent batch-id fencing (``offsets.py``,
+  cf. embedded/EmbeddedEngine.java:885-902 offset commit)
+- the SMT transform library (``transforms/``, cf. core/transforms/*)
+- scalar converter library + large-scale data-pipeline functions
+  (``functions/``)
+
+Everything is DataFrame/SQL-first: no per-row Python anywhere in the hot
+path; Python UDFs appear only as Arrow-vectorized pandas UDFs in clearly
+marked slow paths.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,100 @@
+"""Envelope -> change-set pipeline: parse, filter, per-key last-write-wins
+reduction (with optional two-level salted aggregation for hot keys), producing
+the one-row-per-key batch that LakeTable.merge applies.
+
+Reference semantics being reproduced:
+- ReducedRecordBuffer.java:24-79 — per-PK last-write-wins within a batch
+  (a HashMap overwrite in the reference; here a max_by aggregation, which
+  Catalyst executes with map-side partial aggregation before the shuffle —
+  the vectorized, distributed equivalent).
+- JdbcChangeEventSink.java:72-158 flush-ordering rules (delete flushes the
+  key's pending upsert and vice versa) — collapse to nothing once the batch
+  is reduced by (part_id, offset) order: only the final op per key survives.
+- Tombstones (EventDispatcher.java:519) and MESSAGE/TRUNCATE ops are
+  filtered out pre-reduce (DebeziumSinkRecord.java:38-50 predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: ordering columns — the per-partition total order (binlog file/pos analog)
+ORDER_COLS = ["offset"]
+
+
+def envelopes_to_changes(df: DataFrame, row_cols: list[str]) -> DataFrame:
+    """Flatten envelopes into change rows: row columns + _op + ordering.
+
+    op mapping: r/c/u -> upsert of ``after``; d -> delete identified by
+    ``before`` key columns; tombstones / t / m dropped.
+    """
+    work = df.filter(
+        (~F.col("tombstone")) & F.col("op").isin("r", "c", "u", "d")
+    )
+    is_del = F.col("op") == "d"
+    cols = [
+        F.when(is_del, F.col(f"before.{c}")).otherwise(F.col(f"after.{c}")).alias(c)
+        for c in row_cols
+    ]
+    return work.select(
+        *cols,
+        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("_op"),
+        F.col("part_id"),
+        F.col("offset"),
+    )
+
+
+def reduce_last_write_wins(
+    changes: DataFrame,
+    key_cols: list[str],
+    *,
+    order_cols: list[str] | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Reduce to one row per key: the row with the max ordering tuple wins.
+
+    ``salt_buckets > 0`` enables two-level aggregation for skewed keys
+    (SURVEY §4(c)): a first max_by per (key, salt) shrinks a hot key's rows
+    to ``salt_buckets`` candidates before the final per-key reduce, so no
+    single reducer sees the full hot-key stream. Salt is derived from the
+    offset, so it's deterministic.
+    """
+    order_cols = order_cols or ORDER_COLS
+    payload = [c for c in changes.columns if c not in key_cols]
+    row = F.struct(*[F.col(c) for c in payload])
+    order = F.struct(*[F.col(c) for c in order_cols])
+
+    if salt_buckets > 0:
+        salted = changes.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
+        )
+        partial = (
+            salted.groupBy(*key_cols, "__salt")
+            .agg(F.max_by(row, order).alias("__row"))
+            .select(*key_cols, "__row.*")
+        )
+        changes = partial
+        row = F.struct(*[F.col(c) for c in payload])
+        order = F.struct(*[F.col(c) for c in order_cols])
+
+    reduced = (
+        changes.groupBy(*key_cols)
+        .agg(F.max_by(row, order).alias("__row"))
+        .select(*key_cols, "__row.*")
+    )
+    return reduced
+
+
+def reduce_envelopes(
+    df: DataFrame,
+    row_cols: list[str],
+    key_cols: list[str],
+    *,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """envelope batch -> merged change-set ready for LakeTable.merge
+    (columns: row_cols + _op, one row per key)."""
+    ch = envelopes_to_changes(df, row_cols)
+    red = reduce_last_write_wins(ch, key_cols, salt_buckets=salt_buckets)
+    return red.select(*row_cols, "_op")

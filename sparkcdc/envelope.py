@@ -1,0 +1,303 @@
+"""The Debezium change-event envelope as a Spark StructType, plus a
+deterministic, closed-form synthetic envelope generator.
+
+Reference semantics:
+- envelope fields / ops: core/data/Envelope.java:37-127
+  (READ "r", CREATE "c", UPDATE "u", DELETE "d", TRUNCATE "t", MESSAGE "m";
+  fields before/after/op/source/transaction/ts_ms)
+- source block: core/connector/AbstractSourceInfo.java:22-33 and
+  binlog/BinlogSourceInfo.java:90-97 (file/pos/row/gtid)
+- tombstones: core/pipeline/EventDispatcher.java:519 (null-value record after
+  each DELETE, for Kafka log compaction)
+- snapshot marker values: core/connector/SnapshotRecord.java:16-44
+
+The generator replaces the reference's binlog tail
+(binlog/BinlogStreamingChangeEventSource.java:128-199) with a pure
+``spark.range`` pipeline: every column is a deterministic closed-form
+expression of the global event id, so any slice ``[lo, hi)`` of a 10^10-event
+stream can be produced on demand with zero state, zero shuffle and zero
+Python — this is what makes full-scale replay benchmarkable without ever
+materializing the stream.
+
+Ordering invariant (cf. binlog/BinlogOffsetContext.java:325-336): events for
+one key all live in one ``part_id`` (hash routing, PartitionRouting.java:241)
+and are strictly ordered by ``offset`` within it. Here offset == global id,
+which is monotonic everywhere, so the invariant holds trivially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Schemas
+# ---------------------------------------------------------------------------
+
+#: north-star row schema (BASELINE.json input_hint): source-code repo files
+REPO_ROW_FIELDS = [
+    ("repo", T.StringType()),
+    ("path", T.StringType()),
+    ("commit", T.StringType()),
+    ("lang", T.StringType()),
+    ("content", T.StringType()),
+]
+
+#: primary key of the north-star table
+REPO_KEY = ["repo", "path"]
+
+LANGS = ["py", "java", "ts", "go", "rs", "c", "cpp", "rb", "scala", "sql"]
+
+OPS = ["r", "c", "u", "d", "t", "m"]  # Envelope.java:37-63
+
+
+def row_struct(fields: list[tuple[str, T.DataType]] | None = None) -> T.StructType:
+    fields = fields or REPO_ROW_FIELDS
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+def source_struct() -> T.StructType:
+    # AbstractSourceInfo.java:22-33 + BinlogSourceInfo.java:90-97
+    return T.StructType(
+        [
+            T.StructField("name", T.StringType(), True),
+            T.StructField("db", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("snapshot", T.StringType(), True),
+            T.StructField("file", T.StringType(), True),
+            T.StructField("pos", T.LongType(), True),
+            T.StructField("row", T.IntegerType(), True),
+            T.StructField("gtid", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+
+
+def transaction_struct() -> T.StructType:
+    # core/pipeline/txmetadata/TransactionMonitor.java transaction block
+    return T.StructType(
+        [
+            T.StructField("id", T.StringType(), True),
+            T.StructField("total_order", T.LongType(), True),
+            T.StructField("data_collection_order", T.LongType(), True),
+        ]
+    )
+
+
+def envelope_schema(
+    row_fields: list[tuple[str, T.DataType]] | None = None,
+) -> T.StructType:
+    """Envelope.java:90-127 as a StructType, plus replay bookkeeping columns
+    (part_id/offset/tombstone) that Kafka would carry as partition/offset."""
+    rs = row_struct(row_fields)
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("before", rs, True),
+            T.StructField("after", rs, True),
+            T.StructField("source", source_struct(), True),
+            T.StructField("transaction", transaction_struct(), True),
+            T.StructField("part_id", T.IntegerType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("tombstone", T.BooleanType(), True),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic generator (closed-form; scales to 10^10)
+# ---------------------------------------------------------------------------
+
+
+def _h(seed: int, *cols: Column) -> Column:
+    """Deterministic 64-bit mix — xxhash64 is JVM-side and stable across
+    runs/versions for fixed input, unlike F.hash's seed behavior."""
+    return F.xxhash64(F.lit(seed), *cols)
+
+
+def _pm(col: Column, m: int) -> Column:
+    return F.pmod(col, F.lit(m))
+
+
+def cdc_events(
+    spark: SparkSession,
+    n_events: int,
+    *,
+    start: int = 0,
+    n_keys: int = 1000,
+    n_repos: int = 50,
+    n_parts: int = 8,
+    seed: int = 42,
+    hot_key_permille: int = 0,
+    content_chars: int = 64,
+    delete_pct: int = 5,
+    tombstones: bool = False,
+    base_ts_ms: int = 1_700_000_000_000,
+) -> DataFrame:
+    """Generate envelope rows for global event ids ``[start, start+n_events)``.
+
+    Closed-form per-id columns; no shuffle, no state. ``hot_key_permille``
+    routes that fraction of events to key 0 (the "hot repo" for skew tests,
+    cf. SURVEY §4 hot-key salting note).
+    """
+    ids = spark.range(start, start + n_events).toDF("id")
+    idc = F.col("id")
+
+    rnd_key = _h(seed, idc)
+    uniform_key = _pm(rnd_key, n_keys)
+    if hot_key_permille > 0:
+        is_hot = _pm(_h(seed + 1, idc), 1000) < hot_key_permille
+        key_id = F.when(is_hot, F.lit(0)).otherwise(uniform_key)
+    else:
+        key_id = uniform_key
+
+    # keys -> repos with a quadratic ramp: low repo ids own many keys
+    # (deterministic skew in table layout, independent of event-rate skew)
+    repo_id = F.floor(
+        F.pow(key_id.cast("double") / F.lit(float(n_keys)), F.lit(2.0))
+        * F.lit(float(n_repos))
+    ).cast("int")
+
+    df = (
+        ids.withColumn("key_id", key_id.cast("long"))
+        .withColumn("repo_id", repo_id)
+        .withColumn(
+            "repo", F.format_string("org/repo-%04d", F.col("repo_id"))
+        )
+        .withColumn(
+            "path",
+            F.format_string("src/k_%06d.py", F.col("key_id").cast("int")),
+        )
+    )
+
+    op_rnd = _pm(_h(seed + 2, idc), 100)
+    create_pct = 30
+    op = (
+        F.when(op_rnd < delete_pct, F.lit("d"))
+        .when(op_rnd < delete_pct + create_pct, F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+
+    commit = F.substring(
+        F.sha2(F.concat_ws("|", F.lit("commit"), F.col("key_id"), idc), 256), 1, 40
+    )
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]), (_pm(F.col("key_id"), len(LANGS)) + 1).cast("int")
+    )
+    # content: versioned deterministic body, padded to content_chars
+    body = F.concat_ws(
+        ":",
+        F.lit("v"),
+        F.col("key_id"),
+        idc,
+        F.sha2(F.concat_ws("|", F.lit("content"), F.col("key_id"), idc), 256),
+    )
+    content = F.rpad(body, content_chars, "x")
+
+    after_s = F.struct(
+        F.col("repo"),
+        F.col("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    # before: key identity only (apply path never reads non-key before fields;
+    # Debezium fills the full old row image, which the generator cannot know
+    # statelessly — T2 diff tests use their own fixtures)
+    null_s = F.lit(None).cast("string")
+    before_s = F.struct(
+        F.col("repo"),
+        F.col("path"),
+        null_s.alias("commit"),
+        null_s.alias("lang"),
+        null_s.alias("content"),
+    )
+
+    part_id = _pm(F.col("key_id"), n_parts).cast("int")
+    ts_ms = (F.lit(base_ts_ms) + idc).cast("long")
+
+    src = F.struct(
+        F.lit("sparkcdc").alias("name"),
+        F.lit("code").alias("db"),
+        F.lit("source_code_repos").alias("table"),
+        F.lit("false").alias("snapshot"),
+        F.format_string("binlog.%06d", (idc / 100000).cast("int")).alias("file"),
+        idc.alias("pos"),
+        _pm(idc, 1000).cast("int").alias("row"),
+        F.concat(F.lit("srv:1-"), idc).alias("gtid"),
+        ts_ms.alias("ts_ms"),
+    )
+    txn = F.lit(None).cast(transaction_struct())
+
+    out = df.select(
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.when(op.isin("u", "d"), before_s).alias("before"),
+        F.when(op != "d", after_s).alias("after"),
+        src.alias("source"),
+        txn.alias("transaction"),
+        part_id.alias("part_id"),
+        idc.alias("offset"),
+        F.lit(False).alias("tombstone"),
+    )
+    if tombstones:
+        # EventDispatcher.java:519 — synthetic null-value record after each
+        # delete; same offset, tombstone flag set, before/after null.
+        tomb = out.filter(F.col("op") == "d").select(
+            F.lit("d").alias("op"),
+            F.col("ts_ms"),
+            F.lit(None).cast(row_struct()).alias("before"),
+            F.lit(None).cast(row_struct()).alias("after"),
+            F.col("source"),
+            F.col("transaction"),
+            F.col("part_id"),
+            F.col("offset"),
+            F.lit(True).alias("tombstone"),
+        )
+        out = out.unionByName(tomb)
+    return out.to(envelope_schema())
+
+
+def snapshot_events(
+    source_df: DataFrame,
+    *,
+    row_cols: list[str] | None = None,
+    n_parts: int = 8,
+    snapshot_ts_ms: int = 1_700_000_000_000,
+) -> DataFrame:
+    """Wrap a consistent table read as op='r' envelopes.
+
+    Reference: RelationalSnapshotChangeEventSource.java:120-182 — the initial
+    snapshot emits every existing row as a READ event before streaming starts.
+    Here a snapshot is just a pinned read of the source table (Iceberg
+    snapshot isolation; no locks, cf. BinlogSnapshotChangeEventSource.java:155-209
+    whose FLUSH TABLES WITH READ LOCK this replaces for free).
+    """
+    row_cols = row_cols or [n for n, _ in REPO_ROW_FIELDS]
+    after_s = F.struct(*[F.col(c) for c in row_cols])
+    # hash routing of keys to partitions (PartitionRouting.java:241)
+    key_hash = F.xxhash64(F.col("repo"), F.col("path"))
+    src = F.struct(
+        F.lit("sparkcdc").alias("name"),
+        F.lit("code").alias("db"),
+        F.lit("source_code_repos").alias("table"),
+        F.lit("true").alias("snapshot"),  # SnapshotRecord.java TRUE
+        F.lit(None).cast("string").alias("file"),
+        F.lit(-1).cast("long").alias("pos"),
+        F.lit(0).alias("row"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.lit(snapshot_ts_ms).cast("long").alias("ts_ms"),
+    )
+    return source_df.select(
+        F.lit("r").alias("op"),
+        F.lit(snapshot_ts_ms).cast("long").alias("ts_ms"),
+        F.lit(None).cast(row_struct()).alias("before"),
+        after_s.alias("after"),
+        src.alias("source"),
+        F.lit(None).cast(transaction_struct()).alias("transaction"),
+        F.pmod(key_hash, F.lit(n_parts)).cast("int").alias("part_id"),
+        F.lit(-1).cast("long").alias("offset"),  # snapshot sorts before all log offsets
+        F.lit(False).alias("tombstone"),
+    ).to(envelope_schema())

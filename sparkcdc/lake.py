@@ -1,0 +1,460 @@
+"""LakeTable — a versioned, hash-bucketed Parquet table with atomic commits,
+copy-on-write MERGE, field-id schema evolution and time travel.
+
+This is the sink layer of the engine: the stand-in for an Iceberg table
+(no Iceberg runtime jar ships in this environment). The design deliberately
+mirrors Iceberg's model so the production swap is mechanical:
+
+- data files are immutable parquet, grouped into ``n_buckets`` hash buckets
+  of the primary key (Iceberg ``bucket(N, key)`` partition transform);
+- every commit writes a new JSON *manifest* listing the exact data files of
+  that version, then atomically flips a VERSION pointer (Iceberg's metadata
+  pointer swap). Readers of version K never see a torn state;
+- MERGE is copy-on-write per bucket: a change batch only rewrites the
+  buckets that contain changed keys — at 100 TB / 4096 buckets a micro-batch
+  touching k buckets rewrites k/4096 of the table, and the bucket pruning
+  happens driver-side from the manifest (Iceberg manifest pruning);
+- schema evolution is field-id based (Iceberg-style): rename keeps the id,
+  so files written before the rename are mapped correctly at read time;
+  int->long / float->double widening is a read-side cast of old files;
+- exactly-once: each commit records the (writer, batch_id) that produced it
+  plus the source offsets; replaying an already-committed batch is a no-op
+  (idempotent fencing, cf. reference offset commit at
+  embedded/EmbeddedEngine.java:885-902 which is only at-least-once — the
+  fence is what upgrades the effect to exactly-once, SURVEY §2.9).
+
+The MERGE itself is the Spark-idiomatic emulation of Iceberg
+``MERGE INTO t USING b ON key WHEN MATCHED AND op='d' THEN DELETE
+WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``:
+a left-anti join of current state against batch keys, unioned with batch
+upserts (reference sink semantics: jdbc-sink/JdbcChangeEventSink.java:72-158,
+dialect MERGE at dialect/sqlserver/SqlServerDatabaseDialect.java:128-130).
+The batch MUST already be reduced to one row per key (apply.py, cf.
+ReducedRecordBuffer.java:24-79) — exactly the reference's contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_HASH_SEED = 7541  # fixed: bucket assignment must be stable forever
+
+_TYPE_TO_SPARK = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+}
+
+#: legal type widenings (Iceberg evolution rules; also the sink rule that
+#: only safe promotions are applied automatically, JdbcChangeEventSink.java:305-353)
+WIDENINGS = {("int", "long"), ("float", "double"), ("int", "double")}
+
+
+def type_of(name: str) -> T.DataType:
+    if name.startswith("decimal"):
+        p, s = name[name.find("(") + 1 : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    return _TYPE_TO_SPARK[name]
+
+
+@dataclass
+class Field:
+    id: int
+    name: str
+    type: str
+    nullable: bool = True
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+
+    @staticmethod
+    def from_json(d: dict) -> "Field":
+        return Field(d["id"], d["name"], d["type"], d["nullable"])
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: int | None
+    n_buckets: int
+    key_cols: list[str]
+    epoch: int
+    epochs: dict[str, list[Field]]  # epoch -> field list (full schema history)
+    files: list[dict]  # {path, bucket, epoch}
+    summary: dict = field(default_factory=dict)
+
+    @property
+    def fields(self) -> list[Field]:
+        return self.epochs[str(self.epoch)]
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f.name, type_of(f.type), f.nullable) for f in self.fields]
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "epoch": self.epoch,
+            "epochs": {k: [f.to_json() for f in v] for k, v in self.epochs.items()},
+            "files": self.files,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            version=d["version"],
+            parent=d["parent"],
+            n_buckets=d["n_buckets"],
+            key_cols=d["key_cols"],
+            epoch=d["epoch"],
+            epochs={k: [Field.from_json(f) for f in v] for k, v in d["epochs"].items()},
+            files=d["files"],
+            summary=d["summary"],
+        )
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(text)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)  # atomic on POSIX
+
+
+class LakeTable:
+    """One versioned table rooted at ``<root>/<name>``."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.root = root
+        self.name = name
+        self.dir = os.path.join(root, name)
+        self.meta_dir = os.path.join(self.dir, "meta")
+        self.data_dir = os.path.join(self.dir, "data")
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        name: str,
+        fields: list[tuple[str, str]],
+        key_cols: list[str],
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        t = LakeTable(spark, root, name)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        flds = [Field(i + 1, n, ty) for i, (n, ty) in enumerate(fields)]
+        m = Manifest(
+            version=0, parent=None, n_buckets=n_buckets, key_cols=key_cols,
+            epoch=0, epochs={"0": flds}, files=[], summary={"created_ms": int(time.time() * 1000)},
+        )
+        t._write_manifest(m)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, root: str, name: str) -> "LakeTable":
+        t = LakeTable(spark, root, name)
+        if not os.path.exists(os.path.join(t.meta_dir, "VERSION")):
+            raise FileNotFoundError(f"no table at {t.dir}")
+        return t
+
+    @staticmethod
+    def exists(root: str, name: str) -> bool:
+        return os.path.exists(os.path.join(root, name, "meta", "VERSION"))
+
+    # -- manifests ----------------------------------------------------------
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "VERSION")) as fh:
+            return int(fh.read().strip())
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as fh:
+            return Manifest.from_json(json.load(fh))
+
+    def _write_manifest(self, m: Manifest) -> None:
+        _atomic_write(
+            os.path.join(self.meta_dir, f"v{m.version}.json"),
+            json.dumps(m.to_json()),
+        )
+        _atomic_write(os.path.join(self.meta_dir, "VERSION"), str(m.version))
+
+    # -- read (with field-id schema mapping + time travel) -------------------
+
+    def _bucket_expr(self, key_cols: list[str], n_buckets: int):
+        return F.pmod(F.xxhash64(F.lit(BUCKET_HASH_SEED), *[F.col(c) for c in key_cols]),
+                      F.lit(n_buckets)).cast("int")
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> DataFrame:
+        """Read table state at ``version`` (default: current), optionally
+        pruned to a bucket subset (driver-side manifest pruning — the
+        scale-critical path for MERGE)."""
+        m = self.manifest(version)
+        cur = {f.id: f for f in m.fields}
+        files = [
+            f for f in m.files
+            if buckets is None or f["bucket"] in buckets
+        ]
+        if not files:
+            return self.spark.createDataFrame([], m.spark_schema())
+
+        # group files by their write-time epoch; map each group's columns to
+        # the current schema by field id (rename-safe), cast widened types,
+        # fill columns added later with NULL. Iceberg does exactly this.
+        by_epoch: dict[int, list[str]] = {}
+        for f in files:
+            by_epoch.setdefault(f["epoch"], []).append(
+                os.path.join(self.dir, f["path"])
+            )
+        parts = []
+        for ep, paths in by_epoch.items():
+            old = {f.id: f for f in m.epochs[str(ep)]}
+            df = self.spark.read.parquet(*paths)
+            cols = []
+            for fid, cf in cur.items():
+                if fid in old:
+                    c = F.col(old[fid].name)
+                    if old[fid].type != cf.type:
+                        c = c.cast(type_of(cf.type))
+                    cols.append(c.alias(cf.name))
+                else:
+                    cols.append(F.lit(None).cast(type_of(cf.type)).alias(cf.name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- write paths ----------------------------------------------------------
+
+    def _write_data(self, df: DataFrame, commit_tag: str) -> list[dict]:
+        """Write df (must carry __bucket col) partitioned by bucket under a
+        unique commit dir; return manifest file entries."""
+        rel = os.path.join("data", f"commit-{commit_tag}")
+        out_dir = os.path.join(self.dir, rel)
+        (
+            df.withColumnRenamed("__bucket", "b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(out_dir)
+        )
+        entries = []
+        m_epoch = self.manifest().epoch
+        for bdir in os.listdir(out_dir):
+            if not bdir.startswith("b="):
+                continue
+            bucket = int(bdir.split("=")[1])
+            for fn in os.listdir(os.path.join(out_dir, bdir)):
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        {"path": os.path.join(rel, bdir, fn), "bucket": bucket, "epoch": m_epoch}
+                    )
+        return entries
+
+    def overwrite(self, df: DataFrame, batch_id: int | None = None,
+                  summary: dict | None = None) -> dict:
+        """Replace the whole table (snapshot load path, S1)."""
+        m = self.manifest()
+        names = [f.name for f in m.fields]
+        tag = f"{m.version + 1}-{uuid.uuid4().hex[:8]}"
+        data = df.select(*names).withColumn(
+            "__bucket", self._bucket_expr(m.key_cols, m.n_buckets)
+        )
+        entries = self._write_data(data, tag)
+        new = Manifest(
+            version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
+            key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs, files=entries,
+            summary={**(summary or {}), "op": "overwrite", "batch_id": batch_id,
+                     "committed_ms": int(time.time() * 1000)},
+        )
+        self._write_manifest(new)
+        return {"version": new.version, "files": len(entries)}
+
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        writer: str = "default",
+        summary: dict | None = None,
+    ) -> dict:
+        """Apply a reduced change batch: columns = current schema + ``_op``
+        ('u' upsert / 'd' delete), exactly one row per key.
+
+        Idempotent: if (writer, batch_id) is already <= the last committed
+        batch for that writer, the call is a no-op (fencing).
+        """
+        m = self.manifest()
+        last = m.summary.get("last_batch", {}).get(writer)
+        if last is not None and batch_id <= last:
+            return {"version": m.version, "skipped": True, "reason": "fenced"}
+
+        names = [f.name for f in m.fields]
+        changes = changes.select(*names, "_op").withColumn(
+            "__bucket", self._bucket_expr(m.key_cols, m.n_buckets)
+        )
+        # Small driver-side collect of the affected bucket ids (<= n_buckets
+        # ints) — this is the manifest-pruning step, NOT a data collect.
+        affected = {
+            r[0] for r in changes.select("__bucket").distinct().collect()
+        }
+        current = self.read(buckets=affected)
+
+        upserts = changes.filter(F.col("_op") != "d").drop("_op")
+        keys = changes.select(*m.key_cols)
+        # MERGE emulation: survivors (anti join) + upserts. AQE turns the
+        # anti join into a broadcast when the batch is small, and splits
+        # skewed buckets at runtime.
+        survivors = current.join(keys, on=m.key_cols, how="left_anti")
+        new_state = survivors.select(*names).unionByName(upserts.select(*names))
+
+        tag = f"{m.version + 1}-{uuid.uuid4().hex[:8]}"
+        data = new_state.withColumn("__bucket", self._bucket_expr(m.key_cols, m.n_buckets))
+        entries = self._write_data(data, tag)
+
+        kept = [f for f in m.files if f["bucket"] not in affected]
+        last_batch = dict(m.summary.get("last_batch", {}))
+        last_batch[writer] = batch_id
+        new = Manifest(
+            version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
+            key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs,
+            files=kept + entries,
+            summary={**(summary or {}), "op": "merge", "batch_id": batch_id,
+                     "writer": writer, "last_batch": last_batch,
+                     "affected_buckets": sorted(affected),
+                     "committed_ms": int(time.time() * 1000)},
+        )
+        self._write_manifest(new)
+        return {
+            "version": new.version,
+            "skipped": False,
+            "affected_buckets": len(affected),
+            "files": len(entries),
+        }
+
+    def delete_where(self, predicate: str, batch_id: int | None = None) -> dict:
+        """TRUNCATE-style targeted delete (K4: truncate handling)."""
+        m = self.manifest()
+        names = [f.name for f in m.fields]
+        remaining = self.read().filter(f"NOT ({predicate})")
+        tag = f"{m.version + 1}-{uuid.uuid4().hex[:8]}"
+        data = remaining.select(*names).withColumn(
+            "__bucket", self._bucket_expr(m.key_cols, m.n_buckets)
+        )
+        entries = self._write_data(data, tag)
+        new = Manifest(
+            version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
+            key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs, files=entries,
+            summary={"op": "delete_where", "predicate": predicate, "batch_id": batch_id,
+                     "last_batch": m.summary.get("last_batch", {}),
+                     "committed_ms": int(time.time() * 1000)},
+        )
+        self._write_manifest(new)
+        return {"version": new.version}
+
+    # -- schema evolution (field-id based; SURVEY §1.2 / K3) -----------------
+
+    def evolve(self, changes: list[dict]) -> dict:
+        """Apply schema changes: each is one of
+        {"action":"add","name":...,"type":...},
+        {"action":"rename","from":...,"to":...},
+        {"action":"widen","name":...,"type":...}.
+
+        Sink rule (JdbcChangeEventSink.java:325-331): added columns must be
+        nullable (optional) — enforced here by construction. Rename keeps the
+        field id so old data files remain readable (TableChanges ALTER with
+        previousId, core/relational/history/TableChanges.java:49).
+        """
+        m = self.manifest()
+        flds = [Field(f.id, f.name, f.type, f.nullable) for f in m.fields]
+        max_id = max((f.id for f in flds), default=0)
+        for ch in changes:
+            if ch["action"] == "add":
+                max_id += 1
+                flds.append(Field(max_id, ch["name"], ch["type"], True))
+            elif ch["action"] == "rename":
+                fld = next(f for f in flds if f.name == ch["from"])
+                fld.name = ch["to"]
+            elif ch["action"] == "widen":
+                fld = next(f for f in flds if f.name == ch["name"])
+                if (fld.type, ch["type"]) not in WIDENINGS:
+                    raise ValueError(f"illegal widen {fld.type}->{ch['type']}")
+                fld.type = ch["type"]
+            else:
+                raise ValueError(f"unknown action {ch['action']}")
+        key_cols = m.key_cols
+        renames = {c["from"]: c["to"] for c in changes if c["action"] == "rename"}
+        key_cols = [renames.get(k, k) for k in key_cols]
+        new_epoch = m.epoch + 1
+        epochs = dict(m.epochs)
+        epochs[str(new_epoch)] = flds
+        new = Manifest(
+            version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
+            key_cols=key_cols, epoch=new_epoch, epochs=epochs, files=m.files,
+            summary={"op": "evolve", "changes": changes,
+                     "last_batch": m.summary.get("last_batch", {}),
+                     "committed_ms": int(time.time() * 1000)},
+        )
+        self._write_manifest(new)
+        return {"version": new.version, "epoch": new_epoch}
+
+    # -- maintenance ----------------------------------------------------------
+
+    def expire_versions(self, keep_last: int = 2) -> int:
+        """GC data files referenced only by expired manifests."""
+        cur = self.current_version()
+        keep = set(range(max(0, cur - keep_last + 1), cur + 1))
+        live: set[str] = set()
+        all_versions = [
+            int(f[1:-5]) for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        for v in keep:
+            if v in all_versions:
+                live |= {f["path"] for f in self.manifest(v).files}
+        removed = 0
+        for v in all_versions:
+            if v not in keep:
+                for f in self.manifest(v).files:
+                    if f["path"] not in live:
+                        p = os.path.join(self.dir, f["path"])
+                        if os.path.exists(p):
+                            os.remove(p)
+                            removed += 1
+                os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
+        # clean now-empty commit dirs
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full) and not any(
+                fn.endswith(".parquet") for _, _, fns in os.walk(full) for fn in fns
+            ):
+                shutil.rmtree(full)
+        return removed

@@ -1,0 +1,132 @@
+"""LakeTable: atomic versioned commits, copy-on-write MERGE, fencing,
+schema evolution by field id, time travel. (SURVEY §2.8 K1-K7.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcdc.lake import LakeTable
+
+
+FIELDS = [("repo", "string"), ("path", "string"), ("content", "string")]
+KEY = ["repo", "path"]
+
+
+def mk(spark, root, n_buckets=4):
+    return LakeTable.create(spark, root, "t", FIELDS, KEY, n_buckets=n_buckets)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def ch(spark, data):
+    return spark.createDataFrame(data, ["repo", "path", "content", "_op"])
+
+
+def test_create_read_empty(spark, tmp_root):
+    t = mk(spark, tmp_root)
+    assert t.read().count() == 0
+    assert t.current_version() == 0
+
+
+def test_merge_upsert_delete(spark, tmp_root):
+    t = mk(spark, tmp_root)
+    t.merge(ch(spark, [("r", "a", "1", "u"), ("r", "b", "1", "u")]), batch_id=1)
+    assert rows(t.read()) == [("r", "a", "1"), ("r", "b", "1")]
+    t.merge(ch(spark, [("r", "a", "2", "u"), ("r", "b", "x", "d"), ("r", "c", "1", "u")]), batch_id=2)
+    assert rows(t.read()) == [("r", "a", "2"), ("r", "c", "1")]
+
+
+def test_merge_is_fenced_idempotent(spark, tmp_root):
+    t = mk(spark, tmp_root)
+    t.merge(ch(spark, [("r", "a", "1", "u")]), batch_id=1)
+    v = t.current_version()
+    res = t.merge(ch(spark, [("r", "a", "IGNORED", "u")]), batch_id=1)
+    assert res["skipped"] is True
+    assert t.current_version() == v
+    assert rows(t.read()) == [("r", "a", "1")]
+
+
+def test_copy_on_write_prunes_buckets(spark, tmp_root):
+    t = mk(spark, tmp_root, n_buckets=8)
+    big = spark.range(200).select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.lit("v1").alias("content"),
+        F.lit("u").alias("_op"),
+    )
+    t.merge(big, batch_id=1)
+    res = t.merge(ch(spark, [("r", "p0", "v2", "u")]), batch_id=2)
+    # a single-key batch touches exactly one bucket
+    assert res["affected_buckets"] == 1
+    m = t.manifest()
+    prev = t.manifest(m.parent)
+    untouched_prev = [f["path"] for f in prev.files if f["bucket"] not in set(m.summary["affected_buckets"])]
+    # untouched buckets' files are carried over, not rewritten
+    assert set(untouched_prev) <= {f["path"] for f in m.files}
+    assert t.read().filter("path='p0'").first().content == "v2"
+    assert t.read().count() == 200
+
+
+def test_time_travel(spark, tmp_root):
+    t = mk(spark, tmp_root)
+    t.merge(ch(spark, [("r", "a", "1", "u")]), batch_id=1)
+    v1 = t.current_version()
+    t.merge(ch(spark, [("r", "a", "2", "u")]), batch_id=2)
+    assert t.read(version=v1).first().content == "1"
+    assert t.read().first().content == "2"
+
+
+def test_evolve_add_rename_widen(spark, tmp_root):
+    t = LakeTable.create(
+        spark, tmp_root, "t",
+        [("repo", "string"), ("path", "string"), ("stars", "int")],
+        KEY, n_buckets=2,
+    )
+    t.merge(
+        spark.createDataFrame([("r", "a", 5, "u")], ["repo", "path", "stars", "_op"]),
+        batch_id=1,
+    )
+    t.evolve([
+        {"action": "add", "name": "lang", "type": "string"},
+        {"action": "rename", "from": "path", "to": "file_path"},
+        {"action": "widen", "name": "stars", "type": "long"},
+    ])
+    df = t.read()
+    assert set(df.columns) == {"repo", "file_path", "stars", "lang"}
+    r = df.first()
+    # old file read through the new schema: rename mapped by field id,
+    # widened type cast, added column null
+    assert (r.repo, r.file_path, r.stars, r.lang) == ("r", "a", 5, None)
+    assert dict(df.dtypes)["stars"] == "bigint"
+    # key_cols followed the rename; merging on the new schema works
+    t.merge(
+        spark.createDataFrame(
+            [("r", "a", 7, "py", "u")], ["repo", "file_path", "stars", "lang", "_op"]
+        ).withColumn("stars", F.col("stars").cast("long")),
+        batch_id=2,
+    )
+    r2 = t.read().first()
+    assert (r2.stars, r2.lang) == (7, "py")
+
+
+def test_evolve_rejects_illegal_widen(spark, tmp_root):
+    t = LakeTable.create(spark, tmp_root, "t", [("repo", "string"), ("path", "string"), ("n", "long")], KEY)
+    with pytest.raises(ValueError):
+        t.evolve([{"action": "widen", "name": "n", "type": "int"}])
+
+
+def test_delete_where_truncate(spark, tmp_root):
+    t = mk(spark, tmp_root)
+    t.merge(ch(spark, [("r1", "a", "1", "u"), ("r2", "b", "1", "u")]), batch_id=1)
+    t.delete_where("repo = 'r1'")
+    assert rows(t.read()) == [("r2", "b", "1")]
+
+
+def test_expire_versions_gc(spark, tmp_root):
+    t = mk(spark, tmp_root)
+    for i in range(1, 5):
+        t.merge(ch(spark, [("r", "a", str(i), "u")]), batch_id=i)
+    removed = t.expire_versions(keep_last=2)
+    assert removed > 0
+    assert t.read().first().content == "4"  # current still intact
