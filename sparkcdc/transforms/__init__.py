@@ -1,0 +1,61 @@
+"""Transform library — Debezium's SMTs re-expressed as vectorized
+``DataFrame -> DataFrame`` functions (SURVEY §2.2 T1-T16).
+
+Every transform is Catalyst-native (built-in column expressions, no Python
+row functions), so chains of transforms fuse into one whole-stage-codegen
+span instead of the reference's per-record ``R apply(R)`` virtual calls
+(the hot loop the async engine parallelizes at
+AsyncEmbeddedEngine.java:1191 — here it's free).
+
+Registry: ``TRANSFORMS`` maps SMT-style names to factories, mirroring the
+Kafka-Connect ``transforms=...`` config list
+(embedded/Transformations.java).
+"""
+
+from .extract import (
+    extract_changed_record_state,
+    extract_new_record_state,
+    extract_schema_to_new_record,
+)
+from .filtering import (
+    drop_tombstones,
+    event_filter,
+    include_exclude_columns,
+    schema_change_filter,
+    table_filter,
+)
+from .routing import (
+    by_logical_table_router,
+    content_based_router,
+    outbox_event_router,
+    partition_routing,
+)
+from .columns import (
+    header_to_value,
+    mask_strings,
+    timezone_converter,
+    truncate_columns,
+)
+from .reselect import reselect_columns
+
+TRANSFORMS = {
+    "ExtractNewRecordState": extract_new_record_state,
+    "ExtractChangedRecordState": extract_changed_record_state,
+    "ExtractSchemaToNewRecord": extract_schema_to_new_record,
+    "Filter": event_filter,
+    "ContentBasedRouter": content_based_router,
+    "ByLogicalTableRouter": by_logical_table_router,
+    "PartitionRouting": partition_routing,
+    "OutboxEventRouter": outbox_event_router,
+    "HeaderToValue": header_to_value,
+    "TimezoneConverter": timezone_converter,
+    "MaskStrings": mask_strings,
+    "TruncateColumns": truncate_columns,
+    "SchemaChangeEventFilter": schema_change_filter,
+    "TableFilter": table_filter,
+    "IncludeExcludeColumns": include_exclude_columns,
+    "DropTombstones": drop_tombstones,
+    "ReselectColumns": reselect_columns,
+}
+
+__all__ = list(TRANSFORMS) + ["TRANSFORMS"]

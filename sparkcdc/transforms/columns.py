@@ -1,0 +1,132 @@
+"""T8/T9/T12/T13 — column-level transforms.
+
+Reference:
+- HeaderToValue: core/transforms/HeaderToValue.java (headers are just
+  columns in the DataFrame model, so move/copy = withColumn/drop)
+- TimezoneConverter: core/transforms/TimezoneConverter.java
+- MaskStrings: core/relational/mapping/MaskStrings.java (constant mask or
+  salted SHA-256 — builtin sha2, no UDF)
+- TruncateColumn: core/relational/mapping/TruncateColumn.java
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def header_to_value(headers: list[str], fields: list[str], operation: str = "copy"):
+    """Copy/move 'header' columns into value fields. In the envelope model
+    the headers are top-level columns; values live in after.*; here we add
+    them as __-prefixed flat columns like the reference's value fields."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df
+        for h, f_ in zip(headers, fields):
+            out = out.withColumn(f_, F.col(h))
+            if operation == "move":
+                out = out.drop(h)
+        return out
+
+    return _apply
+
+
+def _convert_struct_ts(df: DataFrame, side: str, fields: list[str], target_tz: str):
+    st = df.schema[side].dataType
+    cols = []
+    for f in st.fields:
+        c = F.col(f"{side}.{f.name}")
+        if f.name in fields:
+            c = F.convert_timezone(F.lit("UTC"), F.lit(target_tz), c)
+        cols.append(c.alias(f.name))
+    return F.when(F.col(side).isNotNull(), F.struct(*cols))
+
+
+def timezone_converter(target_tz: str, ts_fields: list[str] | None = None):
+    """Convert temporal fields to a target timezone. Converts envelope
+    ``ts_ms`` companions and any named row fields inside before/after."""
+    ts_fields = ts_fields or []
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df
+        if ts_fields and "after" in df.columns:
+            out = out.withColumn("before", _convert_struct_ts(out, "before", ts_fields, target_tz))
+            out = out.withColumn("after", _convert_struct_ts(out, "after", ts_fields, target_tz))
+        # flat frames: convert named columns directly
+        for c in ts_fields:
+            if c in out.columns:
+                out = out.withColumn(
+                    c, F.convert_timezone(F.lit("UTC"), F.lit(target_tz), F.col(c))
+                )
+        return out
+
+    return _apply
+
+
+def mask_strings(columns: list[str], salt: str | None = None, mask_char: str = "*", length: int = 10):
+    """MaskStrings.java semantics: replace with a constant mask, or — when a
+    salt is given — with sha256(salt || value) hex (pseudonymization that
+    preserves equality for joins). Operates on flat frames and on
+    before/after struct fields of envelope frames."""
+
+    def mask_expr(c):
+        if salt is not None:
+            return F.sha2(F.concat(F.lit(salt), c), 256)
+        return F.lit(mask_char * length)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df
+        flat = [c for c in columns if c in df.columns]
+        for c in flat:
+            out = out.withColumn(c, F.when(F.col(c).isNotNull(), mask_expr(F.col(c))))
+        if "after" in df.columns and hasattr(df.schema["after"].dataType, "fields"):
+            targets = [
+                f.name for f in df.schema["after"].dataType.fields if f.name in columns
+            ]
+            for side in ("before", "after"):
+                if targets:
+                    st = df.schema[side].dataType
+                    cols = [
+                        (
+                            F.when(
+                                F.col(f"{side}.{f.name}").isNotNull(),
+                                mask_expr(F.col(f"{side}.{f.name}")),
+                            )
+                            if f.name in targets
+                            else F.col(f"{side}.{f.name}")
+                        ).alias(f.name)
+                        for f in st.fields
+                    ]
+                    out = out.withColumn(
+                        side, F.when(F.col(side).isNotNull(), F.struct(*cols))
+                    )
+        return out
+
+    return _apply
+
+
+def truncate_columns(columns: dict[str, int]):
+    """TruncateColumn.java: truncate string columns to a max length."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df
+        for c, n in columns.items():
+            if c in out.columns:
+                out = out.withColumn(c, F.substring(F.col(c), 1, n))
+        if "after" in df.columns and hasattr(df.schema["after"].dataType, "fields"):
+            for side in ("before", "after"):
+                st = df.schema[side].dataType
+                cols = [
+                    (
+                        F.substring(F.col(f"{side}.{f.name}"), 1, columns[f.name])
+                        if f.name in columns
+                        else F.col(f"{side}.{f.name}")
+                    ).alias(f.name)
+                    for f in st.fields
+                ]
+                out = out.withColumn(
+                    side, F.when(F.col(side).isNotNull(), F.struct(*cols))
+                )
+        return out
+
+    return _apply

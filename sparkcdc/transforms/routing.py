@@ -1,0 +1,94 @@
+"""T4/T5/T6/T7 — routing transforms.
+
+Reference:
+- ContentBasedRouter: debezium-scripting/.../transforms/ContentBasedRouter.java:23
+- ByLogicalTableRouter: core/transforms/ByLogicalTableRouter.java:58-75
+  (regex topic rewrite to merge shard tables; key augmented with
+  __dbz__physicalTableIdentifier)
+- PartitionRouting: core/transforms/partitions/PartitionRouting.java:44-241
+  (partition = hash(payload fields) % N — exactly Spark HashPartitioning)
+- Outbox EventRouter: core/transforms/outbox/EventRouter.java:22 +
+  EventRouterDelegate.java
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUTE_COL = "__route"
+PHYSICAL_TABLE_COL = "__dbz__physicalTableIdentifier"
+
+
+def content_based_router(expression: str, route_col: str = ROUTE_COL):
+    """Compute the destination (topic/table) per record from a SQL
+    expression; downstream writes ``partitionBy(route_col)``."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(route_col, F.expr(expression))
+
+    return _apply
+
+
+def by_logical_table_router(
+    topic_regex: str,
+    topic_replacement: str,
+    key_enforce_uniqueness: bool = True,
+    route_col: str = ROUTE_COL,
+):
+    """Merge physical shard tables (customers_shard_1, _2, ...) into one
+    logical route; keep the physical id as an extra key column so rows from
+    different shards with the same PK don't collide."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        full = F.concat_ws(".", F.col("source.db"), F.col("source.table"))
+        out = df.withColumn(
+            route_col, F.regexp_replace(full, topic_regex, topic_replacement)
+        )
+        if key_enforce_uniqueness:
+            out = out.withColumn(PHYSICAL_TABLE_COL, full)
+        return out
+
+    return _apply
+
+
+def partition_routing(
+    partition_payload_fields: list[str], partition_topic_num: int,
+    partition_col: str = "part_id",
+):
+    """Recompute part_id = pmod(hash(fields), N). Fields are specified like
+    the reference's ``partition.payload.fields`` (e.g. ``after.repo``).
+    In the engine this also doubles as the explicit pre-merge repartition
+    key derivation (north_rule: repartition by PK before merge apply)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        cols = [F.col(c) for c in partition_payload_fields]
+        return df.withColumn(
+            partition_col,
+            F.pmod(F.xxhash64(*cols), F.lit(partition_topic_num)).cast("int"),
+        )
+
+    return _apply
+
+
+def outbox_event_router(
+    field_event_key: str = "aggregateid",
+    field_event_type: str = "type",
+    field_payload: str = "payload",
+    route_by_field: str = "aggregatetype",
+    route_col: str = ROUTE_COL,
+):
+    """Outbox pattern: events are rows INSERTed into an outbox table; route
+    by aggregatetype, key by aggregateid, emit the payload as the value.
+    Input: flat outbox rows (after ExtractNewRecordState) with the four
+    canonical outbox columns."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(field_event_key).alias("key"),
+            F.col(field_event_type).alias("event_type"),
+            F.col(field_payload).alias("payload"),
+            F.col(route_by_field).alias(route_col),
+        )
+
+    return _apply

@@ -1,0 +1,210 @@
+"""Transform library tests over a fixture mirroring the reference's
+AbstractExtractStateTest.java:49-120 (row {id int, name string}, source
+{lsn, ts_ms, db, table}, create/update/delete/tombstone records)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkcdc.transforms import (
+    by_logical_table_router,
+    content_based_router,
+    event_filter,
+    extract_changed_record_state,
+    extract_new_record_state,
+    include_exclude_columns,
+    mask_strings,
+    outbox_event_router,
+    partition_routing,
+    reselect_columns,
+    table_filter,
+    timezone_converter,
+    truncate_columns,
+)
+
+ROW = T.StructType([
+    T.StructField("id", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+])
+SRC = T.StructType([
+    T.StructField("lsn", T.LongType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("db", T.StringType()),
+    T.StructField("table", T.StringType()),
+])
+ENV = T.StructType([
+    T.StructField("op", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("before", ROW),
+    T.StructField("after", ROW),
+    T.StructField("source", SRC),
+    T.StructField("part_id", T.IntegerType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("tombstone", T.BooleanType()),
+])
+
+
+def env(op, before, after, off, tomb=False, db="db", table="customers"):
+    return (op, 1000 + off, before, after, (off, 1000 + off, db, table), 0, off, tomb)
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    rows = [
+        env("c", None, (1, "alice"), 1),
+        env("u", (1, "alice"), (1, "bob"), 2),
+        env("d", (1, "bob"), None, 3),
+        env("d", None, None, 3, tomb=True),
+        env("c", None, (2, "carol"), 4, table="customers_shard_2"),
+    ]
+    return spark.createDataFrame(rows, ENV)
+
+
+# ---- T1 ExtractNewRecordState -------------------------------------------------
+
+def test_unwrap_drop(fixture):
+    out = extract_new_record_state("drop")(fixture)
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "alice"), (1, "bob"), (2, "carol")]
+
+
+def test_unwrap_rewrite_adds_deleted_flag(fixture):
+    out = extract_new_record_state(
+        "rewrite", add_fields=["op", "ts_ms", "source.lsn"]
+    )(fixture)
+    assert set(out.columns) == {"id", "name", "__op", "__ts_ms", "__source_lsn", "__deleted"}
+    rows = {(r.id, r.name, r["__deleted"], r["__op"]) for r in out.collect()}
+    assert (1, "bob", "true", "d") in rows       # delete rewritten from before
+    assert (1, "alice", "false", "c") in rows
+    assert len(rows) == 4
+
+
+def test_unwrap_tombstone_mode(fixture):
+    out = extract_new_record_state("tombstone")(fixture)
+    rows = out.collect()
+    assert sum(1 for r in rows if r.id is None and r.name is None) == 1  # the delete
+    assert len(rows) == 4
+
+
+def test_unwrap_rewrite_with_tombstone(fixture):
+    out = extract_new_record_state("rewrite-with-tombstone")(fixture)
+    assert out.count() == 5
+    assert out.filter(F.col("__deleted").isNull()).count() == 1  # the tombstone row
+
+
+def test_unwrap_drop_fields_and_route_by(fixture):
+    out = extract_new_record_state("drop", drop_fields=["name"], route_by_field="id")(fixture)
+    assert set(out.columns) == {"id", "__route"}
+
+
+# ---- T2 ExtractChangedRecordState ---------------------------------------------
+
+def test_changed_record_state(fixture):
+    out = extract_changed_record_state(unchanged_name="__unchanged")(fixture)
+    upd = out.filter("op = 'u'").first()
+    assert upd["__changed"] == ["name"]
+    assert upd["__unchanged"] == ["id"]
+    assert out.filter("op = 'c'").first()["__changed"] is None
+
+
+# ---- T3 Filter -----------------------------------------------------------------
+
+def test_event_filter(fixture):
+    out = event_filter("op != 'd' AND after.id = 1")(fixture)
+    assert out.count() == 2
+
+
+# ---- T4/T5 routers --------------------------------------------------------------
+
+def test_content_based_router(fixture):
+    out = content_based_router("concat('t-', source.table)")(fixture)
+    assert out.filter("__route = 't-customers'").count() == 4
+
+
+def test_by_logical_table_router(fixture):
+    out = by_logical_table_router(r"db\.customers(_shard_\d+)?", "db.customers_all")(fixture)
+    assert out.filter("__route = 'db.customers_all'").count() == 5
+    shard = out.filter("source.table = 'customers_shard_2'").first()
+    assert shard["__dbz__physicalTableIdentifier"] == "db.customers_shard_2"
+
+
+# ---- T6 PartitionRouting ---------------------------------------------------------
+
+def test_partition_routing(fixture):
+    out = partition_routing(["after.id"], 4)(fixture)
+    vals = {r.part_id for r in out.collect()}
+    assert vals <= set(range(4))
+    # same key -> same partition
+    byid = out.filter("after.id = 1").select("part_id").distinct()
+    assert byid.count() == 1
+
+
+# ---- T7 Outbox -------------------------------------------------------------------
+
+def test_outbox_router(spark):
+    outbox = spark.createDataFrame(
+        [("order-1", "OrderCreated", '{"total": 9}', "orders")],
+        ["aggregateid", "type", "payload", "aggregatetype"],
+    )
+    out = outbox_event_router()(outbox)
+    r = out.first()
+    assert (r.key, r.event_type, r["__route"]) == ("order-1", "OrderCreated", "orders")
+
+
+# ---- T9 TimezoneConverter ---------------------------------------------------------
+
+def test_timezone_converter(spark):
+    df = spark.createDataFrame([("2024-01-01 12:00:00",)], ["ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = timezone_converter("America/New_York", ["ts"])(df)
+    assert str(out.first().ts) == "2024-01-01 07:00:00"
+
+
+# ---- T12/T13 mask + truncate -------------------------------------------------------
+
+def test_mask_strings_salted_hash(fixture):
+    out = mask_strings(["name"], salt="s3cr3t")(fixture)
+    import hashlib
+    want = hashlib.sha256(b"s3cr3talice").hexdigest()
+    got = out.filter("op = 'c' AND after.id = 1").first().after.name
+    assert got == want
+    # masking preserves null structure
+    assert out.filter("op = 'c'").first().before is None
+
+
+def test_mask_strings_constant(fixture):
+    out = mask_strings(["name"], mask_char="*", length=5)(fixture)
+    assert out.filter("op='u'").first().after.name == "*****"
+
+
+def test_truncate_columns(fixture):
+    out = truncate_columns({"name": 3})(fixture)
+    assert out.filter("op='u'").first().after.name == "bob"
+    assert out.filter("op='c' AND after.id=1").first().after.name == "ali"
+
+
+# ---- T14 include/exclude ------------------------------------------------------------
+
+def test_table_filter(fixture):
+    assert table_filter(include=[r"db\.customers"])(fixture).count() == 4
+    assert table_filter(exclude=[r"db\.customers_shard_.*"])(fixture).count() == 4
+
+
+def test_include_exclude_columns(fixture):
+    out = include_exclude_columns(exclude=["name"])(fixture)
+    assert [f.name for f in out.schema["after"].dataType.fields] == ["id"]
+    assert out.filter("op='u'").first().before.id == 1
+
+
+# ---- T15 reselect ---------------------------------------------------------------------
+
+def test_reselect_columns(spark):
+    current = spark.createDataFrame([(1, "full-body")], ["id", "body"])
+    changes = spark.createDataFrame(
+        [(1, "__debezium_unavailable_value", "u"), (2, "present", "u")],
+        ["id", "body", "_op"],
+    )
+    out = reselect_columns(current, ["id"], ["body"])(changes)
+    got = {(r.id, r.body) for r in out.collect()}
+    assert got == {(1, "full-body"), (2, "present")}
