@@ -1,38 +1,915 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 (or
+one training-data pipeline operator) through the real ``sparkcdc`` package
+code, and — where ANSI-SQL can express the semantics — has an exact DuckDB
+oracle in ``oracle_sql()`` with matching column names and types.
+
+Output discipline (cross-engine value-hash safety): result columns are
+ints and strings only — real-valued quantities are emitted as scaled
+integers (``*_cents``, ``*_ppm``, ``*_e6``) computed with the identical
+double-precision expression tree on both sides, so the bits match before
+the round. Engine-level queries whose inputs come from the xxhash64-based
+synthetic generator (not expressible in DuckDB) have no oracle entry →
+rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkcdc import apply as apply_mod
+from sparkcdc import snapshot as snap_mod
+from sparkcdc.engine import EngineConfig, default_engine
+from sparkcdc.envelope import cdc_events, snapshot_events
+from sparkcdc.functions.hashing import stable_hash_sql
+from sparkcdc.lake import LakeTable
+from sparkcdc.pipeline import dedup as dd
+from sparkcdc.pipeline import similarity as sim
+from sparkcdc.pipeline.multimodal import decode_image_stub, frame_sample
+from sparkcdc.pipeline.textstats import document_stats
+from sparkcdc.sources import events_to_envelopes
+from sparkcdc.transforms import (
+    by_logical_table_router,
+    content_based_router,
+    extract_changed_record_state,
+    extract_new_record_state,
+    mask_strings,
+    outbox_event_router,
+    partition_routing,
+    reselect_columns,
+    table_filter,
+    truncate_columns,
+)
+from sparkcdc.transforms.filtering import drop_tombstones
+
+EVENT_ROW_COLS = ["user_id", "event_type", "value", "props"]
+
+#: normalized-text SQL (DuckDB side), mirroring functions.text.normalized
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_to_envelopes(_t(spark, sf_dir, "events"))
+
+
+def _cents(c) -> F.Column:
+    return F.round(c * 100, 0).cast("long")
+
+
+def _ppm(c) -> F.Column:
+    return F.round(c * 1_000_000, 0).cast("long")
+
+
+def _dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of the first 100 docs (id+10000) — a corpus with
+    known duplicate groups for the dedup operators."""
+    d = _t(spark, sf_dir, "documents")
+    dups = d.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return d.unionByName(dups)
+
+
+_DUP_DOCS_SQL = (
+    "SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id < 100"
+)
+
+
+# ---------------------------------------------------------------------------
+# CDC operator queries (events table as the change stream; SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_lww_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 ReducedRecordBuffer: per-key last-write-wins reduction."""
+    env = _env(spark, sf_dir)
+    ch = apply_mod.envelopes_to_changes(env, EVENT_ROW_COLS)
+    red = apply_mod.reduce_last_write_wins(ch, ["user_id"])
+    return red.select(
+        "user_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        "props",
+        "_op",
+    )
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 merge semantics: surviving rows after full replay (deletes
+    applied)."""
+    return q_cdc_lww_reduce(spark, sf_dir).filter(F.col("_op") != "d").drop("_op")
+
+
+def q_cdc_extract_new_record_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 ExtractNewRecordState, rewrite mode + add.fields."""
+    env = _env(spark, sf_dir)
+    flat = extract_new_record_state(
+        "rewrite", add_fields=["op", "ts_ms", "source.pos"]
+    )(env)
+    return flat.select(
+        "user_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        "props",
+        "__op",
+        "__ts_ms",
+        "__source_pos",
+        "__deleted",
+    )
+
+
+def q_cdc_extract_changed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 ExtractChangedRecordState: changed-field lists on update envelopes
+    whose before-image is the previous per-key row (lag)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    with_prev = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.lag("event_type").over(w).alias("p_et"),
+        F.lag("value").over(w).alias("p_v"),
+        F.lag("props").over(w).alias("p_p"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") > 1)
+    env = with_prev.select(
+        F.lit("u").alias("op"),
+        F.struct(
+            F.col("user_id").alias("user_id"),
+            F.col("p_et").alias("event_type"),
+            F.col("p_v").alias("value"),
+            F.col("p_p").alias("props"),
+        ).alias("before"),
+        F.struct(
+            F.col("user_id").alias("user_id"),
+            F.col("event_type").alias("event_type"),
+            F.col("value").alias("value"),
+            F.col("props").alias("props"),
+        ).alias("after"),
+        F.col("event_id"),
+        F.col("user_id").alias("uid"),
+    )
+    out = extract_changed_record_state()(env)
+    return out.select(
+        F.col("event_id"),
+        F.col("uid").alias("user_id"),
+        F.array_join(F.col("__changed"), ",").alias("changed_csv"),
+    )
+
+
+def q_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4/EventDispatcher tombstones: emit one tombstone per delete, then
+    drop them pre-merge; op counts prove the accounting."""
+    env = _env(spark, sf_dir)
+    tomb = env.filter(F.col("op") == "d").withColumn(
+        "tombstone", F.lit(True)
+    ).withColumn("before", F.lit(None).cast(env.schema["before"].dataType)).withColumn(
+        "after", F.lit(None).cast(env.schema["after"].dataType)
+    )
+    with_tombs = env.unionByName(tomb)
+    kept = drop_tombstones()(with_tombs)
+    return kept.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cdc_mask_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 MaskStrings (salted sha256) + T13 TruncateColumn."""
+    env = _env(spark, sf_dir)
+    flat = extract_new_record_state("drop", add_fields=["source.pos"])(env)
+    masked = mask_strings(["props"], salt="s3cr3t")(flat)
+    out = truncate_columns({"event_type": 4})(masked)
+    return out.select(
+        F.col("__source_pos").alias("event_id"),
+        "user_id",
+        "event_type",
+        "props",
+    )
+
+
+def q_cdc_content_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 ContentBasedRouter: destination computed from record content."""
+    env = _env(spark, sf_dir)
+    routed = content_based_router(
+        "concat('t.', coalesce(after.event_type, 'del'))"
+    )(env)
+    return routed.groupBy(F.col("__route").alias("route")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_cdc_logical_table_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 ByLogicalTableRouter: merge shard tables into one logical route,
+    keeping the physical id as an extra key column."""
+    env = _env(spark, sf_dir).withColumn(
+        "source",
+        F.col("source").withField(
+            "table",
+            F.concat(F.lit("events_shard_"), F.pmod(F.col("part_id"), F.lit(4))),
+        ),
+    )
+    routed = by_logical_table_router(
+        r"(.*)\.events_shard_\d+", r"$1.events_all"
+    )(env)
+    return routed.groupBy(
+        F.col("__route").alias("route"),
+        F.col("__dbz__physicalTableIdentifier").alias("physical"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cdc_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 PartitionRouting: part = pmod(stable_hash(payload fields), N)."""
+    env = _env(spark, sf_dir)
+    flat = extract_new_record_state("rewrite")(env)
+    routed = partition_routing(["user_id"], 16, partition_col="part", hash_mode="stable")(
+        flat
+    )
+    return routed.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cdc_outbox_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 Outbox EventRouter over an outbox-shaped projection of events."""
+    ev = _t(spark, sf_dir, "events")
+    outbox = ev.select(
+        F.col("user_id").alias("aggregateid"),
+        F.col("event_type").alias("type"),
+        F.col("props").alias("payload"),
+        F.lit("user").alias("aggregatetype"),
+        F.col("event_id"),
+    )
+    routed = outbox_event_router()(outbox)
+    return routed.select(
+        F.col("key"),
+        F.col("event_type"),
+        F.get_json_object(F.col("payload"), "$.k").cast("long").alias("payload_k"),
+        F.col("__route").alias("route"),
+    )
+
+
+def q_cdc_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 TimezoneConverter: UTC source timestamps rendered in a target TZ
+    (DST-correct via IANA rules)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp(F.col("ts"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ts_nyc"),
+    )
+
+
+def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S12 incremental snapshot: backfill minus keys changed in the
+    watermark window [5000, 10000) — the window-dedup anti-join."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("name")
+    )
+    env = _env(spark, sf_dir)
+    out = snap_mod.incremental_snapshot(
+        cust, env, ["user_id"], window_lo=5000, window_hi=10000
+    )
+    return out.select("user_id", "name")
+
+
+def q_cdc_chunk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 keyset-paginated chunk query."""
+    orders = _t(spark, sf_dir, "orders")
+    chunk = snap_mod.chunk_query(orders, ["o_orderkey"], (1000,), 500)
+    return chunk.select(
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("total_cents"),
+        "o_orderpriority",
+    )
+
+
+def q_cdc_offsets_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/S14 offset bookkeeping: per-partition high-water offset + count
+    (the per-micro-batch lineage row)."""
+    env = _env(spark, sf_dir)
+    return env.groupBy("part_id").agg(
+        F.max("offset").alias("last_offset"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_cdc_tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 transaction metadata: per-tx event counts and collection counts
+    (tx = 100-event commit batches of the log)."""
+    env = _env(spark, sf_dir)
+    return (
+        env.withColumn("tx_id", F.expr("offset div 100"))
+        .groupBy("tx_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(
+                F.coalesce(F.col("after.event_type"), F.lit("__deleted"))
+            ).alias("n_collections"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+    )
+
+
+def q_cdc_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 table include-list regex (entire-identifier match)."""
+    env = _env(spark, sf_dir).withColumn(
+        "source",
+        F.col("source").withField(
+            "table",
+            F.concat(F.lit("events_shard_"), F.pmod(F.col("part_id"), F.lit(4))),
+        ),
+    )
+    kept = table_filter(include=[r"app\.events_shard_[01]"])(env)
+    return kept.groupBy(
+        F.col("source.table").alias("table")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cdc_reselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 ReselectColumnsPostProcessor: fill unavailable (TOAST-style)
+    columns from current sink state via a lookup join."""
+    ev = _t(spark, sf_dir, "events")
+    current = apply_mod.reduce_last_write_wins(
+        ev.select("user_id", "props", F.col("event_id").alias("offset")),
+        ["user_id"],
+    ).select("user_id", "props")
+    changes = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        F.lit("__debezium_unavailable_value").alias("props"),
+    )
+    out = reselect_columns(current, ["user_id"], ["props"])(changes)
+    return out.select("event_id", "user_id", "props")
+
+
+# ---------------------------------------------------------------------------
+# Engine-level queries (deterministic generator → real merge path; the
+# generator hash is xxhash64 → no SQL oracle → rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 end-to-end: snapshotless replay of 20k generated envelopes through
+    reduce + bucketed MERGE; returns final table state with the sha256
+    verification column (north-star invariant)."""
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_replay_")
+    eng = default_engine(
+        spark, root, n_buckets=8,
+        config=EngineConfig(batch_size=10_000, n_keys=2_000, n_parts=8),
+    )
+    eng.replay(20_000)
+    state = eng.table.read()
+    return state.select(
+        "repo", "path", "commit", "lang", F.sha2(F.col("content"), 256).alias("content_sha")
+    )
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: add / rename / widen mid-stream; returns the final schema and
+    row count per field (rows-only check)."""
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_evolve_")
+    t = LakeTable.create(
+        spark, root, "t",
+        fields=[("id", "string"), ("v", "int")], key_cols=["id"], n_buckets=4,
+    )
+    b1 = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("id"),
+        F.col("id").cast("int").alias("v"),
+        F.lit("u").alias("_op"),
+    )
+    t.merge(b1, batch_id=0)
+    t.evolve([
+        {"action": "add", "name": "lang", "type": "string"},
+        {"action": "rename", "from": "v", "to": "version"},
+        {"action": "widen", "name": "version", "type": "long"},
+    ])
+    b2 = spark.range(10, 15).select(
+        F.concat(F.lit("k"), F.col("id")).alias("id"),
+        F.col("id").cast("long").alias("version"),
+        F.lit("py").alias("lang"),
+        F.lit("u").alias("_op"),
+    )
+    t.merge(b2, batch_id=1)
+    n = t.read().count()
+    m = t.manifest()
+    rows = [(f.id, f.name, f.type, n) for f in m.fields]
+    return spark.createDataFrame(
+        rows, "field_id int, field_name string, field_type string, n_rows long"
+    )
+
+
+def q_cdc_resume_fencing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 exactly-once: re-applying a committed batch is fenced to a no-op
+    (rows-only check)."""
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_fence_")
+    t = LakeTable.create(
+        spark, root, "t", fields=[("id", "string"), ("v", "long")],
+        key_cols=["id"], n_buckets=4,
+    )
+    batch = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("id"),
+        F.col("id").alias("v"),
+        F.lit("u").alias("_op"),
+    )
+    r1 = t.merge(batch, batch_id=0, writer="w")
+    n1 = t.read().count()
+    r2 = t.merge(batch, batch_id=0, writer="w")  # fenced replay
+    n2 = t.read().count()
+    rows = [(n1, n2, bool(r2["skipped"]), t.current_version())]
+    return spark.createDataFrame(
+        rows, "rows_first long, rows_second long, replay_skipped boolean, version long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_documents(spark, sf_dir)
+    return dd.exact_duplicates(corpus)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(docs, num_hashes=16, band_size=4)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash(docs, bits=32)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_documents(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", _ppm(F.col("jaccard")).alias("jaccard_ppm")
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_near_duplicates(emb, threshold=0.8)
+    return pairs.select("id_a", "id_b", _ppm(F.col("cos")).alias("cos_ppm"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim.cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _ppm(F.col("cos")).alias("cos_ppm")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _ppm(F.col("cos")).alias("cos_ppm")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    st = document_stats(docs)
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("mean_word_len") * 100, 0).cast("long").alias("mwl_e2"),
+        _ppm(F.col("stopword_ratio")).alias("stop_ppm"),
+        _ppm(F.col("quality")).alias("quality_ppm"),
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_image_stub(docs)
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return frame_sample(docs, frame_bytes=16, every_k=4)
+
+
+def q_cdc_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 initial consistent snapshot: pinned table read → op='r' envelopes
+    → flatten through the standard apply path."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    env = snapshot_events(
+        cust, row_cols=["user_id", "name", "nation"], key_cols=["user_id"],
+        table_name="customer", db_name="app",
+    )
+    ch = apply_mod.envelopes_to_changes(env, ["user_id", "name", "nation"])
+    return ch.select("user_id", "name", "nation", "_op", "offset").withColumn(
+        "snapshot_flag", F.lit("true")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay through reduce + MERGE at sf0.001 scale."""
+    return q_cdc_replay_merge(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_snapshot_read": q_cdc_snapshot_read,
+        "cdc_lww_reduce": q_cdc_lww_reduce,
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_extract_new_record_state": q_cdc_extract_new_record_state,
+        "cdc_extract_changed_state": q_cdc_extract_changed_state,
+        "cdc_tombstones": q_cdc_tombstones,
+        "cdc_mask_truncate": q_cdc_mask_truncate,
+        "cdc_content_router": q_cdc_content_router,
+        "cdc_logical_table_router": q_cdc_logical_table_router,
+        "cdc_partition_routing": q_cdc_partition_routing,
+        "cdc_outbox_router": q_cdc_outbox_router,
+        "cdc_timezone": q_cdc_timezone,
+        "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+        "cdc_chunk_query": q_cdc_chunk_query,
+        "cdc_offsets_progress": q_cdc_offsets_progress,
+        "cdc_tx_metadata": q_cdc_tx_metadata,
+        "cdc_table_filter": q_cdc_table_filter,
+        "cdc_reselect": q_cdc_reselect,
+        "cdc_replay_merge": q_cdc_replay_merge,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_resume_fencing": q_cdc_resume_fencing,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_stats": q_text_stats,
+        "mm_decode_meta": q_mm_decode_meta,
+        "mm_frame_sample": q_mm_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _NORM.format(c="text")
+    h15 = "CAST(concat('0x', substr(sha256({x}), 1, 15)) AS BIGINT)"
+    return {
+        "cdc_snapshot_read": """
+            SELECT c_custkey AS user_id, c_name AS name, c_nationkey AS nation,
+                   'u' AS _op, CAST(-1 AS BIGINT) AS offset, 'true' AS snapshot_flag
+            FROM customer
+        """,
+        "cdc_lww_reduce": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id,
+                   CASE WHEN event_type='error' THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents,
+                   CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
+                   CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op
+            FROM last WHERE rn = 1
+        """,
+        "cdc_final_state": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents, props
+            FROM last WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_extract_new_record_state": """
+            SELECT user_id,
+                   CASE WHEN event_type='error' THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents,
+                   CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
+                   CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS __op,
+                   epoch_us(ts) // 1000 AS __ts_ms,
+                   event_id AS __source_pos,
+                   CASE WHEN event_type='error' THEN 'true' ELSE 'false' END AS __deleted
+            FROM events
+        """,
+        "cdc_extract_changed_state": """
+            WITH w AS (
+              SELECT event_id, user_id, event_type, value, props,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) p_et,
+                     lag(value)      OVER (PARTITION BY user_id ORDER BY event_id) p_v,
+                     lag(props)      OVER (PARTITION BY user_id ORDER BY event_id) p_p,
+                     row_number()    OVER (PARTITION BY user_id ORDER BY event_id) rn
+              FROM events)
+            SELECT event_id, user_id,
+                   concat_ws(',',
+                     CASE WHEN p_et IS DISTINCT FROM event_type THEN 'event_type' END,
+                     CASE WHEN p_v  IS DISTINCT FROM value      THEN 'value'      END,
+                     CASE WHEN p_p  IS DISTINCT FROM props      THEN 'props'      END
+                   ) AS changed_csv
+            FROM w WHERE rn > 1
+        """,
+        "cdc_tombstones": """
+            SELECT CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "cdc_mask_truncate": """
+            SELECT event_id, user_id,
+                   substr(event_type, 1, 4) AS event_type,
+                   sha256(concat('s3cr3t', props)) AS props
+            FROM events WHERE event_type <> 'error'
+        """,
+        "cdc_content_router": """
+            SELECT CASE WHEN event_type='error' THEN 't.del'
+                        ELSE concat('t.', event_type) END AS route,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "cdc_logical_table_router": """
+            SELECT 'app.events_all' AS route,
+                   concat('app.events_shard_', CAST(user_id % 8 % 4 AS VARCHAR)) AS physical,
+                   count(*) AS n
+            FROM events GROUP BY 2
+        """,
+        "cdc_partition_routing": f"""
+            SELECT CAST({stable_hash_sql("CAST(user_id AS VARCHAR)")} % 16 AS INTEGER) AS part,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "cdc_outbox_router": """
+            SELECT user_id AS key, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k,
+                   'user' AS route
+            FROM events
+        """,
+        "cdc_timezone": """
+            SELECT event_id,
+                   strftime(timezone('America/New_York', timezone('UTC', ts)),
+                            '%Y-%m-%d %H:%M:%S') AS ts_nyc
+            FROM events
+        """,
+        "cdc_incremental_snapshot": """
+            SELECT c_custkey AS user_id, c_name AS name
+            FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT user_id FROM events
+              WHERE event_id >= 5000 AND event_id < 10000)
+        """,
+        "cdc_chunk_query": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey > 1000
+            ORDER BY o_orderkey LIMIT 500
+        """,
+        "cdc_offsets_progress": """
+            SELECT CAST(user_id % 8 AS INTEGER) AS part_id,
+                   max(event_id) AS last_offset, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "cdc_tx_metadata": """
+            SELECT event_id // 100 AS tx_id, count(*) AS n_events,
+                   count(DISTINCT CASE WHEN event_type='error' THEN '__deleted'
+                                       ELSE event_type END) AS n_collections,
+                   min(event_id) AS first_offset, max(event_id) AS last_offset
+            FROM events GROUP BY 1
+        """,
+        "cdc_table_filter": """
+            SELECT concat('events_shard_', CAST(user_id % 8 % 4 AS VARCHAR)) AS "table",
+                   count(*) AS n
+            FROM events WHERE user_id % 8 % 4 IN (0, 1) GROUP BY 1
+        """,
+        "cdc_reselect": """
+            WITH cur AS (
+              SELECT user_id, max_by(props, event_id) AS props
+              FROM events GROUP BY user_id)
+            SELECT e.event_id, e.user_id, cur.props AS props
+            FROM events e JOIN cur USING (user_id)
+            WHERE e.event_type = 'view'
+        """,
+        "dedup_exact": f"""
+            SELECT sha256({norm_text}) AS fingerprint,
+                   doc_id AS keep_id, CAST(2 AS BIGINT) AS dup_count
+            FROM documents WHERE doc_id < 100
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array({norm_text}, ' ') w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                              i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+                FROM toks)),
+            seeds AS (SELECT unnest(range(0, 16)) AS seed),
+            mh AS (
+              SELECT doc_id, seed,
+                     min({h15.format(x="concat_ws('#', seed, shingle)")}) AS minhash
+              FROM sh, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, seed // 4 AS band,
+                     string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_sig
+              FROM mh GROUP BY doc_id, seed // 4)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array({norm_text}, ' ')) AS tok
+              FROM documents),
+            hashed AS (
+              SELECT doc_id, {h15.format(x="tok")} AS h
+              FROM toks WHERE tok <> ''),
+            votes AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashed, (SELECT unnest(range(0, 32)) AS bit) bits
+              GROUP BY doc_id, bit)
+            SELECT doc_id AS doc,
+                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH corpus AS ({_DUP_DOCS_SQL}),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array({norm_text}, ' ') w
+              FROM corpus),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                              i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(round(round(i / (sa.n + sb.n - i), 6) * 1000000) AS BIGINT) AS jaccard_ppm
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(i / (sa.n + sb.n - i), 6) >= 0.5
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                        * 1000000) AS BIGINT) AS cos_ppm
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
+        """,
+        "ann_cosine_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   CAST(round(cos * 1000000) AS BIGINT) AS cos_ppm
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)),
+            corpus_scored AS (
+              SELECT v.vec_id AS id, c.cell,
+                     round(list_dot_product(v.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS csim
+              FROM embeddings v, cents c),
+            corpus_cells AS (
+              SELECT id AS neighbor_id, cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY id ORDER BY csim DESC, cell ASC) AS crank
+                FROM corpus_scored) WHERE crank <= 1),
+            query_cells AS (
+              SELECT id AS query_id, cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY id ORDER BY csim DESC, cell ASC) AS crank
+                FROM corpus_scored WHERE id < 10) WHERE crank <= 4),
+            cand AS (
+              SELECT DISTINCT qc.query_id, cc.neighbor_id,
+                     round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+              FROM query_cells qc
+              JOIN corpus_cells cc ON qc.cell = cc.cell
+              JOIN embeddings q ON q.vec_id = qc.query_id
+              JOIN embeddings c ON c.vec_id = cc.neighbor_id
+              WHERE qc.query_id <> cc.neighbor_id),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM cand)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   CAST(round(cos * 1000000) AS BIGINT) AS cos_ppm
+            FROM ranked WHERE rank <= 5
+        """,
+        "text_stats": f"""
+            WITH base AS (
+              SELECT doc_id, {norm_text} AS norm FROM documents),
+            t AS (
+              SELECT doc_id, norm, regexp_split_to_array(norm, ' ') AS w FROM base),
+            m AS (
+              SELECT doc_id, norm, w,
+                     len(w) AS n_tokens,
+                     list_sum(list_transform(w, x -> length(x))) AS total_chars,
+                     len(list_filter(w, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], x))) AS n_stop,
+                     len(list_filter(w, x -> list_contains(['the','of','and','a','to','in'], x))) AS s_en,
+                     len(list_filter(w, x -> list_contains(['el','la','de','que','los','una'], x))) AS s_es,
+                     len(list_filter(w, x -> list_contains(['le','la','les','des','est','une'], x))) AS s_fr,
+                     len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de
+              FROM t)
+            SELECT doc_id,
+                   n_tokens,
+                   CAST(round(round(CASE WHEN n_tokens > 0
+                        THEN total_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 6) * 100) AS BIGINT) AS mwl_e2,
+                   CAST(round(round(CASE WHEN n_tokens > 0
+                        THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 6) * 1000000) AS BIGINT) AS stop_ppm,
+                   CAST(round(round(
+                     0.5 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                   + 0.5 * least((CASE WHEN n_tokens > 0
+                          THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 4.0, 1.0)
+                   - 0.25 * least((CASE WHEN length(d.text) > 0
+                          THEN length(regexp_replace(d.text, '[a-zA-Z0-9\\s]', '', 'g'))
+                               / CAST(length(d.text) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+                   , 6) * 1000000) AS BIGINT) AS quality_ppm,
+                   CASE
+                     WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                     WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                     WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                     WHEN s_en >= s_de THEN 'en'
+                     ELSE 'de' END AS lang_pred,
+                   sha256(norm) AS fingerprint
+            FROM m JOIN documents d USING (doc_id)
+        """,
+        "mm_decode_meta": """
+            WITH h AS (
+              SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     sha256(text) AS sha,
+                     CAST(concat('0x', substr(sha256(text), 1, 15)) AS BIGINT) AS hv
+              FROM documents)
+            SELECT doc_id, n_bytes,
+                   CAST(64 + hv % 1856 AS INTEGER) AS width,
+                   CAST(64 + (hv // 1856) % 1016 AS INTEGER) AS height,
+                   CASE hv % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+                   sha AS content_sha
+            FROM h
+        """,
+        "mm_frame_sample": """
+            SELECT doc_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   sha256(substr(text, CAST(frame_idx * 16 + 1 AS INTEGER), 16)) AS frame_sha
+            FROM (
+              SELECT doc_id, text,
+                     unnest(range(0, octet_length(encode(text)) // 16, 4)) AS frame_idx
+              FROM documents)
+        """,
+    }

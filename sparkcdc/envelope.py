@@ -264,8 +264,11 @@ def snapshot_events(
     source_df: DataFrame,
     *,
     row_cols: list[str] | None = None,
+    key_cols: list[str] | None = None,
     n_parts: int = 8,
     snapshot_ts_ms: int = 1_700_000_000_000,
+    table_name: str = "source_code_repos",
+    db_name: str = "code",
 ) -> DataFrame:
     """Wrap a consistent table read as op='r' envelopes.
 
@@ -276,13 +279,17 @@ def snapshot_events(
     whose FLUSH TABLES WITH READ LOCK this replaces for free).
     """
     row_cols = row_cols or [n for n, _ in REPO_ROW_FIELDS]
+    key_cols = key_cols or REPO_KEY
     after_s = F.struct(*[F.col(c) for c in row_cols])
+    row_schema = T.StructType(
+        [source_df.schema[c] for c in row_cols]
+    )
     # hash routing of keys to partitions (PartitionRouting.java:241)
-    key_hash = F.xxhash64(F.col("repo"), F.col("path"))
+    key_hash = F.xxhash64(*[F.col(c) for c in key_cols])
     src = F.struct(
         F.lit("sparkcdc").alias("name"),
-        F.lit("code").alias("db"),
-        F.lit("source_code_repos").alias("table"),
+        F.lit(db_name).alias("db"),
+        F.lit(table_name).alias("table"),
         F.lit("true").alias("snapshot"),  # SnapshotRecord.java TRUE
         F.lit(None).cast("string").alias("file"),
         F.lit(-1).cast("long").alias("pos"),
@@ -293,11 +300,11 @@ def snapshot_events(
     return source_df.select(
         F.lit("r").alias("op"),
         F.lit(snapshot_ts_ms).cast("long").alias("ts_ms"),
-        F.lit(None).cast(row_struct()).alias("before"),
+        F.lit(None).cast(row_schema).alias("before"),
         after_s.alias("after"),
         src.alias("source"),
         F.lit(None).cast(transaction_struct()).alias("transaction"),
         F.pmod(key_hash, F.lit(n_parts)).cast("int").alias("part_id"),
         F.lit(-1).cast("long").alias("offset"),  # snapshot sorts before all log offsets
         F.lit(False).alias("tombstone"),
-    ).to(envelope_schema())
+    )

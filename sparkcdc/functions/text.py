@@ -1,0 +1,116 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+tokenization, shingling, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All pure Catalyst expressions (split / transform / aggregate / regexp) —
+they run inside whole-stage codegen over 100 TB of documents with zero
+Python. Each has an exact ANSI-SQL twin used by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny function-word lists for the language-ID heuristic (public knowledge;
+#: deliberately small — langid at scale swaps in a real model via mapInPandas)
+LANG_MARKERS = {
+    "en": ["the", "of", "and", "a", "to", "in"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalized(col: Column | str) -> Column:
+    """lowercase, collapse whitespace, strip non [a-z0-9 ]."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(_c(col)), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalized(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>), the MinHash input.
+
+    element_at is 1-based, matching DuckDB list indexing, so the oracle SQL
+    is a literal transliteration.
+    """
+    toks = tokens(col)
+
+    def shingle_at(i: Column) -> Column:
+        parts = [F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        return F.concat_ws(" ", *parts)
+
+    # guard: sequence(1, 0) would DESCEND in Spark, so short docs need an
+    # explicit empty array (DuckDB's range(1, 1) is naturally empty)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, shingle_at))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    raw_len = F.length(_c(col))
+    alnum = F.length(F.regexp_replace(_c(col), r"[a-zA-Z0-9\s]", ""))
+    return F.when(raw_len > 0, alnum / raw_len).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0,1]: favors mid-length docs
+    with a natural stopword rate and low symbol noise. Deterministic,
+    SQL-twin-able; a production pipeline would learn these weights."""
+    n = token_count(col).cast("double")
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    noise_penalty = F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(
+        0.5 * len_score + 0.5 * stop_score - 0.25 * noise_penalty, 6
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax over marker-token hit counts, 'und' when
+    no marker hits. (At scale: swap for a fastText-style model in
+    mapInPandas; the plumbing is identical.)"""
+    toks = tokens(col)
+    scored = []
+    for lang, markers in LANG_MARKERS.items():
+        cnt = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        scored.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scored)  # struct compare: score first, then lang
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: sha256 of the normalized text — whitespace/case/
+    punctuation-insensitive exact-dup key."""
+    return F.sha2(normalized(col), 256)

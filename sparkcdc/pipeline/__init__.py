@@ -1,0 +1,42 @@
+"""Large-scale training-data pipeline operators over document / embedding
+tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup), similarity search (brute-force + IVF ANN), text
+statistics, and multimodal column plumbing.
+
+These are first-class engine operators alongside the CDC core: at 100 TB the
+CDC stream *is* a training-data pipeline (ingest code/documents → dedup →
+quality-filter → embed → search), so every operator here is designed around
+the same rules as the merge path — shuffle only on explicit keys, broadcast
+small sides, all row logic in Catalyst expressions or Arrow-batched pandas.
+"""
+
+from .dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import cosine_topk, ivf_topk
+from .textstats import document_stats
+from .multimodal import (
+    binary_metadata,
+    decode_image_stub,
+    frame_sample,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "embedding_near_duplicates",
+    "cosine_topk",
+    "ivf_topk",
+    "document_stats",
+    "binary_metadata",
+    "decode_image_stub",
+    "frame_sample",
+]

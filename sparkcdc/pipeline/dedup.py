@@ -1,0 +1,334 @@
+"""Deduplication operators for document corpora.
+
+Scale design (the whole point — sf0.01 is 500 docs, production is 10^9):
+
+- exact: one groupBy on a 64-char hash — minimal shuffle width (hash + id
+  only), partial-agg before shuffle.
+- MinHash-LSH: shingle explode → per-(doc, seed) min-reduce (map-side
+  partial agg) → band keys → self-join on band bucket. Never a full
+  cross-join; candidate volume is bounded by band-bucket collisions, the
+  standard sub-quadratic path.
+- SimHash: explode tokens → per-(doc, bit) majority vote → fold bits.
+- n-gram Jaccard: *verification* of candidate pairs, or exact all-pairs at
+  small scale; intersection via shingle-equality self-join (shuffle on
+  shingle hash, never on doc pairs).
+- embedding near-dup: cosine over candidate pairs (all-pairs at test scale;
+  at production scale feed it LSH/IVF candidates from similarity.py).
+
+Hash = functions.hashing.stable_hash64 (sha256-based) so every signature is
+reproducible by the DuckDB oracle; swap HASH for xxhash64 via ``fast=True``
+in production where oracle parity is not needed (~3× faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+from ..functions.text import doc_fingerprint, tokens, word_shingles
+from ..functions.vectors import cosine_similarity
+
+
+def _hash(col: Column, seed: int | None = None, fast: bool = False) -> Column:
+    if fast:
+        args = ([F.lit(seed)] if seed is not None else []) + [col]
+        return F.xxhash64(*args)
+    return stable_hash64(col, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical (normalized) documents; keep the smallest id as the
+    canonical representative.
+
+    Output: one row per duplicate *group* with >1 member:
+    (fingerprint, keep_id, dup_count).
+    """
+    fp = df.select(
+        F.col(id_col), doc_fingerprint(text_col).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def distinct_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup *apply* step: keep exactly one doc per fingerprint
+    (min id wins) — a single groupBy+max_by, no join back."""
+    fp = doc_fingerprint(text_col).alias("__fp")
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.select(fp, F.col(id_col).alias("__id"), row.alias("__row"))
+        .groupBy("__fp")
+        .agg(F.min_by("__row", "__id").alias("__row"))
+        .select("__row.*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` seeds, the
+    min hash over the doc's shingle set.
+
+    Plan shape: explode → groupBy(doc, seed) min — Catalyst does map-side
+    partial min before the shuffle, so shuffle volume is
+    O(docs × num_hashes), independent of document length.
+
+    Output: (doc, seed, minhash), num_hashes rows per doc.
+    """
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    seeded = sh.select("doc", "shingle", seeds)
+    h = (
+        _hash(F.concat_ws("#", F.col("seed"), F.col("shingle")), fast=fast)
+        if not fast
+        else F.xxhash64(F.col("seed"), F.col("shingle"))
+    )
+    return (
+        seeded.select("doc", "seed", h.alias("h"))
+        .groupBy("doc", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become candidate
+    pairs. Output: (doc_a, doc_b) distinct, doc_a < doc_b.
+
+    Self-join is on (band, band_sig) — a high-cardinality equi-key, so it
+    shuffles narrowly and AQE handles popular buckets; no cross-join exists
+    anywhere in the plan.
+    """
+    sig = minhash_signatures(
+        df, text_col, id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, fast=fast,
+    )
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc", "band")
+        # deterministic band signature: seed-ordered minhash values joined
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+    fast: bool = False,
+) -> DataFrame:
+    """Token-level SimHash: bit b of the fingerprint is the majority vote of
+    bit b across all token hashes. Near-dup docs differ in few bits
+    (compare via Hamming distance on the output).
+
+    Plan: explode tokens → hash → explode bit positions → groupBy(doc, bit)
+    sum of ±1 votes → fold to a single long per doc. Shuffle volume is
+    O(docs × bits) after partial aggregation.
+
+    Output: (doc, simhash).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = _hash(F.col("tok"), fast=fast).alias("h")
+    hashed = tok.select("doc", h)
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # bitwise extraction (shiftright), NOT floor(h / 2^bit): the hash is a
+    # 60-bit long, and double division loses bits above 2^53
+    votes = hashed.select("doc", "h", bit).select(
+        "doc",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    per_bit = votes.groupBy("doc", "bit").agg(F.sum("vote").alias("v"))
+    bit_val = F.when(
+        F.col("v") > 0, F.expr("shiftleft(1L, bit)")
+    ).otherwise(F.lit(0))
+    return (
+        per_bit.select("doc", bit_val.alias("bv"))
+        .groupBy("doc")
+        .agg(F.sum("bv").cast("long").alias("simhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-shingle sets.
+
+    |A∩B| via shingle-equality self-join; |A∪B| = |A|+|B|−|A∩B|. With
+    ``candidates`` (doc_a, doc_b) the join is pre-filtered (semi-join) —
+    the production path after LSH; without, it is exact all-pairs-sharing-
+    a-shingle (never a blind cross-join even at small scale).
+
+    Output: (doc_a, doc_b, jaccard) for pairs ≥ threshold, jaccard rounded
+    to 6dp for cross-engine comparability.
+    """
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n).distinct()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            F.broadcast(candidates.select("doc_a", "doc_b").distinct()),
+            ["doc_a", "doc_b"],
+            "left_semi",
+        )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. All-pairs at test scale (id_a < id_b
+    pruning); at production scale pass LSH/IVF ``candidates`` to make it a
+    narrow equi-join instead.
+
+    Output: (id_a, id_b, cos) — cos rounded to 6dp.
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    a = v.alias("a")
+    b = v.alias("b")
+    if candidates is not None:
+        pairs = (
+            candidates.select(
+                F.col("id_a").alias("ja"), F.col("id_b").alias("jb")
+            )
+            .join(a, F.col("ja") == F.col("a.id"))
+            .join(b, F.col("jb") == F.col("b.id"))
+        )
+    else:
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

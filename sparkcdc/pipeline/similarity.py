@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, rank per query. The corpus side streams — no
+  shuffle of vectors, only of the (query, id, sim) triples that survive.
+- ``ivf_topk`` — IVF-style ANN: partition the corpus into ``n_cells``
+  centroid cells (deterministic seeded centroids), search only ``n_probe``
+  nearest cells per query. At 10^9 vectors this turns a full scan into a
+  (n_probe/n_cells) partial scan, and cell assignment is a narrow equi-join
+  key — the classic inverted-file layout, expressed entirely in DataFrame
+  ops (cells would be the Iceberg partition key at rest).
+
+Ranking ties are broken by id so results are fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Output: (query_id, neighbor_id, rank, cos) — excludes self-matches.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("qvec"), F.col("cvec")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_assign`` nearest centroid cells.
+
+    Output: (id, cell, crank). Centroids are broadcast (they are small by
+    construction: n_cells ≪ corpus).
+    """
+    cent = centroids.select(
+        F.col("cell"), F.col(vec_col).alias("cvec")
+    )
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    scored = v.join(F.broadcast(cent)).select(
+        "id",
+        "cell",
+        F.round(cosine_similarity(F.col("vec"), F.col("cvec")), 6).alias("csim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_assign)
+        .select("id", "cell", "crank")
+    )
+
+
+def seeded_centroids(
+    corpus: DataFrame,
+    *,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic centroid seed set: the ``n_cells`` corpus vectors with
+    the smallest ids (a k-means init stand-in; production would run
+    k-means|| once offline and persist the centroids)."""
+    w = Window.orderBy(F.col(id_col).asc())
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_cells)
+        .select((F.col("__rn") - 1).alias("cell"), F.col(vec_col))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: search only the ``n_probe`` cells nearest each query.
+
+    Output: (query_id, neighbor_id, rank, cos). Approximate — recall
+    depends on n_probe/n_cells (exact when n_probe == n_cells).
+    """
+    cents = seeded_centroids(corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col)
+    corpus_cells = assign_cells(
+        corpus, cents, vec_col=vec_col, id_col=id_col, n_assign=1
+    ).select(F.col("id").alias("neighbor_id"), F.col("cell"))
+    query_cells = assign_cells(
+        queries, cents, vec_col=vec_col, id_col=id_col, n_assign=n_probe
+    ).select(F.col("id").alias("query_id"), F.col("cell"))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).join(corpus_cells, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).join(F.broadcast(query_cells), "query_id")
+
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("qvec"), F.col("cvec")), 6
+            ).alias("cos"),
+        )
+        .distinct()  # a neighbor can appear via multiple probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -54,18 +54,28 @@ def by_logical_table_router(
 
 def partition_routing(
     partition_payload_fields: list[str], partition_topic_num: int,
-    partition_col: str = "part_id",
+    partition_col: str = "part_id", hash_mode: str = "fast",
 ):
     """Recompute part_id = pmod(hash(fields), N). Fields are specified like
     the reference's ``partition.payload.fields`` (e.g. ``after.repo``).
     In the engine this also doubles as the explicit pre-merge repartition
-    key derivation (north_rule: repartition by PK before merge apply)."""
+    key derivation (north_rule: repartition by PK before merge apply).
+
+    hash_mode: ``fast`` = xxhash64 (engine-internal routing); ``stable`` =
+    sha256-derived hash reproducible by external oracles (the reference
+    offers java/murmur the same way, PartitionRouting.java:59,93)."""
 
     def _apply(df: DataFrame) -> DataFrame:
         cols = [F.col(c) for c in partition_payload_fields]
+        if hash_mode == "stable":
+            from ..functions.hashing import stable_hash64
+
+            h = stable_hash64(*cols)
+        else:
+            h = F.xxhash64(*cols)
         return df.withColumn(
             partition_col,
-            F.pmod(F.xxhash64(*cols), F.lit(partition_topic_num)).cast("int"),
+            F.pmod(h, F.lit(partition_topic_num)).cast("int"),
         )
 
     return _apply
