@@ -23,20 +23,41 @@ from pyspark.sql import functions as F
 ORDER_COLS = ["offset"]
 
 
-def envelopes_to_changes(df: DataFrame, row_cols: list[str]) -> DataFrame:
+def envelopes_to_changes(
+    df: DataFrame,
+    row_cols: list[str],
+    *,
+    src_map: dict[str, str | None] | None = None,
+    null_types: dict[str, str] | None = None,
+) -> DataFrame:
     """Flatten envelopes into change rows: row columns + _op + ordering.
 
     op mapping: r/c/u -> upsert of ``after``; d -> delete identified by
     ``before`` key columns; tombstones / t / m dropped.
+
+    ``src_map`` maps each output column to the field name carried in the
+    envelope (schema reconciliation across renames — the engine derives it
+    by field id, SURVEY §1.2); ``None`` = column didn't exist at the
+    event's schema epoch → NULL of ``null_types[col]``.
     """
     work = df.filter(
         (~F.col("tombstone")) & F.col("op").isin("r", "c", "u", "d")
     )
     is_del = F.col("op") == "d"
-    cols = [
-        F.when(is_del, F.col(f"before.{c}")).otherwise(F.col(f"after.{c}")).alias(c)
-        for c in row_cols
-    ]
+    src_map = src_map or {}
+    cols = []
+    for c in row_cols:
+        src = src_map.get(c, c)
+        if src is None:
+            cols.append(
+                F.lit(None).cast((null_types or {}).get(c, "string")).alias(c)
+            )
+        else:
+            cols.append(
+                F.when(is_del, F.col(f"before.{src}"))
+                .otherwise(F.col(f"after.{src}"))
+                .alias(c)
+            )
     return work.select(
         *cols,
         F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("_op"),
@@ -92,9 +113,11 @@ def reduce_envelopes(
     key_cols: list[str],
     *,
     salt_buckets: int = 0,
+    src_map: dict[str, str | None] | None = None,
+    null_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """envelope batch -> merged change-set ready for LakeTable.merge
     (columns: row_cols + _op, one row per key)."""
-    ch = envelopes_to_changes(df, row_cols)
+    ch = envelopes_to_changes(df, row_cols, src_map=src_map, null_types=null_types)
     red = reduce_last_write_wins(ch, key_cols, salt_buckets=salt_buckets)
     return red.select(*row_cols, "_op")

@@ -1,0 +1,108 @@
+"""spark-submit entry point.
+
+Examples (cluster deployment is ``spark-submit --py-files sparkcdc.zip``;
+local dev just runs python):
+
+  # snapshot + bounded replay into a lake table
+  python -m sparkcdc.cli replay --root /tmp/lake --events 1000000 \
+      --batch-size 250000 --buckets 64
+
+  # resume after interruption (picks up at the committed offset; fenced)
+  python -m sparkcdc.cli replay --root /tmp/lake --events 2000000
+
+  # continuous streaming mode
+  python -m sparkcdc.cli stream --root /tmp/lake --rps 100000
+
+  # table inspection
+  python -m sparkcdc.cli describe --root /tmp/lake
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+
+from .engine import EngineConfig, default_engine
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sparkcdc")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--root", required=True, help="lake root directory")
+        sp.add_argument("--table", default="source_code_repos")
+        sp.add_argument("--master", default=None)
+        sp.add_argument("--buckets", type=int, default=64)
+        sp.add_argument("--batch-size", type=int, default=1_000_000)
+        sp.add_argument("--keys", type=int, default=100_000)
+        sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--hot-key-permille", type=int, default=0)
+        sp.add_argument("--salt-buckets", type=int, default=0)
+
+    sp = sub.add_parser("replay", help="bounded replay of generated envelopes")
+    common(sp)
+    sp.add_argument("--events", type=int, required=True)
+
+    sp = sub.add_parser("stream", help="continuous rate-source streaming")
+    common(sp)
+    sp.add_argument("--rps", type=int, default=100_000)
+    sp.add_argument("--seconds", type=int, default=0, help="0 = run until killed")
+
+    sp = sub.add_parser("describe", help="print table manifest summary")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--table", default="source_code_repos")
+    sp.add_argument("--master", default=None)
+
+    args = p.parse_args(argv)
+    spark = get_spark("sparkcdc-cli", master=args.master)
+
+    if args.cmd == "describe":
+        from .lake import LakeTable
+
+        t = LakeTable.load(spark, args.root, args.table)
+        m = t.manifest()
+        print(json.dumps({
+            "version": m.version, "epoch": m.epoch,
+            "fields": [f.to_json() for f in m.fields],
+            "n_buckets": m.n_buckets, "key_cols": m.key_cols,
+            "files": len(m.files), "summary": m.summary,
+        }, indent=2))
+        return 0
+
+    cfg = EngineConfig(
+        batch_size=args.batch_size, n_keys=args.keys, seed=args.seed,
+        hot_key_permille=args.hot_key_permille, salt_buckets=args.salt_buckets,
+    )
+    eng = default_engine(spark, args.root, name=args.table,
+                         n_buckets=args.buckets, config=cfg)
+
+    if args.cmd == "replay":
+        stats = eng.replay(args.events)
+        print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "stream":
+        from .streaming import rate_envelope_stream, start_stream
+
+        stream = rate_envelope_stream(eng, rows_per_second=args.rps)
+        q = start_stream(
+            eng, stream, checkpoint_dir=tempfile.mkdtemp(prefix="sparkcdc_ckpt_")
+        )
+        if args.seconds > 0:
+            import time
+
+            time.sleep(args.seconds)
+            q.stop()
+        else:
+            q.awaitTermination()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

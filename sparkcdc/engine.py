@@ -25,6 +25,8 @@ from . import apply as apply_mod
 from .envelope import REPO_KEY, REPO_ROW_FIELDS, cdc_events, snapshot_events
 from .lake import LakeTable
 from .metrics import MetricsLog
+from .schema_history import SchemaHistory, split_at_boundaries
+from .signals import SignalProcessor
 
 Transform = Callable[[DataFrame], DataFrame]
 
@@ -48,11 +50,21 @@ class EngineConfig:
 
 
 class CdcEngine:
-    def __init__(self, spark: SparkSession, table: LakeTable, config: EngineConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        config: EngineConfig | None = None,
+        signal_processor: SignalProcessor | None = None,
+    ):
         self.spark = spark
         self.table = table
         self.cfg = config or EngineConfig()
         self.metrics = MetricsLog(os.path.join(table.meta_dir, "metrics.jsonl"))
+        self.schema_history = SchemaHistory(
+            os.path.join(table.meta_dir, "schema_history.jsonl")
+        )
+        self.signals = signal_processor
 
     # -- checkpoint state -----------------------------------------------------
 
@@ -79,12 +91,21 @@ class CdcEngine:
         self,
         total_events: int,
         envelopes_for: Callable[[int, int], DataFrame] | None = None,
+        schema_changes: list[tuple[int, list[dict]]] | None = None,
     ) -> dict:
         """Replay events [committed, total_events) in micro-batches.
 
         ``envelopes_for(lo, hi)`` yields the envelope DataFrame for a global
         offset slice; defaults to the deterministic generator. Restart-safe:
         picks up from the committed offset, and a re-applied batch is fenced.
+
+        ``schema_changes`` = [(offset, evolve-changes), ...]: the schema in
+        force from that offset on. A micro-batch spanning a change offset is
+        SPLIT there (flush-on-schema-change, ReducedRecordBuffer.java:46-51)
+        so every MERGE sees exactly one schema; each applied change is
+        journaled to the schema history for recovery. On resume, changes at
+        offsets <= the committed offset are skipped (already applied —
+        epoch is rebuilt from the journaled history).
         """
         cfg = self.cfg
         if envelopes_for is None:
@@ -96,22 +117,68 @@ class CdcEngine:
             )
         start = self.committed_offset()
         batch_id = self.committed_batch() + 1
+        applied_offsets = {e["offset"] for e in self.schema_history.entries()}
+        boundaries = [
+            (off, ch)
+            for off, ch in (schema_changes or [])
+            if off >= start and off not in applied_offsets
+        ]
         stats = {"batches": 0, "events": 0, "wall_sec": 0.0}
         lo = start
         while lo < total_events:
+            if self.signals is not None:
+                self.signals.process()
+                if self.signals.state.paused:
+                    break  # pause signal: stop consuming; resume re-enters
             hi = min(lo + cfg.batch_size, total_events)
-            env = envelopes_for(lo, hi)
-            r = self._apply_batch(env, batch_id=batch_id, kind="replay",
-                                  offsets={"lo": lo, "next": hi})
-            stats["batches"] += 1
-            stats["events"] += hi - lo
-            stats["wall_sec"] += r["wall_sec"]
+            for sub_lo, sub_hi, changes in split_at_boundaries(lo, hi, boundaries):
+                if changes:
+                    self.table.evolve(changes)
+                    self.schema_history.record(sub_lo, changes)
+                if sub_hi <= sub_lo:
+                    continue
+                env = envelopes_for(sub_lo, sub_hi)
+                r = self._apply_batch(env, batch_id=batch_id, kind="replay",
+                                      offsets={"lo": sub_lo, "next": sub_hi})
+                stats["batches"] += 1
+                stats["events"] += sub_hi - sub_lo
+                stats["wall_sec"] += r["wall_sec"]
+                batch_id += 1
             lo = hi
-            batch_id += 1
         stats["events_per_sec"] = (
             stats["events"] / stats["wall_sec"] if stats["wall_sec"] else 0.0
         )
         return stats
+
+    # -- schema reconciliation ---------------------------------------------------
+
+    @staticmethod
+    def _reconcile_schema(env: DataFrame, m) -> tuple[dict, dict]:
+        """Map each current sink column to the field name the envelope
+        carries, by FIELD ID across schema epochs (SURVEY §1.2 / hard part
+        (3): rename must map by id or replay misapplies old-epoch events).
+
+        A column missing from the envelope under every historical name is a
+        later-added column → NULL of its type (the only legal add, K3)."""
+        env_fields = {f.name for f in env.schema["after"].dataType.fields}
+        src_map: dict[str, str | None] = {}
+        null_types: dict[str, str] = {}
+        for fld in m.fields:
+            if fld.name in env_fields:
+                src_map[fld.name] = fld.name
+                continue
+            src = None
+            for ep in sorted((int(k) for k in m.epochs), reverse=True):
+                for old in m.epochs[str(ep)]:
+                    if old.id == fld.id and old.name in env_fields:
+                        src = old.name
+                        break
+                if src is not None:
+                    break
+            src_map[fld.name] = src
+            if src is None:
+                null_types[fld.name] = fld.type
+        return src_map, null_types
 
     # -- core batch path --------------------------------------------------------
 
@@ -123,8 +190,10 @@ class CdcEngine:
             env = tf(env)
         m = self.table.manifest()
         row_cols = [f.name for f in m.fields]
+        src_map, null_types = self._reconcile_schema(env, m)
         changes = apply_mod.reduce_envelopes(
-            env, row_cols, m.key_cols, salt_buckets=self.cfg.salt_buckets
+            env, row_cols, m.key_cols, salt_buckets=self.cfg.salt_buckets,
+            src_map=src_map, null_types=null_types,
         )
         summary = {"offsets": offsets or {}}
         res = self.table.merge(

@@ -142,7 +142,31 @@ def cdc_events(
     routes that fraction of events to key 0 (the "hot repo" for skew tests,
     cf. SURVEY §4 hot-key salting note).
     """
-    ids = spark.range(start, start + n_events).toDF("id")
+    return cdc_events_over_ids(
+        spark.range(start, start + n_events).toDF("id"),
+        n_keys=n_keys, n_repos=n_repos, n_parts=n_parts, seed=seed,
+        hot_key_permille=hot_key_permille, content_chars=content_chars,
+        delete_pct=delete_pct, tombstones=tombstones, base_ts_ms=base_ts_ms,
+    )
+
+
+def cdc_events_over_ids(
+    ids: DataFrame,
+    *,
+    n_keys: int = 1000,
+    n_repos: int = 50,
+    n_parts: int = 8,
+    seed: int = 42,
+    hot_key_permille: int = 0,
+    content_chars: int = 64,
+    delete_pct: int = 5,
+    tombstones: bool = False,
+    base_ts_ms: int = 1_700_000_000_000,
+) -> DataFrame:
+    """The generator as a pure projection over an ``id`` column — works on
+    batch AND streaming DataFrames (streaming.py maps the rate source's
+    ``value`` through this, so streamed and batch replays of the same
+    offsets are byte-identical)."""
     idc = F.col("id")
 
     rnd_key = _h(seed, idc)

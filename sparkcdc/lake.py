@@ -261,8 +261,13 @@ class LakeTable:
         unique commit dir; return manifest file entries."""
         rel = os.path.join("data", f"commit-{commit_tag}")
         out_dir = os.path.join(self.dir, rel)
+        n_buckets = self.manifest().n_buckets
         (
             df.withColumnRenamed("__bucket", "b")
+            # co-locate each bucket into one task before partitionBy, else
+            # every task writes a file per bucket (tasks × buckets tiny
+            # files — read amplification on every subsequent merge)
+            .repartition(n_buckets, F.col("b"))
             .write.mode("overwrite")
             .partitionBy("b")
             .parquet(out_dir)
@@ -286,9 +291,9 @@ class LakeTable:
         m = self.manifest()
         names = [f.name for f in m.fields]
         tag = f"{m.version + 1}-{uuid.uuid4().hex[:8]}"
-        data = df.select(*names).withColumn(
-            "__bucket", self._bucket_expr(m.key_cols, m.n_buckets)
-        )
+        data = df.select(
+            *[F.col(f.name).cast(type_of(f.type)).alias(f.name) for f in m.fields]
+        ).withColumn("__bucket", self._bucket_expr(m.key_cols, m.n_buckets))
         entries = self._write_data(data, tag)
         new = Manifest(
             version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
@@ -318,14 +323,35 @@ class LakeTable:
             return {"version": m.version, "skipped": True, "reason": "fenced"}
 
         names = [f.name for f in m.fields]
-        changes = changes.select(*names, "_op").withColumn(
-            "__bucket", self._bucket_expr(m.key_cols, m.n_buckets)
-        )
-        # Small driver-side collect of the affected bucket ids (<= n_buckets
-        # ints) — this is the manifest-pruning step, NOT a data collect.
-        affected = {
-            r[0] for r in changes.select("__bucket").distinct().collect()
-        }
+        # enforce the manifest schema (casts cover widened types; the sink
+        # owns the final type, K3)
+        changes = changes.select(
+            *[F.col(f.name).cast(type_of(f.type)).alias(f.name) for f in m.fields],
+            "_op",
+        ).withColumn("__bucket", self._bucket_expr(m.key_cols, m.n_buckets))
+        # The reduced change-set is read twice (bucket pruning + the merge
+        # union) — persist it so the upstream reduce runs once.
+        changes = changes.persist()
+        try:
+            # Small driver-side collect of the affected bucket ids (<=
+            # n_buckets ints) — the manifest-pruning step, NOT a data collect.
+            affected = {
+                r[0] for r in changes.select("__bucket").distinct().collect()
+            }
+            return self._merge_pruned(changes, affected, m, batch_id, writer, summary)
+        finally:
+            changes.unpersist()
+
+    def _merge_pruned(
+        self,
+        changes: DataFrame,
+        affected: set[int],
+        m: Manifest,
+        batch_id: int,
+        writer: str,
+        summary: dict | None,
+    ) -> dict:
+        names = [f.name for f in m.fields]
         current = self.read(buckets=affected)
 
         upserts = changes.filter(F.col("_op") != "d").drop("_op")
@@ -375,6 +401,7 @@ class LakeTable:
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs, files=entries,
             summary={"op": "delete_where", "predicate": predicate, "batch_id": batch_id,
                      "last_batch": m.summary.get("last_batch", {}),
+                     "offsets": m.summary.get("offsets", {}),
                      "committed_ms": int(time.time() * 1000)},
         )
         self._write_manifest(new)
@@ -421,6 +448,7 @@ class LakeTable:
             key_cols=key_cols, epoch=new_epoch, epochs=epochs, files=m.files,
             summary={"op": "evolve", "changes": changes,
                      "last_batch": m.summary.get("last_batch", {}),
+                     "offsets": m.summary.get("offsets", {}),
                      "committed_ms": int(time.time() * 1000)},
         )
         self._write_manifest(new)

@@ -1,0 +1,87 @@
+"""Control-plane signals (SURVEY §2.1 S13).
+
+Reference: core/pipeline/signal/SignalProcessor.java:42,136-178 — signals
+(id, type, data) arrive via channels (source table / file / Kafka / JMX)
+and trigger actions: execute-snapshot, stop-snapshot, pause, resume, log
+(actions in core/pipeline/signal/actions/...). Debezium polls channels on
+an interval; here the engine drains the channel between micro-batches —
+the natural poll point.
+
+The file channel is a JSONL file of ``{"id":..., "type":..., "data":...}``
+(cf. FileSignalChannel.java:36); processed ids are remembered so a signal
+fires exactly once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+KNOWN_TYPES = {
+    "execute-snapshot",  # ExecuteSnapshot action: ad-hoc incremental snapshot
+    "stop-snapshot",
+    "pause",
+    "resume",
+    "log",
+}
+
+
+@dataclass
+class SignalState:
+    paused: bool = False
+    snapshot_requests: list[dict] = field(default_factory=list)
+    stopped_snapshots: list[dict] = field(default_factory=list)
+    log_lines: list[str] = field(default_factory=list)
+
+
+class FileSignalChannel:
+    def __init__(self, path: str):
+        self.path = path
+        self._processed: set[str] = set()
+
+    def read_new(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        out = []
+        with open(self.path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                sig = json.loads(line)
+                if sig.get("id") in self._processed:
+                    continue
+                self._processed.add(sig.get("id"))
+                out.append(sig)
+        return out
+
+
+class SignalProcessor:
+    """Drains channels and mutates engine control state; called by the
+    engine between micro-batches (the poll boundary)."""
+
+    def __init__(self, channels: list[FileSignalChannel]):
+        self.channels = channels
+        self.state = SignalState()
+
+    def process(self) -> list[dict]:
+        acted: list[dict] = []
+        for ch in self.channels:
+            for sig in ch.read_new():
+                typ = sig.get("type")
+                data = sig.get("data") or {}
+                if typ == "pause":
+                    self.state.paused = True
+                elif typ == "resume":
+                    self.state.paused = False
+                elif typ == "execute-snapshot":
+                    self.state.snapshot_requests.append(data)
+                elif typ == "stop-snapshot":
+                    self.state.stopped_snapshots.append(data)
+                elif typ == "log":
+                    self.state.log_lines.append(str(data.get("message", "")))
+                else:
+                    continue  # unknown types ignored, like the reference
+                acted.append(sig)
+        return acted

@@ -1,0 +1,155 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text stats, multimodal plumbing) on small hand-built corpora with known
+ground truth."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcdc.pipeline import (
+    binary_metadata,
+    cosine_topk,
+    decode_image_stub,
+    embedding_near_duplicates,
+    exact_duplicates,
+    frame_sample,
+    ivf_topk,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from sparkcdc.pipeline.dedup import distinct_documents
+
+
+DOCS = [
+    # 0 and 1: identical after normalization (case/punct/whitespace)
+    (0, "The quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the QUICK  brown fox, jumps over the lazy dog again and again today!"),
+    # 2: near-dup of 0 (one word changed)
+    (2, "The quick brown fox jumps over the lazy cat again and again today"),
+    # 3: unrelated
+    (3, "completely different content about spark pipelines and parquet files here"),
+    # 4: another unrelated
+    (4, "rain in spain falls mainly on the plain said the linguist yesterday evening"),
+]
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates_and_apply(spark, docs_df):
+    groups = exact_duplicates(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 0 and groups[0]["dup_count"] == 2
+    kept = distinct_documents(docs_df)
+    assert kept.count() == 4
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3, 4}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs_df, num_hashes=16, band_size=4).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup shares most shingles
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_hamming(spark, docs_df):
+    sh = {r["doc"]: r["simhash"] for r in simhash(docs_df, bits=32).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sh[0] == sh[1]  # identical normalized token multisets
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])  # near-dup closer than unrelated
+
+
+def test_ngram_jaccard_exact_values(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical shingle sets
+    # doc2 differs in 1 word of 13 → shares 8 of 11 distinct shingles... just
+    # assert high-but-not-1 and ordering vs unrelated pairs
+    j02 = pairs[(0, 2)]
+    assert 0.4 < j02 < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_candidates_prefilter(spark, docs_df):
+    cand = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    pairs = ngram_jaccard_pairs(docs_df, threshold=0.1, candidates=cand).collect()
+    assert len(pairs) == 1 and (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (0, 1)
+
+
+@pytest.fixture()
+def emb_df(spark):
+    # 3 clusters of near-identical vectors + one orthogonal-ish outlier
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.1]),
+        (1, [0.99, 0.01, 0.0, 0.1]),
+        (2, [0.0, 1.0, 0.0, 0.1]),
+        (3, [0.0, 0.99, 0.02, 0.1]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_duplicates(spark, emb_df):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in
+        embedding_near_duplicates(emb_df, threshold=0.95).collect()
+    }
+    assert pairs == {(0, 1), (2, 3)}
+
+
+def test_cosine_topk_exact(spark, emb_df):
+    out = cosine_topk(emb_df, emb_df.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    # 1 is the near-identical vector; 3 edges out 2 (smaller norm, same dot)
+    assert [r["neighbor_id"] for r in ranked] == [1, 3]
+    assert ranked[0]["cos"] > 0.99
+
+
+def test_ivf_equals_bruteforce_when_exhaustive(spark, emb_df):
+    """n_probe == n_cells makes IVF exact — must equal brute force."""
+    q = emb_df.filter(F.col("vec_id") < 2)
+    bf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in cosine_topk(emb_df, q, k=3).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ivf_topk(emb_df, q, k=3, n_cells=5, n_probe=5).collect()}
+    assert bf == ivf
+
+
+def test_binary_metadata_and_decode(spark, docs_df):
+    payloads = docs_df.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    meta = binary_metadata(payloads).collect()
+    for r in meta:
+        assert r["n_bytes"] > 0 and len(r["payload_sha"]) == 64
+    dec = {r["doc_id"]: r for r in decode_image_stub(payloads).collect()}
+    # deterministic fake decode: recompute one row in pure python
+    text0 = DOCS[0][1].encode()
+    h = hashlib.sha256(text0).hexdigest()
+    hv = int(h[:15], 16)
+    assert dec[0]["width"] == 64 + hv % 1856
+    assert dec[0]["height"] == 64 + (hv // 1856) % 1016
+    assert dec[0]["n_bytes"] == len(text0)
+    assert dec[0]["content_sha"] == h
+
+
+def test_frame_sample(spark, docs_df):
+    payloads = docs_df.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frames = frame_sample(payloads, frame_bytes=16, every_k=2).collect()
+    text0 = DOCS[0][1].encode()
+    n_frames0 = len(text0) // 16
+    got0 = sorted(r["frame_idx"] for r in frames if r["doc_id"] == 0)
+    assert got0 == list(range(0, n_frames0, 2))
+    f0 = next(r for r in frames if r["doc_id"] == 0 and r["frame_idx"] == 0)
+    assert f0["frame_sha"] == hashlib.sha256(text0[:16]).hexdigest()
