@@ -27,7 +27,12 @@ from sparkcdc import apply as apply_mod
 from sparkcdc import snapshot as snap_mod
 from sparkcdc.engine import EngineConfig, default_engine
 from sparkcdc.envelope import cdc_events, snapshot_events
-from sparkcdc.functions.hashing import stable_hash_sql
+from sparkcdc.functions.hashing import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    stable_hash_sql,
+)
 from sparkcdc.lake import LakeTable
 from sparkcdc.pipeline import dedup as dd
 from sparkcdc.pipeline import similarity as sim
@@ -735,15 +740,21 @@ def oracle_sql() -> dict[str, str]:
                        unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
                               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
                 FROM toks)),
-            seeds AS (SELECT unnest(range(0, 16)) AS seed),
-            mh AS (
-              SELECT doc_id, seed,
-                     min({h15.format(x="concat_ws('#', seed, shingle)")}) AS minhash
-              FROM sh, seeds GROUP BY doc_id, seed),
+            hashed AS (
+              SELECT doc_id, {h15.format(x="shingle")} % {MINHASH_P} AS h FROM sh),
+            sig AS (
+              SELECT doc_id,
+                     {", ".join(
+                        f"min((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+                        for i in range(16))}
+              FROM hashed GROUP BY doc_id),
             bands AS (
-              SELECT doc_id, seed // 4 AS band,
-                     string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_sig
-              FROM mh GROUP BY doc_id, seed // 4)
+              {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, concat_ws(',', "
+                + ", ".join(f"mh{b * 4 + j}" for j in range(4))
+                + ") AS band_sig FROM sig"
+                for b in range(4))}
+            )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id

@@ -47,6 +47,11 @@ class EngineConfig:
     snapshot_mode: str = "initial"  # initial | no_data | never (BinlogConnectorConfig.java:126-181)
     transforms: list[Transform] = field(default_factory=list)
     writer: str = "engine"
+    #: "auto" | "all" | "pruned" — bucket pruning strategy for MERGE.
+    #: auto: dense batches (>= 512 events/bucket expected) rewrite all
+    #: buckets in one job; sparse batches pay a tiny pre-pass to rewrite
+    #: only the buckets they touch.
+    merge_scope: str = "auto"
 
 
 class CdcEngine:
@@ -196,8 +201,14 @@ class CdcEngine:
             src_map=src_map, null_types=null_types,
         )
         summary = {"offsets": offsets or {}}
+        scope = self.cfg.merge_scope
+        if scope == "auto":
+            n_events = offsets["next"] - offsets["lo"] if offsets else 0
+            dense = n_events >= self.table.manifest().n_buckets * 512
+            scope = "all" if dense else "pruned"
         res = self.table.merge(
-            changes, batch_id=batch_id, writer=self.cfg.writer, summary=summary
+            changes, batch_id=batch_id, writer=self.cfg.writer, summary=summary,
+            scope=scope,
         )
         wall = time.time() - t0
         n_events = offsets["next"] - offsets["lo"] if offsets else -1

@@ -47,6 +47,17 @@ def stable_hash64(*cols: Column | str, seed: int | str | None = None) -> Column:
     ).cast("long")
 
 
+#: Mersenne prime 2^31-1 — the modulus of the universal hash family used by
+#: MinHash (one sha256 base hash per shingle, k cheap linear mixes:
+#: h_i = (A[i]*h + B[i]) mod P — the classic (a*x+b) mod p family)
+MINHASH_P = 2_147_483_647
+
+#: fixed odd multipliers / offsets (Knuth multiplicative constant orbit);
+#: literals so external oracles can reproduce them
+MINHASH_A = [((2_654_435_761 * (i + 1)) % MINHASH_P) | 1 for i in range(64)]
+MINHASH_B = [(40_503 * (i + 7) ** 2) % MINHASH_P for i in range(64)]
+
+
 def stable_hash_sql(expr_sql: str, seed: int | str | None = None) -> str:
     """The DuckDB-side rendering of ``stable_hash64`` for oracle SQL strings.
 

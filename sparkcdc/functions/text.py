@@ -46,13 +46,17 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (array<string>), the MinHash input.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* tokens column.
+
+    ``toks`` must be a plain column reference, NOT the tokens(...)
+    expression: lambda bodies inline their captured expressions per array
+    element, so passing the regex-split pipeline here would re-run it
+    3× per shingle (measured ~20× slowdown on the LSH stage).
 
     element_at is 1-based, matching DuckDB list indexing, so the oracle SQL
     is a literal transliteration.
     """
-    toks = tokens(col)
 
     def shingle_at(i: Column) -> Column:
         parts = [F.element_at(toks, (i + j).cast("int")) for j in range(n)]
@@ -64,6 +68,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(
         F.size(toks) >= n, F.array_distinct(F.transform(idx, shingle_at))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>), the MinHash input.
+    Convenience form; hot paths should materialize ``tokens()`` into a
+    column first and use ``shingles_from_tokens`` (see its docstring)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def punct_ratio(col: Column | str) -> Column:

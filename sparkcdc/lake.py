@@ -310,39 +310,52 @@ class LakeTable:
         batch_id: int,
         writer: str = "default",
         summary: dict | None = None,
+        scope: str = "pruned",
     ) -> dict:
         """Apply a reduced change batch: columns = current schema + ``_op``
         ('u' upsert / 'd' delete), exactly one row per key.
 
         Idempotent: if (writer, batch_id) is already <= the last committed
         batch for that writer, the call is a no-op (fencing).
+
+        scope:
+        - ``pruned`` (default): pre-compute the affected bucket set
+          (persist + tiny distinct collect) and rewrite only those buckets —
+          the sparse-batch path (incremental snapshots, trickle streams).
+        - ``all``: skip the pre-pass and rewrite every bucket in one job —
+          the dense-replay path, where a big batch touches every bucket
+          anyway and the pruning pre-pass is pure overhead.
         """
         m = self.manifest()
         last = m.summary.get("last_batch", {}).get(writer)
         if last is not None and batch_id <= last:
             return {"version": m.version, "skipped": True, "reason": "fenced"}
 
-        names = [f.name for f in m.fields]
         # enforce the manifest schema (casts cover widened types; the sink
         # owns the final type, K3)
         changes = changes.select(
             *[F.col(f.name).cast(type_of(f.type)).alias(f.name) for f in m.fields],
             "_op",
-        ).withColumn("__bucket", self._bucket_expr(m.key_cols, m.n_buckets))
-        # The reduced change-set is read twice (bucket pruning + the merge
-        # union) — persist it so the upstream reduce runs once.
-        changes = changes.persist()
-        try:
-            # Small driver-side collect of the affected bucket ids (<=
-            # n_buckets ints) — the manifest-pruning step, NOT a data collect.
-            affected = {
-                r[0] for r in changes.select("__bucket").distinct().collect()
-            }
-            return self._merge_pruned(changes, affected, m, batch_id, writer, summary)
-        finally:
-            changes.unpersist()
+        )
+        if scope == "pruned":
+            bucketed = changes.withColumn(
+                "__bucket", self._bucket_expr(m.key_cols, m.n_buckets)
+            ).persist()
+            try:
+                # Small driver-side collect of the affected bucket ids (<=
+                # n_buckets ints) — manifest pruning, NOT a data collect.
+                affected = {
+                    r[0] for r in bucketed.select("__bucket").distinct().collect()
+                }
+                return self._merge_into(
+                    bucketed.drop("__bucket"), affected, m, batch_id, writer, summary
+                )
+            finally:
+                bucketed.unpersist()
+        affected = set(range(m.n_buckets))
+        return self._merge_into(changes, affected, m, batch_id, writer, summary)
 
-    def _merge_pruned(
+    def _merge_into(
         self,
         changes: DataFrame,
         affected: set[int],
@@ -351,16 +364,30 @@ class LakeTable:
         writer: str,
         summary: dict | None,
     ) -> dict:
-        names = [f.name for f in m.fields]
+        """The MERGE proper: one full-outer join of current state vs the
+        change-set, each side consumed exactly once —
+        ``WHEN MATCHED AND op='d' THEN DELETE / WHEN MATCHED THEN UPDATE SET *
+        / WHEN NOT MATCHED AND op!='d' THEN INSERT *`` as a coalesce over the
+        join. AQE picks broadcast for small batches and splits skewed keys.
+        """
+        non_key = [f.name for f in m.fields if f.name not in m.key_cols]
         current = self.read(buckets=affected)
 
-        upserts = changes.filter(F.col("_op") != "d").drop("_op")
-        keys = changes.select(*m.key_cols)
-        # MERGE emulation: survivors (anti join) + upserts. AQE turns the
-        # anti join into a broadcast when the batch is small, and splits
-        # skewed buckets at runtime.
-        survivors = current.join(keys, on=m.key_cols, how="left_anti")
-        new_state = survivors.select(*names).unionByName(upserts.select(*names))
+        s_present = F.col("s._op").isNotNull()
+        joined = current.alias("t").join(
+            changes.alias("s"), on=m.key_cols, how="full_outer"
+        )
+        new_state = joined.filter(
+            ~(s_present & (F.col("s._op") == "d"))
+        ).select(
+            *m.key_cols,
+            *[
+                F.when(s_present, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in non_key
+            ],
+        )
 
         tag = f"{m.version + 1}-{uuid.uuid4().hex[:8]}"
         data = new_state.withColumn("__bucket", self._bucket_expr(m.key_cols, m.n_buckets))

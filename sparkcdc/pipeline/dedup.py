@@ -87,9 +87,15 @@ def distinct_documents(
 def _exploded_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    # two-step: materialize tokens as a column, THEN shingle — otherwise the
+    # shingle lambda re-inlines the regex/split pipeline per array element
+    from ..functions.text import shingles_from_tokens, tokens
+
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")
+    )
+    return toked.select(
+        "doc", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle")
     )
 
 
@@ -102,28 +108,33 @@ def minhash_signatures(
     shingle_n: int = 3,
     fast: bool = False,
 ) -> DataFrame:
-    """Per-document MinHash signature: for each of ``num_hashes`` seeds, the
-    min hash over the doc's shingle set.
+    """Per-document MinHash signature via a universal hash family: ONE base
+    hash per distinct shingle, then ``num_hashes`` cheap linear mixes
+    ``h_i = (A[i]*h + B[i]) mod P`` minimized per document in a single wide
+    aggregation.
 
-    Plan shape: explode → groupBy(doc, seed) min — Catalyst does map-side
-    partial min before the shuffle, so shuffle volume is
-    O(docs × num_hashes), independent of document length.
+    Plan shape: explode shingles → one groupBy(doc) with num_hashes min()
+    columns. Map-side partial mins shrink the shuffle to
+    O(docs × num_hashes) values regardless of document length, and the
+    expensive hash (sha256 in oracle-parity mode) runs once per shingle,
+    not once per (shingle, seed).
 
-    Output: (doc, seed, minhash), num_hashes rows per doc.
+    Output: (doc, mh0..mh{k-1}) — one row per doc.
     """
+    from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_P
+
     sh = _exploded_shingles(df, text_col, id_col, shingle_n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    seeded = sh.select("doc", "shingle", seeds)
-    h = (
-        _hash(F.concat_ws("#", F.col("seed"), F.col("shingle")), fast=fast)
-        if not fast
-        else F.xxhash64(F.col("seed"), F.col("shingle"))
+    base = (
+        F.xxhash64(F.col("shingle")) if fast else _hash(F.col("shingle"))
     )
-    return (
-        seeded.select("doc", "seed", h.alias("h"))
-        .groupBy("doc", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    hashed = sh.select("doc", F.pmod(base, F.lit(MINHASH_P)).alias("h"))
+    mins = [
+        F.min(
+            (F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("doc").agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -141,28 +152,27 @@ def minhash_lsh_candidates(
 
     Self-join is on (band, band_sig) — a high-cardinality equi-key, so it
     shuffles narrowly and AQE handles popular buckets; no cross-join exists
-    anywhere in the plan.
+    anywhere in the plan. Band rows are docs × n_bands (tiny next to the
+    shingle stage).
     """
     sig = minhash_signatures(
         df, text_col, id_col,
         num_hashes=num_hashes, shingle_n=shingle_n, fast=fast,
     )
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc", "band")
-        # deterministic band signature: seed-ordered minhash values joined
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "minhash"))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
+    n_bands = num_hashes // band_size
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
                 ",",
-            ).alias("band_sig")
+                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+            ).alias("band_sig"),
         )
-    )
+        for b in range(n_bands)
+    ])
+    bands = sig.select(
+        "doc", F.explode(band_structs).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
