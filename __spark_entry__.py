@@ -521,6 +521,42 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(docs, frame_bytes=16, every_k=4)
 
 
+def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing of embeddings (the scale path for near-dup
+    candidate generation)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.hyperplane_lsh_buckets(emb, n_planes=8, dim=64)
+
+
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization count per document."""
+    from sparkcdc.functions.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def q_cdc_envelope_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 serialization: envelope → JSON → vectorized from_json parse; the
+    oracle recomputes the projected fields from the raw events, so a match
+    proves the roundtrip is lossless for them."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.transforms import envelope_to_json, parse_envelope_json
+
+    env = _env(spark, sf_dir)
+    wire = envelope_to_json(env)
+    back = parse_envelope_json(wire, EVENT_ROW_FIELDS)
+    return back.select(
+        F.col("op"),
+        F.col("ts_ms"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.col("source.pos").alias("pos"),
+        F.col("offset"),
+    )
+
+
 def q_cdc_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 initial consistent snapshot: pinned table read → op='r' envelopes
     → flatten through the standard apply path."""
@@ -579,10 +615,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
+        "text_bpe_token_count": q_text_bpe_token_count,
+        "cdc_envelope_json_roundtrip": q_cdc_envelope_json_roundtrip,
         "text_stats": q_text_stats,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_frame_sample": q_mm_frame_sample,
     }
+
+
+def _lsh_oracle_sql() -> str:
+    """Sign-LSH oracle with the hyperplanes inlined as literal DOUBLE[]
+    arrays (same closed-form constants as pipeline.similarity)."""
+    from sparkcdc.pipeline.similarity import hyperplane
+
+    bits = []
+    for p in range(8):
+        arr = ", ".join(repr(x) for x in hyperplane(p, 64))
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{arr}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return f"""
+        SELECT vec_id AS id,
+               CAST({" + ".join(bits)} AS BIGINT) AS bucket
+        FROM embeddings
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -900,6 +958,22 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'de' END AS lang_pred,
                    sha256(norm) AS fingerprint
             FROM m JOIN documents d USING (doc_id)
+        """,
+        "ann_hyperplane_lsh": _lsh_oracle_sql(),
+        "text_bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+            FROM documents
+        """,
+        "cdc_envelope_json_roundtrip": """
+            SELECT CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                   epoch_us(ts) // 1000 AS ts_ms,
+                   user_id,
+                   event_id AS pos,
+                   event_id AS offset
+            FROM events
         """,
         "mm_decode_meta": """
             WITH h AS (

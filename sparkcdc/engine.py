@@ -52,6 +52,9 @@ class EngineConfig:
     #: buckets in one job; sparse batches pay a tiny pre-pass to rewrite
     #: only the buckets they touch.
     merge_scope: str = "auto"
+    #: route malformed events (bad op, missing key) to a _dlq table instead
+    #: of failing the batch (K8, cf. debezium-sink dlq/ErrorReporter.java)
+    dlq_enabled: bool = False
 
 
 class CdcEngine:
@@ -155,6 +158,96 @@ class CdcEngine:
         )
         return stats
 
+    # -- dead-letter queue (K8) --------------------------------------------------
+
+    def _quarantine_malformed(self, env: DataFrame, batch_id: int) -> DataFrame:
+        """Split off malformed events (unknown op; data event missing its
+        key columns) into ``<meta>/dlq/batch-N`` parquet and return the
+        clean stream. Reference: debezium-sink/.../dlq/ErrorReporter.java —
+        per-record reroute instead of failing the pipeline."""
+        from pyspark.sql import functions as F
+
+        key_cols = self.table.manifest().key_cols
+        key_src = [
+            F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in key_cols
+        ]
+        bad = (~F.col("op").isin("r", "c", "u", "d", "t", "m")) | (
+            F.col("op").isin("r", "c", "u", "d")
+            & ~F.col("tombstone")
+            & sum((k.isNull().cast("int") for k in key_src), F.lit(0)).cast("boolean")
+        )
+        quarantined = env.filter(bad)
+        dlq_dir = os.path.join(self.table.meta_dir, "dlq", f"batch-{batch_id}")
+        # empty-check via a cheap limit probe rather than count() of the stream
+        if quarantined.limit(1).count() > 0:
+            quarantined.withColumn(
+                "__dlq_batch", F.lit(batch_id)
+            ).write.mode("overwrite").parquet(dlq_dir)
+        return env.filter(~bad)
+
+    def dlq(self) -> DataFrame | None:
+        """Read the quarantine table (None if nothing was quarantined)."""
+        root = os.path.join(self.table.meta_dir, "dlq")
+        if not os.path.isdir(root) or not os.listdir(root):
+            return None
+        return self.spark.read.parquet(os.path.join(root, "*"))
+
+    # -- incremental snapshot (S9-S13) -------------------------------------------
+
+    def run_incremental_snapshot(
+        self,
+        source_df: DataFrame,
+        window_lo: int,
+        window_hi: int,
+        stream_window: DataFrame | None = None,
+    ) -> dict:
+        """Ad-hoc backfill concurrent with streaming (the execute-snapshot
+        signal action): merge every source row whose key did NOT see a
+        change event inside [window_lo, window_hi). Sparse by construction →
+        pruned merge scope."""
+        from . import snapshot as snap_mod
+        from .envelope import snapshot_events
+
+        m = self.table.manifest()
+        row_cols = [f.name for f in m.fields]
+        if stream_window is None:
+            stream_window = cdc_events(
+                self.spark, window_hi - window_lo, start=window_lo,
+                n_keys=self.cfg.n_keys, n_parts=self.cfg.n_parts,
+                seed=self.cfg.seed,
+                hot_key_permille=self.cfg.hot_key_permille,
+                content_chars=self.cfg.content_chars,
+            )
+        deduped = snap_mod.dedup_chunk_against_window(
+            source_df, stream_window, m.key_cols
+        )
+        env = snapshot_events(
+            deduped, row_cols=row_cols, key_cols=m.key_cols,
+            n_parts=self.cfg.n_parts,
+        )
+        batch_id = self.committed_batch() + 1
+        return self._apply_batch(
+            env, batch_id=batch_id, kind="incremental_snapshot",
+            offsets=None,
+        )
+
+    def process_signals(self, source_for_snapshot=None) -> list[dict]:
+        """Drain signal channels; execute-snapshot requests run immediately
+        when a ``source_for_snapshot(request) -> DataFrame`` factory is
+        given. Called between micro-batches (the poll boundary)."""
+        if self.signals is None:
+            return []
+        acted = self.signals.process()
+        if source_for_snapshot is not None:
+            while self.signals.state.snapshot_requests:
+                req = self.signals.state.snapshot_requests.pop(0)
+                src = source_for_snapshot(req)
+                if src is not None:
+                    lo = int(req.get("window_lo", 0))
+                    hi = int(req.get("window_hi", self.committed_offset()))
+                    self.run_incremental_snapshot(src, lo, hi)
+        return acted
+
     # -- schema reconciliation ---------------------------------------------------
 
     @staticmethod
@@ -193,6 +286,8 @@ class CdcEngine:
         t0 = time.time()
         for tf in self.cfg.transforms:
             env = tf(env)
+        if self.cfg.dlq_enabled:
+            env = self._quarantine_malformed(env, batch_id)
         m = self.table.manifest()
         row_cols = [f.name for f in m.fields]
         src_map, null_types = self._reconcile_schema(env, m)
@@ -200,7 +295,13 @@ class CdcEngine:
             env, row_cols, m.key_cols, salt_buckets=self.cfg.salt_buckets,
             src_map=src_map, null_types=null_types,
         )
-        summary = {"offsets": offsets or {}}
+        # offsets=None (e.g. incremental snapshot: no stream progress) must
+        # carry the prior checkpoint forward, not wipe it
+        summary = {
+            "offsets": offsets
+            if offsets is not None
+            else m.summary.get("offsets", {})
+        }
         scope = self.cfg.merge_scope
         if scope == "auto":
             n_events = offsets["next"] - offsets["lo"] if offsets else 0

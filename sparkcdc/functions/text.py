@@ -121,6 +121,23 @@ def language_id(col: Column | str) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct split,
+#: simplified to the RE2-compatible subset so the DuckDB oracle matches):
+#: letter runs | digit runs | single non-alnum-non-space | space runs
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Regex pre-tokenizer approximating BPE token boundaries (array<string>).
+    Real BPE merges would run as a vocabulary-broadcast mapInPandas stage;
+    the boundary split is the part that matters for token *counting*."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Content fingerprint: sha256 of the normalized text — whitespace/case/
     punctuation-insensitive exact-dup key."""

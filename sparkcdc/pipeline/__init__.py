@@ -18,7 +18,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .similarity import cosine_topk, ivf_topk
+from .similarity import cosine_topk, hyperplane_lsh_buckets, ivf_topk
 from .textstats import document_stats
 from .multimodal import (
     binary_metadata,
@@ -35,6 +35,7 @@ __all__ = [
     "embedding_near_duplicates",
     "cosine_topk",
     "ivf_topk",
+    "hyperplane_lsh_buckets",
     "document_stats",
     "binary_metadata",
     "decode_image_stub",

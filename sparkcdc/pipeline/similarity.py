@@ -18,7 +18,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot_product
+
+#: deterministic pseudo-random hyperplanes for sign-LSH: component (p, d)
+#: = ((a*p + b*d + c) mod M - M/2) / (M/2) in [-1, 1). Closed-form integer
+#: arithmetic so any engine (or the DuckDB oracle) reproduces them exactly.
+LSH_M = 8191  # Mersenne prime 2^13-1
+LSH_A, LSH_B, LSH_C = 2_654_435_761 % LSH_M, 40_503, 97
+
+
+def hyperplane_component(p: int, d: int) -> float:
+    v = (LSH_A * (p + 1) * (d + 7) + LSH_B * (p + 3) + LSH_C) % LSH_M
+    return (v - LSH_M / 2) / (LSH_M / 2)
+
+
+def hyperplane(p: int, dim: int) -> list[float]:
+    return [hyperplane_component(p, d) for d in range(dim)]
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-LSH (random-hyperplane / SimHash-for-vectors): bit p of the
+    bucket id is sign(v · plane_p). Cosine-similar vectors collide with
+    probability 1 − θ/π per bit, so near-dup candidates = same bucket —
+    a narrow equi-join key, the scale path for embedding dedup.
+
+    Pure Catalyst: each plane is a literal array folded with zip_with; no
+    UDF, no shuffle. Output: (id, bucket).
+    """
+    from pyspark.sql import functions as FF
+
+    bucket = FF.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = FF.array(*[FF.lit(x) for x in hyperplane(p, dim)])
+        bit = (dot_product(FF.col(vec_col), plane) >= 0).cast("long")
+        bucket = bucket + bit * (1 << p)
+    return df.select(FF.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
 def cosine_topk(

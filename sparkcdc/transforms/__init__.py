@@ -37,6 +37,12 @@ from .columns import (
     truncate_columns,
 )
 from .reselect import reselect_columns
+from .serialize import (
+    envelope_to_cloudevents,
+    envelope_to_json,
+    parse_envelope_json,
+    parse_envelope_json_arrow,
+)
 
 TRANSFORMS = {
     "ExtractNewRecordState": extract_new_record_state,
@@ -58,4 +64,10 @@ TRANSFORMS = {
     "ReselectColumns": reselect_columns,
 }
 
-__all__ = list(TRANSFORMS) + ["TRANSFORMS"]
+__all__ = list(TRANSFORMS) + [
+    "TRANSFORMS",
+    "envelope_to_json",
+    "envelope_to_cloudevents",
+    "parse_envelope_json",
+    "parse_envelope_json_arrow",
+]
