@@ -20,6 +20,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import apply as apply_mod
 from .envelope import REPO_KEY, REPO_ROW_FIELDS, cdc_events, snapshot_events
@@ -55,6 +56,10 @@ class EngineConfig:
     #: route malformed events (bad op, missing key) to a _dlq table instead
     #: of failing the batch (K8, cf. debezium-sink dlq/ErrorReporter.java)
     dlq_enabled: bool = False
+    #: honor op='t' TRUNCATE events by clearing table state at the truncate
+    #: offset (K4, truncate.enabled; JdbcChangeEventSink flush-ordering:
+    #: truncate flushes everything before continuing)
+    truncate_enabled: bool = False
 
 
 class CdcEngine:
@@ -89,11 +94,49 @@ class CdcEngine:
 
     # -- phases ---------------------------------------------------------------
 
+    def run(
+        self,
+        total_events: int,
+        source_df: DataFrame | None = None,
+        envelopes_for: Callable[[int, int], DataFrame] | None = None,
+        schema_changes: list[tuple[int, list[dict]]] | None = None,
+    ) -> dict:
+        """The coordinator (ChangeEventSourceCoordinator.executeChangeEventSources
+        :185 → doSnapshot :276 → streamEvents :313), honoring snapshot_mode
+        (S4, BinlogConnectorConfig.java:126-181):
+
+        - ``initial`` / ``when_needed``: snapshot once if the table has no
+          committed progress, then stream
+        - ``initial_only``: snapshot, never stream
+        - ``always``: snapshot on every start, then stream
+        - ``no_data`` (schema_only) / ``never``: stream only
+        """
+        mode = self.cfg.snapshot_mode
+        done_before = self.committed_batch() >= 0
+        out: dict = {"snapshot": None}
+        wants_snapshot = (
+            mode == "always"
+            or (mode in ("initial", "initial_only", "when_needed") and not done_before)
+        )
+        if wants_snapshot:
+            if source_df is None:
+                raise ValueError(f"snapshot_mode={mode} requires source_df")
+            out["snapshot"] = self.run_snapshot(source_df)
+        if mode == "initial_only":
+            return out
+        out["replay"] = self.replay(
+            total_events, envelopes_for=envelopes_for, schema_changes=schema_changes
+        )
+        return out
+
     def run_snapshot(self, source_df: DataFrame) -> dict:
         """Initial consistent snapshot (S1): read the pinned source state,
         wrap as op='r' envelopes, apply as batch 0."""
         env = snapshot_events(source_df, n_parts=self.cfg.n_parts)
-        return self._apply_batch(env, batch_id=0, kind="snapshot")
+        # committed_batch()+1 so an `always`-mode re-snapshot isn't fenced
+        return self._apply_batch(
+            env, batch_id=self.committed_batch() + 1, kind="snapshot"
+        )
 
     def replay(
         self,
@@ -165,8 +208,6 @@ class CdcEngine:
         key columns) into ``<meta>/dlq/batch-N`` parquet and return the
         clean stream. Reference: debezium-sink/.../dlq/ErrorReporter.java —
         per-record reroute instead of failing the pipeline."""
-        from pyspark.sql import functions as F
-
         key_cols = self.table.manifest().key_cols
         key_src = [
             F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in key_cols
@@ -288,6 +329,21 @@ class CdcEngine:
             env = tf(env)
         if self.cfg.dlq_enabled:
             env = self._quarantine_malformed(env, batch_id)
+        if self.cfg.truncate_enabled:
+            # K4 truncate ordering: a TRUNCATE at offset T discards all
+            # earlier state AND all earlier events in this batch; only
+            # events after the last truncate survive the reduce. (The
+            # reference flushes all buffers then truncates —
+            # JdbcChangeEventSink.java:72-158; batch form: same effect.)
+            truncs = [
+                r[0]
+                for r in env.filter(F.col("op") == "t")
+                .select("offset").collect()
+            ]
+            if truncs:
+                t_max = max(truncs)
+                self.table.delete_where("true", batch_id=batch_id)
+                env = env.filter(F.col("offset") > t_max)
         m = self.table.manifest()
         row_cols = [f.name for f in m.fields]
         src_map, null_types = self._reconcile_schema(env, m)

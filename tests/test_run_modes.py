@@ -1,0 +1,83 @@
+"""Tests: snapshot-mode coordinator (S4) and TRUNCATE event handling (K4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcdc.engine import EngineConfig, default_engine
+from sparkcdc.envelope import cdc_events
+
+
+def _source(spark, n=50):
+    return cdc_events(spark, n * 3, n_keys=n).filter("op != 'd'").select(
+        "after.*"
+    ).dropDuplicates(["repo", "path"])
+
+
+def test_snapshot_mode_initial_then_resume_skips_snapshot(spark, tmp_root):
+    cfg = EngineConfig(batch_size=1000, n_keys=50, snapshot_mode="initial")
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    out = eng.run(1000, source_df=_source(spark))
+    assert out["snapshot"] is not None
+    assert out["replay"]["batches"] == 1
+    # restart: snapshot must NOT re-run (progress exists)
+    eng2 = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    out2 = eng2.run(2000, source_df=_source(spark))
+    assert out2["snapshot"] is None
+    assert out2["replay"]["batches"] == 1  # only [1000, 2000)
+
+
+def test_snapshot_mode_no_data_streams_only(spark, tmp_root):
+    cfg = EngineConfig(batch_size=1000, n_keys=50, snapshot_mode="no_data")
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    out = eng.run(1000)
+    assert out["snapshot"] is None and out["replay"]["batches"] == 1
+
+
+def test_snapshot_mode_initial_only_never_streams(spark, tmp_root):
+    cfg = EngineConfig(batch_size=1000, n_keys=50, snapshot_mode="initial_only")
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    out = eng.run(1000, source_df=_source(spark))
+    assert out["snapshot"] is not None and "replay" not in out
+    assert eng.committed_offset() == 0
+
+
+def test_snapshot_mode_always_resnapshots(spark, tmp_root):
+    cfg = EngineConfig(batch_size=1000, n_keys=50, snapshot_mode="always")
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    eng.run(1000, source_df=_source(spark))
+    out2 = default_engine(spark, tmp_root, n_buckets=4, config=cfg).run(
+        1000, source_df=_source(spark)
+    )
+    assert out2["snapshot"] is not None  # re-ran, not fenced
+    assert out2["snapshot"].get("skipped") is not True
+
+
+def test_snapshot_mode_requires_source(spark, tmp_root):
+    cfg = EngineConfig(snapshot_mode="initial")
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    with pytest.raises(ValueError):
+        eng.run(1000)
+
+
+def test_truncate_event_clears_prior_state(spark, tmp_root):
+    cfg = EngineConfig(batch_size=1000, n_keys=50, truncate_enabled=True)
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    eng.replay(1000)
+    assert eng.table.read().count() > 0
+
+    # batch 2: events [1000, 2000) with a TRUNCATE injected at offset 1500
+    base = cdc_events(spark, 1000, start=1000, n_keys=50)
+    trunc = base.filter(F.col("offset") == 1500).withColumn("op", F.lit("t"))
+    env = base.filter(F.col("offset") != 1500).unionByName(trunc)
+    eng._apply_batch(env, batch_id=eng.committed_batch() + 1, kind="replay",
+                     offsets={"lo": 1000, "next": 2000})
+
+    state = eng.table.read()
+    # only keys touched by events AFTER the truncate may exist
+    post = cdc_events(spark, 1000, start=1000, n_keys=50).filter(
+        (F.col("offset") > 1500) & (F.col("op") != "d")
+    ).select(F.col("after.repo").alias("repo"), F.col("after.path").alias("path")).distinct()
+    state_keys = {(r["repo"], r["path"]) for r in state.collect()}
+    allowed = {(r["repo"], r["path"]) for r in post.collect()}
+    assert state_keys <= allowed
+    assert len(state_keys) > 0
