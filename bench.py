@@ -88,28 +88,30 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _calib_work(_):
+    import hashlib
+
+    h = b"x" * 64
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 2:
+        for _ in range(1000):
+            h = hashlib.sha256(h).digest()
+        n += 1000
+    return n
+
+
 def _cpu_calibration() -> dict:
     """Pure-CPU (sha256, L1-resident) scaling of the host at 8 vs 32
     processes — what the VM's cores can deliver today, independent of its
     lazy-memory fault path. Contextualizes the pipeline scaling number."""
-    import hashlib
     import multiprocessing as mp
-
-    def work(_):
-        h = b"x" * 64
-        t0 = time.time()
-        n = 0
-        while time.time() - t0 < 2:
-            for _ in range(1000):
-                h = hashlib.sha256(h).digest()
-            n += 1000
-        return n
 
     out = {}
     for procs in (8, 32):
         with mp.Pool(procs) as p:
             t0 = time.time()
-            res = p.map(work, range(procs))
+            res = p.map(_calib_work, range(procs))
             out[f"procs{procs}_mhashes_per_sec"] = round(
                 sum(res) / (time.time() - t0) / 1e6, 1
             )

