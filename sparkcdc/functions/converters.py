@@ -28,9 +28,13 @@ def unsigned_widen_int(c: Column) -> Column:
 
 
 def unsigned_widen_bigint(c: Column) -> Column:
-    """Unsigned BIGINT → decimal(20,0) (value may exceed int64)."""
+    """Unsigned BIGINT → decimal(20,0) (value may exceed int64, so the
+    2^64 offset must be a decimal literal, not a long)."""
+    import decimal
+
+    two64 = F.lit(decimal.Decimal(2**64)).cast("decimal(21,0)")
     return F.when(
-        c < 0, c.cast("decimal(20,0)") + F.lit(2**64).cast("decimal(20,0)")
+        c < 0, (c.cast("decimal(21,0)") + two64).cast("decimal(20,0)")
     ).otherwise(c.cast("decimal(20,0)"))
 
 
