@@ -29,6 +29,7 @@ def envelopes_to_changes(
     *,
     src_map: dict[str, str | None] | None = None,
     null_types: dict[str, str] | None = None,
+    null_defaults: dict[str, object] | None = None,
 ) -> DataFrame:
     """Flatten envelopes into change rows: row columns + _op + ordering.
 
@@ -49,8 +50,9 @@ def envelopes_to_changes(
     for c in row_cols:
         src = src_map.get(c, c)
         if src is None:
+            fill = (null_defaults or {}).get(c)
             cols.append(
-                F.lit(None).cast((null_types or {}).get(c, "string")).alias(c)
+                F.lit(fill).cast((null_types or {}).get(c, "string")).alias(c)
             )
         else:
             cols.append(
@@ -163,9 +165,11 @@ def reduce_envelopes(
     salt_buckets: int = 0,
     src_map: dict[str, str | None] | None = None,
     null_types: dict[str, str] | None = None,
+    null_defaults: dict[str, object] | None = None,
 ) -> DataFrame:
     """envelope batch -> merged change-set ready for LakeTable.merge
     (columns: row_cols + _op, one row per key)."""
-    ch = envelopes_to_changes(df, row_cols, src_map=src_map, null_types=null_types)
+    ch = envelopes_to_changes(df, row_cols, src_map=src_map,
+                              null_types=null_types, null_defaults=null_defaults)
     red = reduce_last_write_wins(ch, key_cols, salt_buckets=salt_buckets)
     return red.select(*row_cols, "_op")

@@ -302,6 +302,7 @@ class CdcEngine:
         env_fields = {f.name for f in env.schema["after"].dataType.fields}
         src_map: dict[str, str | None] = {}
         null_types: dict[str, str] = {}
+        null_defaults: dict[str, object] = {}
         for fld in m.fields:
             if fld.name in env_fields:
                 src_map[fld.name] = fld.name
@@ -317,7 +318,9 @@ class CdcEngine:
             src_map[fld.name] = src
             if src is None:
                 null_types[fld.name] = fld.type
-        return src_map, null_types
+                if fld.default is not None:
+                    null_defaults[fld.name] = fld.default
+        return src_map, null_types, null_defaults
 
     # -- core batch path --------------------------------------------------------
 
@@ -346,10 +349,10 @@ class CdcEngine:
                 env = env.filter(F.col("offset") > t_max)
         m = self.table.manifest()
         row_cols = [f.name for f in m.fields]
-        src_map, null_types = self._reconcile_schema(env, m)
+        src_map, null_types, null_defaults = self._reconcile_schema(env, m)
         changes = apply_mod.reduce_envelopes(
             env, row_cols, m.key_cols, salt_buckets=self.cfg.salt_buckets,
-            src_map=src_map, null_types=null_types,
+            src_map=src_map, null_types=null_types, null_defaults=null_defaults,
         )
         # offsets=None (e.g. incremental snapshot: no stream progress) must
         # carry the prior checkpoint forward, not wipe it

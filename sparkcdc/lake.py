@@ -78,13 +78,18 @@ class Field:
     name: str
     type: str
     nullable: bool = True
+    #: fill value for rows/files that predate this column (K3: the sink may
+    #: auto-add optional OR defaulted columns, JdbcChangeEventSink.java:325-331)
+    default: object = None
 
     def to_json(self) -> dict:
-        return {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+        return {"id": self.id, "name": self.name, "type": self.type,
+                "nullable": self.nullable, "default": self.default}
 
     @staticmethod
     def from_json(d: dict) -> "Field":
-        return Field(d["id"], d["name"], d["type"], d["nullable"])
+        return Field(d["id"], d["name"], d["type"], d["nullable"],
+                     d.get("default"))
 
 
 @dataclass
@@ -247,7 +252,11 @@ class LakeTable:
                         c = c.cast(type_of(cf.type))
                     cols.append(c.alias(cf.name))
                 else:
-                    cols.append(F.lit(None).cast(type_of(cf.type)).alias(cf.name))
+                    # column added after this file was written: fill with
+                    # its default (None = plain nullable add)
+                    cols.append(
+                        F.lit(cf.default).cast(type_of(cf.type)).alias(cf.name)
+                    )
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -453,7 +462,9 @@ class LakeTable:
         for ch in changes:
             if ch["action"] == "add":
                 max_id += 1
-                flds.append(Field(max_id, ch["name"], ch["type"], True))
+                flds.append(
+                    Field(max_id, ch["name"], ch["type"], True, ch.get("default"))
+                )
             elif ch["action"] == "rename":
                 fld = next(f for f in flds if f.name == ch["from"])
                 fld.name = ch["to"]

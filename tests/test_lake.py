@@ -130,3 +130,27 @@ def test_expire_versions_gc(spark, tmp_root):
     removed = t.expire_versions(keep_last=2)
     assert removed > 0
     assert t.read().first().content == "4"  # current still intact
+
+
+def test_add_column_with_default(spark, tmp_root):
+    """K3: added columns may carry a default — old files AND old-epoch
+    events read back with the default, not NULL."""
+    from sparkcdc.engine import CdcEngine, EngineConfig
+
+    t = LakeTable.create(
+        spark, tmp_root, "dflt",
+        fields=[("repo", "string"), ("path", "string"), ("commit", "string"),
+                ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"], n_buckets=4,
+    )
+    eng = CdcEngine(spark, t, EngineConfig(batch_size=1000, n_keys=20))
+    eng.replay(200)
+    t.evolve([{"action": "add", "name": "stars", "type": "int", "default": 5}])
+    # old files: default visible
+    assert {r["stars"] for r in t.read().collect()} == {5}
+    # old-epoch events applied after the evolve: default filled too
+    from sparkcdc.envelope import cdc_events
+    eng._apply_batch(cdc_events(spark, 100, start=200, n_keys=20),
+                     batch_id=eng.committed_batch() + 1, kind="replay",
+                     offsets={"lo": 200, "next": 300})
+    assert {r["stars"] for r in t.read().collect()} == {5}
