@@ -60,6 +60,10 @@ class EngineConfig:
     #: offset (K4, truncate.enabled; JdbcChangeEventSink flush-ordering:
     #: truncate flushes everything before continuing)
     truncate_enabled: bool = False
+    #: keep only the last N table versions, GC'ing older data files after
+    #: each commit (copy-on-write otherwise retains one full table copy per
+    #: micro-batch — untenable over a 10^10-event replay). 0 = never expire.
+    expire_keep_last: int = 8
 
 
 class CdcEngine:
@@ -370,6 +374,8 @@ class CdcEngine:
             changes, batch_id=batch_id, writer=self.cfg.writer, summary=summary,
             scope=scope,
         )
+        if self.cfg.expire_keep_last > 0:
+            self.table.expire_versions(keep_last=self.cfg.expire_keep_last)
         wall = time.time() - t0
         n_events = offsets["next"] - offsets["lo"] if offsets else -1
         self.metrics.record(

@@ -81,3 +81,33 @@ def test_truncate_event_clears_prior_state(spark, tmp_root):
     allowed = {(r["repo"], r["path"]) for r in post.collect()}
     assert state_keys <= allowed
     assert len(state_keys) > 0
+
+
+def test_auto_expire_bounds_disk(spark, tmp_root):
+    """COW must not retain one table copy per batch: with
+    expire_keep_last=2, a 10-batch replay leaves at most 2 manifests and
+    only their data files on disk."""
+    import os
+
+    cfg = EngineConfig(batch_size=100, n_keys=30, expire_keep_last=2)
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    eng.replay(1000)
+    meta = os.path.join(tmp_root, "source_code_repos", "meta")
+    manifests = [f for f in os.listdir(meta) if f.startswith("v")]
+    assert len(manifests) <= 2
+    # table still reads fine and resumes
+    assert eng.table.read().count() > 0
+    eng2 = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    assert eng2.committed_offset() == 1000
+    # live data files only: every parquet on disk is referenced
+    live = {f["path"] for f in eng.table.manifest().files}
+    on_disk = set()
+    data_root = os.path.join(tmp_root, "source_code_repos")
+    for dirpath, _dirs, files in os.walk(os.path.join(data_root, "data")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, fn), data_root)
+                on_disk.add(rel)
+    # all-but-previous-version files GC'd: disk holds <= files of kept manifests
+    prev_live = {f["path"] for f in eng.table.manifest(eng.table.current_version() - 1).files}
+    assert on_disk <= (live | prev_live)
