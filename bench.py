@@ -191,6 +191,7 @@ def main() -> None:
     )
     t_total0 = time.time()
 
+    run_replay(spark, 1_000_000, n_parts=CPUS)  # JIT/codegen warmup
     t0 = time.time()
     replay_stats = run_replay(spark, REPLAY_EVENTS, n_parts=CPUS)
     replay_sec = round(time.time() - t0, 3)

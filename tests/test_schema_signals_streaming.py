@@ -166,3 +166,64 @@ def cdc_rate_stream(spark, eng):
     from sparkcdc.streaming import rate_envelope_stream
 
     return rate_envelope_stream(eng, rows_per_second=2000)
+
+
+def test_streaming_available_now_with_checkpoint_restart(spark, tmp_root):
+    """Bounded backlog drain (Trigger.AvailableNow) over a file source of
+    offset ids, then restart with the same checkpoint: only new files are
+    processed and redelivered batches are fenced."""
+    import os
+    from pyspark.sql import functions as F
+    from sparkcdc.envelope import cdc_events_over_ids
+
+    src_dir = os.path.join(tmp_root, "backlog")
+    ckpt = os.path.join(tmp_root, "ckpt2")
+    eng = default_engine(
+        spark, os.path.join(tmp_root, "lake2"), n_buckets=4,
+        config=EngineConfig(n_keys=100, n_parts=4, writer="stream"),
+    )
+
+    def drain():
+        ids = (
+            spark.readStream.schema("id long").parquet(src_dir)
+        )
+        env = cdc_events_over_ids(ids, n_keys=100, n_parts=4)
+        from sparkcdc.streaming import start_stream
+
+        q = (
+            env.writeStream.foreachBatch(
+                lambda bdf, bid: _apply_stream_batch(eng, bdf, bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def _apply_stream_batch(engine, batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        b = batch_df.agg(F.min("offset").alias("lo"), F.max("offset").alias("hi")).collect()[0]
+        engine._apply_batch(batch_df, batch_id=batch_id, kind="stream",
+                            offsets={"lo": int(b["lo"]), "next": int(b["hi"]) + 1})
+
+    spark.range(0, 500).toDF("id").write.mode("overwrite").parquet(src_dir)
+    drain()
+    n1 = eng.table.read().count()
+    assert n1 > 0
+    committed1 = eng.committed_batch()
+
+    # second backlog chunk; same checkpoint: only file #2 is processed
+    spark.range(500, 1000).toDF("id").write.mode("append").parquet(src_dir)
+    drain()
+    assert eng.committed_batch() > committed1
+    assert eng.committed_offset() == 1000
+    # streamed state must equal a batch replay of the same offsets
+    batch_eng = default_engine(
+        spark, os.path.join(tmp_root, "lake_batch"), n_buckets=4,
+        config=EngineConfig(batch_size=1000, n_keys=100, n_parts=4),
+    )
+    batch_eng.replay(1000)
+    streamed = {tuple(r) for r in eng.table.read().collect()}
+    batched = {tuple(r) for r in batch_eng.table.read().collect()}
+    assert streamed == batched
