@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from sparkcdc import apply as apply_mod
 from sparkcdc import snapshot as snap_mod
 from sparkcdc.engine import EngineConfig, default_engine
-from sparkcdc.envelope import cdc_events, snapshot_events
+from sparkcdc.envelope import snapshot_events
 from sparkcdc.functions.hashing import (
     MINHASH_A,
     MINHASH_B,

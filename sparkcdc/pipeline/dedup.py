@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
-from ..functions.text import doc_fingerprint, tokens, word_shingles
+from ..functions.text import doc_fingerprint, tokens
 from ..functions.vectors import cosine_similarity
 
 
