@@ -64,8 +64,35 @@ TRANSFORMS = {
     "ReselectColumns": reselect_columns,
 }
 
+def build_chain(specs: list[dict]):
+    """Kafka-Connect-style transform chain from config
+    (embedded/Transformations.java: ``transforms=a,b`` +
+    ``transforms.a.type=...`` + per-transform params). Each spec is
+    ``{"type": <TRANSFORMS name>, ...kwargs}``; returns one
+    DataFrame -> DataFrame function applying them in order."""
+    fns = []
+    for spec in specs:
+        spec = dict(spec)
+        name = spec.pop("type")
+        try:
+            factory = TRANSFORMS[name]
+        except KeyError:
+            raise ValueError(
+                f"unknown transform {name!r}; known: {sorted(TRANSFORMS)}"
+            ) from None
+        fns.append(factory(**spec))
+
+    def _apply(df):
+        for fn in fns:
+            df = fn(df)
+        return df
+
+    return _apply
+
+
 __all__ = list(TRANSFORMS) + [
     "TRANSFORMS",
+    "build_chain",
     "envelope_to_json",
     "envelope_to_cloudevents",
     "parse_envelope_json",

@@ -208,3 +208,25 @@ def test_reselect_columns(spark):
     out = reselect_columns(current, ["id"], ["body"])(changes)
     got = {(r.id, r.body) for r in out.collect()}
     assert got == {(1, "full-body"), (2, "present")}
+
+
+def test_build_chain_from_config(fixture):
+    from sparkcdc.transforms import build_chain
+
+    chain = build_chain([
+        {"type": "Filter", "condition": "op != 'd'"},
+        {"type": "ExtractNewRecordState", "delete_handling": "drop",
+         "add_fields": ["op"]},
+        {"type": "TruncateColumns", "columns": {"name": 3}},
+    ])
+    out = chain(fixture)
+    assert "__op" in out.columns
+    assert all(len(r["name"] or "") <= 3 for r in out.collect())
+
+
+def test_build_chain_unknown_type():
+    import pytest
+    from sparkcdc.transforms import build_chain
+
+    with pytest.raises(ValueError):
+        build_chain([{"type": "NoSuchSmt"}])
