@@ -35,7 +35,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd beats lz4 here: shuffle bytes are mostly high-entropy hex
+        # (sha-derived), and fewer spill/page-cache bytes measurably beats
+        # the lighter codec (+11% replay throughput, BASELINE.md)
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKCDC_DRIVER_MEM", "16g"))
     )
