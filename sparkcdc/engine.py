@@ -26,6 +26,7 @@ from . import apply as apply_mod
 from .envelope import REPO_KEY, REPO_ROW_FIELDS, cdc_events, snapshot_events
 from .lake import LakeTable
 from .metrics import MetricsLog
+from .notifications import NotificationLog
 from .schema_history import SchemaHistory, split_at_boundaries
 from .signals import SignalProcessor
 
@@ -80,6 +81,9 @@ class CdcEngine:
         self.metrics = MetricsLog(os.path.join(table.meta_dir, "metrics.jsonl"))
         self.schema_history = SchemaHistory(
             os.path.join(table.meta_dir, "schema_history.jsonl")
+        )
+        self.notifications = NotificationLog(
+            os.path.join(table.meta_dir, "notifications.jsonl")
         )
         self.signals = signal_processor
 
@@ -138,9 +142,14 @@ class CdcEngine:
         wrap as op='r' envelopes, apply as batch 0."""
         env = snapshot_events(source_df, n_parts=self.cfg.n_parts)
         # committed_batch()+1 so an `always`-mode re-snapshot isn't fenced
-        return self._apply_batch(
+        self.notifications.notify("Initial Snapshot", "STARTED")
+        res = self._apply_batch(
             env, batch_id=self.committed_batch() + 1, kind="snapshot"
         )
+        self.notifications.notify(
+            "Initial Snapshot", "COMPLETED", version=res.get("version")
+        )
+        return res
 
     def replay(
         self,
@@ -184,6 +193,7 @@ class CdcEngine:
             if self.signals is not None:
                 self.signals.process()
                 if self.signals.state.paused:
+                    self.notifications.notify("Streaming", "PAUSED", offset=lo)
                     break  # pause signal: stop consuming; resume re-enters
             hi = min(lo + cfg.batch_size, total_events)
             for sub_lo, sub_hi, changes in split_at_boundaries(lo, hi, boundaries):
@@ -271,10 +281,18 @@ class CdcEngine:
             n_parts=self.cfg.n_parts,
         )
         batch_id = self.committed_batch() + 1
-        return self._apply_batch(
+        self.notifications.notify(
+            "Incremental Snapshot", "STARTED",
+            window_lo=window_lo, window_hi=window_hi,
+        )
+        res = self._apply_batch(
             env, batch_id=batch_id, kind="incremental_snapshot",
             offsets=None,
         )
+        self.notifications.notify(
+            "Incremental Snapshot", "COMPLETED", version=res.get("version")
+        )
+        return res
 
     def process_signals(self, source_for_snapshot=None) -> list[dict]:
         """Drain signal channels; execute-snapshot requests run immediately

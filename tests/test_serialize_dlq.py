@@ -106,3 +106,20 @@ def test_signal_triggered_incremental_snapshot(spark, tmp_root):
     assert eng.committed_offset() == 2000
     # a second drain does nothing (signal consumed)
     assert eng.process_signals(source_for_snapshot=lambda req: backfill) == []
+
+
+def test_notifications_emitted(spark, tmp_root):
+    """Lifecycle notifications for snapshot phases (reference
+    core/pipeline/notification/ parity)."""
+    from sparkcdc.envelope import cdc_events
+
+    eng = default_engine(
+        spark, tmp_root, n_buckets=4,
+        config=EngineConfig(batch_size=500, n_keys=50, snapshot_mode="initial"),
+    )
+    src = cdc_events(spark, 300, n_keys=50).filter("op != 'd'").select(
+        "after.*").dropDuplicates(["repo", "path"])
+    eng.run(500, source_df=src)
+    kinds = [(n["aggregate_type"], n["type"]) for n in eng.notifications.read()]
+    assert ("Initial Snapshot", "STARTED") in kinds
+    assert ("Initial Snapshot", "COMPLETED") in kinds
