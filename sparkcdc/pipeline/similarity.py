@@ -149,6 +149,49 @@ def seeded_centroids(
     )
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd iterations over the seeded centroids: assign → mean per cell.
+
+    Pure DataFrame ops: the mean of ``array<float>`` columns is a
+    ``posexplode`` + groupBy(cell, dim) avg + re-assemble — one narrow
+    shuffle per iteration, O(corpus × dim) rows of (float, int) after
+    map-side partial aggregation. Empty cells keep their previous centroid.
+    """
+    for _ in range(iters):
+        assigned = assign_cells(
+            corpus, centroids, vec_col=vec_col, id_col=id_col, n_assign=1
+        )
+        v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        exploded = (
+            assigned.join(v, "id")
+            .select("cell", F.posexplode("vec").alias("dim", "x"))
+        )
+        means = (
+            exploded.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias(vec_col)
+            )
+        )
+        # cells that captured no vectors keep their old centroid
+        keep = centroids.alias("old").join(
+            means.select("cell"), "cell", "left_anti"
+        )
+        centroids = means.unionByName(keep.select("cell", vec_col))
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -156,15 +199,22 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """ANN top-k: search only the ``n_probe`` cells nearest each query.
 
     Output: (query_id, neighbor_id, rank, cos). Approximate — recall
-    depends on n_probe/n_cells (exact when n_probe == n_cells).
+    depends on n_probe/n_cells (exact when n_probe == n_cells);
+    ``refine_iters`` Lloyd steps tighten the cells (better recall at equal
+    n_probe) at the cost of one assign+mean pass per iteration.
     """
     cents = seeded_centroids(corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col)
+    if refine_iters > 0:
+        cents = refine_centroids(
+            corpus, cents, iters=refine_iters, vec_col=vec_col, id_col=id_col
+        )
     corpus_cells = assign_cells(
         corpus, cents, vec_col=vec_col, id_col=id_col, n_assign=1
     ).select(F.col("id").alias("neighbor_id"), F.col("cell"))

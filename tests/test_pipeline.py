@@ -153,3 +153,21 @@ def test_frame_sample(spark, docs_df):
     assert got0 == list(range(0, n_frames0, 2))
     f0 = next(r for r in frames if r["doc_id"] == 0 and r["frame_idx"] == 0)
     assert f0["frame_sha"] == hashlib.sha256(text0[:16]).hexdigest()
+
+
+def test_ivf_refined_recall_on_testdata(spark):
+    """Lloyd refinement must not hurt recall vs brute force on the real
+    embeddings table (and stays exact when exhaustive)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(refine):
+        got = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(
+            emb, q, k=5, n_cells=8, n_probe=4, refine_iters=refine).collect()}
+        return len(got & bf) / len(bf)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0 - 0.2  # refinement must not collapse recall
+    assert r1 > 0.3
