@@ -1,0 +1,74 @@
+"""Hypothesis property tests: engine invariants over arbitrary event
+multisets (driver-side generated, tiny examples — shrinkage matters more
+than volume here; the big randomized suites live in test_property_replay).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sparkcdc import apply as apply_mod
+from sparkcdc.envelope import envelope_schema
+from pyspark.sql import types as T
+
+ROW_FIELDS = [("repo", T.StringType()), ("path", T.StringType()),
+              ("commit", T.StringType()), ("lang", T.StringType()),
+              ("content", T.StringType())]
+
+KEYS = [("r0", "a"), ("r0", "b"), ("r1", "a")]
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["c", "u", "d"]),
+        st.sampled_from(KEYS),
+        st.text(alphabet="xyz", min_size=0, max_size=5),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def to_envelopes(spark, events):
+    rows = []
+    for off, (op, (repo, path), content) in enumerate(events):
+        row = (repo, path, "c0", "py", content)
+        before = (repo, path, None, None, None) if op in ("u", "d") else None
+        after = row if op != "d" else None
+        rows.append((op, off, before, after, None, None, 0, off, False))
+    return spark.createDataFrame(rows, envelope_schema(ROW_FIELDS))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=events_strategy)
+def test_lww_reduce_invariants(spark, events):
+    env = to_envelopes(spark, events)
+    red = apply_mod.reduce_envelopes(
+        env, [n for n, _ in ROW_FIELDS], ["repo", "path"]
+    ).collect()
+    # one row per distinct key seen
+    seen_keys = {tuple(k) for _op, k, _c in events}
+    assert len(red) == len({(r["repo"], r["path"]) for r in red})
+    assert {(r["repo"], r["path"]) for r in red} == seen_keys
+    # winner is the LAST event per key, with matching op class and content
+    last = {}
+    for op, k, content in events:
+        last[k] = (op, content)
+    for r in red:
+        op, content = last[(r["repo"], r["path"])]
+        assert r["_op"] == ("d" if op == "d" else "u")
+        if op != "d":
+            assert r["content"] == content
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=events_strategy)
+def test_extract_rewrite_preserves_cardinality(spark, events):
+    from sparkcdc.transforms import extract_new_record_state
+
+    env = to_envelopes(spark, events)
+    flat = extract_new_record_state("rewrite")(env).collect()
+    assert len(flat) == len(events)
+    n_del = sum(1 for op, _k, _c in events if op == "d")
+    assert sum(1 for r in flat if r["__deleted"] == "true") == n_del
