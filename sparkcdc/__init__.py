@@ -12,12 +12,18 @@ A from-scratch re-creation of the *capabilities* of Debezium
   MERGE INTO, since no Iceberg runtime jar ships in this environment; the
   layout mirrors Iceberg's manifest + bucket-partition + copy-on-write model)
 - schema history / schema evolution with field-id based rename
-  (``schema_history.py``, cf. core/relational/history/SchemaHistory.java)
-- offset checkpoints + idempotent batch-id fencing (``offsets.py``,
+  (``schema_history.py`` + ``lake.evolve``, cf.
+  core/relational/history/SchemaHistory.java)
+- offset checkpoints + idempotent batch-id fencing stored in the table
+  manifest, atomic with the data commit (``lake.py``/``engine.py``,
   cf. embedded/EmbeddedEngine.java:885-902 offset commit)
 - the SMT transform library (``transforms/``, cf. core/transforms/*)
-- scalar converter library + large-scale data-pipeline functions
-  (``functions/``)
+- control-plane signals (``signals.py``) + lifecycle notifications
+  (``notifications.py``); Structured Streaming front-end (``streaming.py``)
+- multi-table capture (``multitable.py``)
+- scalar converter library + text/vector/hashing functions (``functions/``)
+- training-data pipeline operators: dedup, similarity search, text stats,
+  multimodal plumbing (``pipeline/``)
 
 Everything is DataFrame/SQL-first: no per-row Python anywhere in the hot
 path; Python UDFs appear only as Arrow-vectorized pandas UDFs in clearly
