@@ -138,6 +138,12 @@ class Manifest:
         )
 
 
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic concurrency,
+    Iceberg-style): the caller must re-read the table state and retry its
+    merge on top of the new current version."""
+
+
 def _atomic_write(path: str, text: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
@@ -145,6 +151,19 @@ def _atomic_write(path: str, text: str) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, path)  # atomic on POSIX
+
+
+def _exclusive_write(path: str, text: str) -> None:
+    """Create-or-fail write: the first writer of a given version wins;
+    concurrent committers of the same version get CommitConflict."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError:
+        raise CommitConflict(path) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(text)
+        fh.flush()
+        os.fsync(fh.fileno())
 
 
 class LakeTable:
@@ -177,7 +196,7 @@ class LakeTable:
             version=0, parent=None, n_buckets=n_buckets, key_cols=key_cols,
             epoch=0, epochs={"0": flds}, files=[], summary={"created_ms": int(time.time() * 1000)},
         )
-        t._write_manifest(m)
+        t._write_manifest(m, initial=True)
         return t
 
     @staticmethod
@@ -202,11 +221,15 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as fh:
             return Manifest.from_json(json.load(fh))
 
-    def _write_manifest(self, m: Manifest) -> None:
-        _atomic_write(
-            os.path.join(self.meta_dir, f"v{m.version}.json"),
-            json.dumps(m.to_json()),
-        )
+    def _write_manifest(self, m: Manifest, *, initial: bool = False) -> None:
+        """Commit = exclusive create of v{N}.json (losers of a concurrent
+        race get CommitConflict before the pointer moves), then the atomic
+        VERSION pointer flip."""
+        path = os.path.join(self.meta_dir, f"v{m.version}.json")
+        if initial:
+            _atomic_write(path, json.dumps(m.to_json()))
+        else:
+            _exclusive_write(path, json.dumps(m.to_json()))
         _atomic_write(os.path.join(self.meta_dir, "VERSION"), str(m.version))
 
     # -- read (with field-id schema mapping + time travel) -------------------

@@ -154,3 +154,32 @@ def test_add_column_with_default(spark, tmp_root):
                      batch_id=eng.committed_batch() + 1, kind="replay",
                      offsets={"lo": 200, "next": 300})
     assert {r["stars"] for r in t.read().collect()} == {5}
+
+
+def test_concurrent_commit_conflict(spark, tmp_root):
+    """Optimistic concurrency: two writers racing to commit the same next
+    version — the second gets CommitConflict, the first's commit survives."""
+    import pytest
+    from pyspark.sql import functions as F
+    from sparkcdc.lake import CommitConflict
+
+    t = LakeTable.create(
+        spark, tmp_root, "race",
+        fields=[("id", "string"), ("v", "long")], key_cols=["id"], n_buckets=2,
+    )
+    batch = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("id"),
+        F.col("id").alias("v"), F.lit("u").alias("_op"),
+    )
+    # writer A reads manifest and commits
+    t.merge(batch, batch_id=0, writer="a")
+    v_after_a = t.current_version()
+    # simulate writer B having read the OLD manifest: craft a manifest with
+    # the same next version number and try to write it
+    m = t.manifest(v_after_a - 1)
+    m.version = v_after_a
+    with pytest.raises(CommitConflict):
+        t._write_manifest(m)
+    # table state untouched by the loser
+    assert t.current_version() == v_after_a
+    assert t.read().count() == 10
