@@ -140,7 +140,17 @@ class CdcEngine:
     def run_snapshot(self, source_df: DataFrame) -> dict:
         """Initial consistent snapshot (S1): read the pinned source state,
         wrap as op='r' envelopes, apply as batch 0."""
-        env = snapshot_events(source_df, n_parts=self.cfg.n_parts)
+        m = self.table.manifest()
+        # snapshot the columns the source actually has; columns added by
+        # later evolution fill with their defaults in the apply path
+        row_cols = [f.name for f in m.fields if f.name in source_df.columns]
+        missing_keys = [k for k in m.key_cols if k not in source_df.columns]
+        if missing_keys:
+            raise ValueError(f"snapshot source lacks key columns {missing_keys}")
+        env = snapshot_events(
+            source_df, row_cols=row_cols, key_cols=m.key_cols,
+            n_parts=self.cfg.n_parts, table_name=self.table.name,
+        )
         # committed_batch()+1 so an `always`-mode re-snapshot isn't fenced
         self.notifications.notify("Initial Snapshot", "STARTED")
         res = self._apply_batch(
@@ -181,6 +191,7 @@ class CdcEngine:
             )
         start = self.committed_offset()
         batch_id = self.committed_batch() + 1
+        self._catch_up_schema_journal()
         applied_offsets = {e["offset"] for e in self.schema_history.entries()}
         boundaries = [
             (off, ch)
@@ -198,8 +209,15 @@ class CdcEngine:
             hi = min(lo + cfg.batch_size, total_events)
             for sub_lo, sub_hi, changes in split_at_boundaries(lo, hi, boundaries):
                 if changes:
+                    # journal FIRST (write-ahead): a crash between the two
+                    # steps is repaired by _catch_up_schema_journal on the
+                    # next replay; the reverse order would re-apply the
+                    # evolve and corrupt the schema (duplicate column)
+                    self.schema_history.record(
+                        sub_lo, changes,
+                        base_epoch=self.table.manifest().epoch,
+                    )
                     self.table.evolve(changes)
-                    self.schema_history.record(sub_lo, changes)
                 if sub_hi <= sub_lo:
                     continue
                 env = envelopes_for(sub_lo, sub_hi)
@@ -215,6 +233,19 @@ class CdcEngine:
         )
         return stats
 
+    def _catch_up_schema_journal(self) -> None:
+        """Repair the crash window of the write-ahead schema journal: an
+        entry whose target epoch (base_epoch+1) the manifest never reached
+        was journaled but its evolve did not commit — apply it now. Robust
+        to manual table.evolve calls interleaved with journaled ones (the
+        base epoch is captured at journal time)."""
+        epoch = self.table.manifest().epoch
+        for e in self.schema_history.entries():
+            base = e.get("base_epoch")
+            if base is not None and base >= epoch:
+                self.table.evolve(e["changes"])
+                epoch = self.table.manifest().epoch
+
     # -- dead-letter queue (K8) --------------------------------------------------
 
     def _quarantine_malformed(self, env: DataFrame, batch_id: int) -> DataFrame:
@@ -226,10 +257,18 @@ class CdcEngine:
         key_src = [
             F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in key_cols
         ]
-        bad = (~F.col("op").isin("r", "c", "u", "d", "t", "m")) | (
-            F.col("op").isin("r", "c", "u", "d")
-            & ~F.col("tombstone")
-            & sum((k.isNull().cast("int") for k in key_src), F.lit(0)).cast("boolean")
+        # NULL-safe: op IS NULL must classify as bad=true, not bad=NULL
+        # (a NULL predicate would drop the event from BOTH filters)
+        bad = (
+            F.col("op").isNull()
+            | (~F.col("op").isin("r", "c", "u", "d", "t", "m"))
+            | (
+                F.col("op").isin("r", "c", "u", "d")
+                & ~F.col("tombstone")
+                & sum(
+                    (k.isNull().cast("int") for k in key_src), F.lit(0)
+                ).cast("boolean")
+            )
         )
         quarantined = env.filter(bad)
         dlq_dir = os.path.join(self.table.meta_dir, "dlq", f"batch-{batch_id}")
@@ -350,6 +389,18 @@ class CdcEngine:
         self, env: DataFrame, batch_id: int, kind: str, offsets: dict | None = None
     ) -> dict:
         t0 = time.time()
+        # fence FIRST: a redelivered batch must be a TOTAL no-op. Side
+        # effects below (truncate!, DLQ writes) before the merge's own
+        # fence would re-execute on redelivery — a redelivered truncate
+        # would wipe state the fenced merge then never restores.
+        last = self.table.manifest().summary.get("last_batch", {}).get(
+            self.cfg.writer
+        )
+        if last is not None and batch_id <= last:
+            return {
+                "version": self.table.current_version(),
+                "skipped": True, "reason": "fenced", "wall_sec": 0.0,
+            }
         for tf in self.cfg.transforms:
             env = tf(env)
         if self.cfg.dlq_enabled:
@@ -385,9 +436,14 @@ class CdcEngine:
         }
         scope = self.cfg.merge_scope
         if scope == "auto":
-            n_events = offsets["next"] - offsets["lo"] if offsets else 0
-            dense = n_events >= self.table.manifest().n_buckets * 512
-            scope = "all" if dense else "pruned"
+            if offsets is None:
+                # snapshot-style batches (no stream offsets) touch every
+                # bucket by definition — skip the pruning pre-pass
+                scope = "all"
+            else:
+                n_events = offsets["next"] - offsets["lo"]
+                dense = n_events >= self.table.manifest().n_buckets * 512
+                scope = "all" if dense else "pruned"
         res = self.table.merge(
             changes, batch_id=batch_id, writer=self.cfg.writer, summary=summary,
             scope=scope,

@@ -331,6 +331,11 @@ class LakeTable:
             version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs, files=entries,
             summary={**(summary or {}), "op": "overwrite", "batch_id": batch_id,
+                     # preserve fence + checkpoint: overwrite replaces DATA,
+                     # not replay progress (else the next replay restarts at
+                     # offset 0 and stomps the fresh state with stale events)
+                     "last_batch": m.summary.get("last_batch", {}),
+                     "offsets": m.summary.get("offsets", {}),
                      "committed_ms": int(time.time() * 1000)},
         )
         self._write_manifest(new)
@@ -480,7 +485,9 @@ class LakeTable:
         previousId, core/relational/history/TableChanges.java:49).
         """
         m = self.manifest()
-        flds = [Field(f.id, f.name, f.type, f.nullable) for f in m.fields]
+        flds = [
+            Field(f.id, f.name, f.type, f.nullable, f.default) for f in m.fields
+        ]
         max_id = max((f.id for f in flds), default=0)
         for ch in changes:
             if ch["action"] == "add":
@@ -493,6 +500,15 @@ class LakeTable:
                 fld.name = ch["to"]
             elif ch["action"] == "widen":
                 fld = next(f for f in flds if f.name == ch["name"])
+                if fld.name in m.key_cols:
+                    # bucket assignment hashes by value AND Spark type
+                    # (xxhash64(int) != xxhash64(long) for the same number):
+                    # widening a key column would silently re-map keys to
+                    # different buckets than their existing files
+                    raise ValueError(
+                        f"cannot widen key column {fld.name!r}: bucket "
+                        "hashing is type-sensitive; rewrite the table instead"
+                    )
                 if (fld.type, ch["type"]) not in WIDENINGS:
                     raise ValueError(f"illegal widen {fld.type}->{ch['type']}")
                 fld.type = ch["type"]

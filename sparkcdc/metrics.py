@@ -32,7 +32,12 @@ class MetricsLog:
             return [json.loads(line) for line in fh if line.strip()]
 
     def throughput(self) -> dict:
-        rows = [r for r in self.read() if r.get("n_events") and r.get("wall_sec")]
+        # n_events is -1 for batches without stream offsets (snapshots);
+        # only positive counts contribute to the rate
+        rows = [
+            r for r in self.read()
+            if r.get("n_events", 0) > 0 and r.get("wall_sec")
+        ]
         ev = sum(r["n_events"] for r in rows)
         sec = sum(r["wall_sec"] for r in rows)
         return {"events": ev, "wall_sec": sec, "events_per_sec": ev / sec if sec else 0.0}

@@ -66,11 +66,14 @@ class MultiTableEngine:
         return True
 
     def apply_batch(
-        self, env: DataFrame, batch_id: int, offsets: dict | None = None
+        self, env: DataFrame, batch_id: int | None, offsets: dict | None = None
     ) -> dict[str, dict]:
         """Split one envelope micro-batch by ``source.table`` and apply each
         slice to its table's engine. The batch is persisted so the (possibly
-        expensive) upstream is computed once for all tables."""
+        expensive) upstream is computed once for all tables.
+
+        ``batch_id=None`` → each engine uses its own next id; an explicit
+        id is applied to every engine (and fenced per engine)."""
         qualified = F.concat_ws(
             ".", F.col("source.db"), F.col("source.table")
         )
@@ -78,9 +81,10 @@ class MultiTableEngine:
         try:
             out = {}
             for name, eng in self.engines.items():
+                bid = batch_id if batch_id is not None else eng.committed_batch() + 1
                 part = env.filter(F.col("__qtable") == name).drop("__qtable")
                 out[name] = eng._apply_batch(
-                    part, batch_id=batch_id, kind="replay", offsets=offsets
+                    part, batch_id=bid, kind="replay", offsets=offsets
                 )
             return out
         finally:
@@ -93,8 +97,9 @@ class MultiTableEngine:
         batch_size: int = 1_000_000,
     ) -> dict:
         """Replay a shared offset space into all captured tables. Resume
-        point = min over tables' committed offsets (a table that fell
-        behind re-applies; fencing makes the others' replays no-ops)."""
+        point = min over tables' committed offsets; tables already past a
+        batch's offset range skip it entirely (their checkpoints never
+        regress), so only the tables that fell behind re-apply."""
         start = min(
             (e.committed_offset() for e in self.engines.values()), default=0
         )
@@ -102,14 +107,27 @@ class MultiTableEngine:
         lo = start
         while lo < total_events:
             hi = min(lo + batch_size, total_events)
-            batch_id = 1 + max(
-                e.committed_batch() for e in self.engines.values()
-            )
-            self.apply_batch(
-                envelopes_for(lo, hi), batch_id, offsets={"lo": lo, "next": hi}
-            )
-            stats["batches"] += 1
-            stats["events"] += hi - lo
+            behind = {
+                name: eng for name, eng in self.engines.items()
+                if eng.committed_offset() < hi
+            }
+            if behind:
+                env = envelopes_for(lo, hi)
+                qualified = F.concat_ws(
+                    ".", F.col("source.db"), F.col("source.table")
+                )
+                env = env.withColumn("__qtable", qualified).persist()
+                try:
+                    for name, eng in behind.items():
+                        part = env.filter(F.col("__qtable") == name).drop("__qtable")
+                        eng._apply_batch(
+                            part, batch_id=eng.committed_batch() + 1,
+                            kind="replay", offsets={"lo": lo, "next": hi},
+                        )
+                finally:
+                    env.unpersist()
+                stats["batches"] += 1
+                stats["events"] += hi - lo
             lo = hi
         return stats
 

@@ -34,9 +34,16 @@ class SchemaHistory:
         self.path = path
         os.makedirs(os.path.dirname(path), exist_ok=True)
 
-    def record(self, offset: int, changes: list[dict]) -> None:
-        """Journal a schema change effective for events at >= offset."""
+    def record(
+        self, offset: int, changes: list[dict], base_epoch: int | None = None
+    ) -> None:
+        """Journal a schema change effective for events at >= offset.
+
+        ``base_epoch`` = the table epoch observed just before applying the
+        change (write-ahead intent): recovery re-applies exactly the
+        entries whose target epoch (base+1) the table never reached."""
         entry = {"offset": offset, "changes": changes,
+                 "base_epoch": base_epoch,
                  "ts_ms": int(time.time() * 1000)}
         with open(self.path, "a") as fh:
             fh.write(json.dumps(entry) + "\n")
