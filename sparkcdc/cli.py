@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import tempfile
 
 from .engine import EngineConfig, default_engine
 from .session import get_spark
@@ -89,9 +88,11 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming import rate_envelope_stream, start_stream
 
         stream = rate_envelope_stream(eng, rows_per_second=args.rps)
-        q = start_stream(
-            eng, stream, checkpoint_dir=tempfile.mkdtemp(prefix="sparkcdc_ckpt_")
-        )
+        # checkpoint dir derives from the table root (stream_ckpt under
+        # meta) so streaming batch ids — the fence tokens — survive
+        # restarts; a fresh tempdir would reset them to 0 and the retained
+        # fence would silently drop live batches
+        q = start_stream(eng, stream)
         if args.seconds > 0:
             import time
 

@@ -303,7 +303,14 @@ class CdcEngine:
         from .envelope import snapshot_events
 
         m = self.table.manifest()
-        row_cols = [f.name for f in m.fields]
+        # mirror run_snapshot: a backfill source captured before an 'add' or
+        # 'rename' evolution lacks the new column names — snapshot only the
+        # columns it has (the reconcile/defaults path fills the rest), and
+        # validate the key columns exist
+        row_cols = [f.name for f in m.fields if f.name in source_df.columns]
+        missing_keys = [k for k in m.key_cols if k not in source_df.columns]
+        if missing_keys:
+            raise ValueError(f"backfill source lacks key columns {missing_keys}")
         if stream_window is None:
             stream_window = cdc_events(
                 self.spark, window_hi - window_lo, start=window_lo,
@@ -324,9 +331,12 @@ class CdcEngine:
             "Incremental Snapshot", "STARTED",
             window_lo=window_lo, window_hi=window_hi,
         )
+        # sparse by construction (only keys untouched in the window) →
+        # force the pruned merge scope; the offsets=None default would
+        # otherwise map to scope='all' and rewrite every bucket
         res = self._apply_batch(
             env, batch_id=batch_id, kind="incremental_snapshot",
-            offsets=None,
+            offsets=None, scope="pruned",
         )
         self.notifications.notify(
             "Incremental Snapshot", "COMPLETED", version=res.get("version")
@@ -386,7 +396,8 @@ class CdcEngine:
     # -- core batch path --------------------------------------------------------
 
     def _apply_batch(
-        self, env: DataFrame, batch_id: int, kind: str, offsets: dict | None = None
+        self, env: DataFrame, batch_id: int, kind: str,
+        offsets: dict | None = None, scope: str | None = None,
     ) -> dict:
         t0 = time.time()
         # fence FIRST: a redelivered batch must be a TOTAL no-op. Side
@@ -403,6 +414,27 @@ class CdcEngine:
             }
         for tf in self.cfg.transforms:
             env = tf(env)
+        # the DLQ/truncate probes below would each re-evaluate the whole
+        # upstream pipeline (source + transforms); persist the batch ONCE so
+        # every pass downstream — probes, quarantine write, the reduce —
+        # reads the cached envelope instead of recomputing it. The hot
+        # replay path (no DLQ/no truncate) stays persist-free.
+        persisted = self.cfg.dlq_enabled or self.cfg.truncate_enabled
+        if persisted:
+            env = env.persist()
+        try:
+            return self._apply_batch_inner(
+                env, batch_id=batch_id, kind=kind, offsets=offsets,
+                scope=scope, t0=t0,
+            )
+        finally:
+            if persisted:
+                env.unpersist()
+
+    def _apply_batch_inner(
+        self, env: DataFrame, *, batch_id: int, kind: str,
+        offsets: dict | None, scope: str | None, t0: float,
+    ) -> dict:
         if self.cfg.dlq_enabled:
             env = self._quarantine_malformed(env, batch_id)
         if self.cfg.truncate_enabled:
@@ -411,13 +443,11 @@ class CdcEngine:
             # events after the last truncate survive the reduce. (The
             # reference flushes all buffers then truncates —
             # JdbcChangeEventSink.java:72-158; batch form: same effect.)
-            truncs = [
-                r[0]
-                for r in env.filter(F.col("op") == "t")
-                .select("offset").collect()
-            ]
-            if truncs:
-                t_max = max(truncs)
+            # One aggregate job — only the max truncate offset is needed.
+            t_max = env.filter(F.col("op") == "t").agg(
+                F.max("offset")
+            ).first()[0]
+            if t_max is not None:
                 self.table.delete_where("true", batch_id=batch_id)
                 env = env.filter(F.col("offset") > t_max)
         m = self.table.manifest()
@@ -428,13 +458,18 @@ class CdcEngine:
             src_map=src_map, null_types=null_types, null_defaults=null_defaults,
         )
         # offsets=None (e.g. incremental snapshot: no stream progress) must
-        # carry the prior checkpoint forward, not wipe it
-        summary = {
-            "offsets": offsets
-            if offsets is not None
-            else m.summary.get("offsets", {})
-        }
-        scope = self.cfg.merge_scope
+        # carry the prior checkpoint forward, not wipe it; and a batch whose
+        # data-derived offsets lag the committed checkpoint (redelivered /
+        # out-of-order micro-batch) must never REGRESS it — the replay
+        # resume point only moves forward
+        prev = m.summary.get("offsets", {})
+        if offsets is None:
+            summary = {"offsets": prev}
+        elif int(prev.get("next", 0)) > int(offsets.get("next", 0)):
+            summary = {"offsets": prev}
+        else:
+            summary = {"offsets": offsets}
+        scope = scope or self.cfg.merge_scope
         if scope == "auto":
             if offsets is None:
                 # snapshot-style batches (no stream offsets) touch every

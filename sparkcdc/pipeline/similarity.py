@@ -139,12 +139,21 @@ def seeded_centroids(
 ) -> DataFrame:
     """Deterministic centroid seed set: the ``n_cells`` corpus vectors with
     the smallest ids (a k-means init stand-in; production would run
-    k-means|| once offline and persist the centroids)."""
+    k-means|| once offline and persist the centroids).
+
+    ``orderBy(id).limit(n)`` plans as TakeOrderedAndProject — each task
+    keeps its local top-n and the driver merges n_cells rows — so the seed
+    selection is distributed. (A global ``Window.orderBy`` here would pull
+    the whole corpus through one task — the single-partition-sort trap.)
+    The row_number window that assigns cell ids runs AFTER the limit, over
+    exactly ``n_cells`` rows, so its single partition is trivially small.
+    """
+    small = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(
+        F.col(id_col).asc()
+    ).limit(n_cells)
     w = Window.orderBy(F.col(id_col).asc())
     return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_cells)
+        small.withColumn("__rn", F.row_number().over(w))
         .select((F.col("__rn") - 1).alias("cell"), F.col(vec_col))
     )
 

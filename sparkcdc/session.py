@@ -40,6 +40,13 @@ def get_spark(
         # the lighter codec (+11% replay throughput, BASELINE.md)
         .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # max_by(struct, ord) is a TypedImperativeAggregate → planned as
+        # ObjectHashAggregate, which silently FALLS BACK to sort-based
+        # aggregation after 128 distinct keys per task (the default
+        # fallback threshold) — i.e. every real LWW reduce was sorting.
+        # Raise it so per-key last-write-wins stays a hash aggregation.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "16777216")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKCDC_DRIVER_MEM", "16g"))
     )

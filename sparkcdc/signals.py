@@ -37,9 +37,27 @@ class SignalState:
 
 
 class FileSignalChannel:
-    def __init__(self, path: str):
+    """JSONL signal file. ``state_path`` (recommended: under the table's
+    meta dir) persists the set of processed signal ids so a restarted
+    engine does NOT replay historical signals — the analog of the
+    reference tracking its signal-topic offset. Without it, ids are only
+    deduplicated within one process lifetime."""
+
+    def __init__(self, path: str, state_path: str | None = None):
         self.path = path
+        self.state_path = state_path
         self._processed: set[str] = set()
+        if state_path and os.path.exists(state_path):
+            with open(state_path) as fh:
+                self._processed = set(json.load(fh))
+
+    def _persist(self) -> None:
+        if not self.state_path:
+            return
+        tmp = f"{self.state_path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(self._processed), fh)
+        os.replace(tmp, self.state_path)
 
     def read_new(self) -> list[dict]:
         if not os.path.exists(self.path):
@@ -54,6 +72,8 @@ class FileSignalChannel:
                     continue
                 self._processed.add(sig.get("id"))
                 out.append(sig)
+        if out:
+            self._persist()
         return out
 
 

@@ -25,6 +25,8 @@ micro-batch executor:
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -52,31 +54,61 @@ def rate_envelope_stream(
     )
 
 
+def default_checkpoint_dir(engine: CdcEngine) -> str:
+    """Deterministic checkpoint location under the table's meta dir.
+
+    The streaming batch id is the fence token, and Spark only keeps batch
+    ids stable across restarts when the SAME checkpoint dir is reused — a
+    fresh tempdir per run would restart ids at 0 while the table fence
+    retains the prior run's last_batch, silently fencing out live batches
+    (data loss). Deriving the dir from the table root makes restart-safety
+    the default."""
+    import os
+
+    return os.path.join(engine.table.meta_dir, "stream_ckpt")
+
+
 def start_stream(
     engine: CdcEngine,
     envelope_stream: DataFrame,
-    checkpoint_dir: str,
+    checkpoint_dir: str | None = None,
     *,
     trigger_interval: str = "1 second",
 ) -> StreamingQuery:
     """Attach the engine to an envelope stream; returns the running query.
 
-    The engine writer name scopes the fence: one writer per stream. Batch
-    offsets are taken from the data (min/max of ``offset``), keeping the
-    manifest's lineage identical to batch replay."""
+    Fencing is scoped to a dedicated ``<writer>:stream`` namespace so a
+    batch ``replay`` on the same table (writer='engine', its own batch-id
+    sequence) can never collide with streaming batch ids. Batch offsets are
+    taken from the data (min/max of ``offset``), keeping the manifest's
+    lineage identical to batch replay; the engine clamps the committed
+    offset so a redelivered early batch can't regress the checkpoint."""
+    if checkpoint_dir is None:
+        checkpoint_dir = default_checkpoint_dir(engine)
+    stream_engine = CdcEngine(
+        engine.spark, engine.table,
+        config=replace(engine.cfg, writer=f"{engine.cfg.writer}:stream"),
+        signal_processor=engine.signals,
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        bounds = batch_df.agg(
-            F.min("offset").alias("lo"), F.max("offset").alias("hi")
-        ).collect()[0]
-        engine._apply_batch(
-            batch_df,
-            batch_id=batch_id,
-            kind="stream",
-            offsets={"lo": int(bounds["lo"]), "next": int(bounds["hi"]) + 1},
-        )
+        # persist ONCE: the bounds probe and the reduce->merge pipeline
+        # would otherwise each re-evaluate the micro-batch from source
+        batch_df = batch_df.persist()
+        try:
+            bounds = batch_df.agg(
+                F.min("offset").alias("lo"), F.max("offset").alias("hi")
+            ).collect()[0]
+            stream_engine._apply_batch(
+                batch_df,
+                batch_id=batch_id,
+                kind="stream",
+                offsets={"lo": int(bounds["lo"]), "next": int(bounds["hi"]) + 1},
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         envelope_stream.writeStream.foreachBatch(apply_batch)

@@ -158,8 +158,11 @@ def test_streaming_foreachbatch_applies_and_fences(spark, tmp_root):
     assert eng.committed_offset() > 0
     state = eng.table.read()
     assert state.count() > 0
-    # lineage recorded per stream batch
-    assert eng.committed_batch() >= 0
+    # lineage recorded per stream batch — streaming fences live in their
+    # own "<writer>:stream" namespace so a batch replay on the same table
+    # can never collide with streaming batch ids
+    last = eng.table.manifest().summary.get("last_batch", {})
+    assert last.get("stream:stream", -1) >= 0
 
 
 def cdc_rate_stream(spark, eng):
