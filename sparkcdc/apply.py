@@ -75,20 +75,28 @@ def reduce_last_write_wins(
     order_cols: list[str] | None = None,
     salt_buckets: int = 0,
     strategy: str = "auto",
+    cache: bool = False,
 ) -> DataFrame:
     """Reduce to one row per key: the row with the max ordering tuple wins.
 
     strategy:
-    - ``narrow`` (default via auto for a single scalar order column): shuffle
-      ONLY (key, order) — a plain ``max`` that hash-aggregates with map-side
-      partial combine — then join the winners back to the batch. The join
-      side with winners is small (≤ #keys rows of key+order) so AQE
-      broadcasts it; the fat payload (content!) is NEVER shuffled. At
-      production row widths this cuts shuffle bytes ~6× and removes the
-      SortAggregate that ``max_by``'s struct buffer forces.
+    - ``narrow``: shuffle ONLY (key, order) — a plain ``max`` that
+      hash-aggregates with map-side partial combine — then semi-join the
+      winners back to the batch. The fat payload (content!) is NEVER
+      shuffled: at production row widths this cuts shuffle bytes ~6×.
       Requires the order column to be unique per key within the batch
-      (true for log offsets).
-    - ``fat``: classic single-pass ``max_by(row_struct, order)``.
+      (true for log offsets). The winners side is left UN-hinted: AQE
+      broadcasts it at runtime when it fits, and falls back to a shuffled
+      join when the distinct-key count is too large to broadcast — the
+      mandatory ``F.broadcast`` hint had a cliff at ~10^8 keys/batch
+      (driver OOM), so the optimizer decides from the REAL post-shuffle
+      size. Pass ``cache=True`` when ``changes`` is expensive to recompute
+      (a parsed external stream): the probe side then reads the persisted
+      batch instead of re-evaluating the source. The caller must
+      materialize the result before the input goes out of scope.
+    - ``fat``: classic single-pass ``max_by(row_struct, order)``
+      (hash-aggregated — session config raises the ObjectHashAggregate
+      sort fallback threshold).
 
     ``salt_buckets > 0`` (fat path) enables two-level aggregation for
     skewed keys (SURVEY §4(c)): a first max_by per (key, salt) shrinks a
@@ -104,12 +112,10 @@ def reduce_last_write_wins(
         strategy = "fat"
     if strategy == "narrow":
         oc = order_cols[0]
+        if cache:
+            changes = changes.persist()
         winners = changes.groupBy(*key_cols).agg(F.max(oc).alias(oc))
-        # without the hint Spark sort-merge-joins, re-shuffling (and
-        # sorting!) the fat side — which narrow exists to avoid
-        return changes.join(
-            F.broadcast(winners), on=[*key_cols, oc], how="left_semi"
-        )
+        return changes.join(winners, on=[*key_cols, oc], how="left_semi")
     return _reduce_lww_fat(
         changes, key_cols, order_cols=order_cols, salt_buckets=salt_buckets
     )

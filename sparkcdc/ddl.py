@@ -1,0 +1,220 @@
+"""DDL-string schema-change capture: a pragmatic MySQL-flavored DDL parser
+producing TableChanges-style dicts that feed :meth:`LakeTable.evolve` and
+the schema history journal.
+
+Reference: Debezium parses real DDL from the binlog with a full ANTLR
+grammar (debezium-ddl-parser/, BinlogAntlrDdlParserTest.java; corpora at
+debezium-ddl-parser/src/test/resources/mysql/examples/*.sql) into
+``TableChanges`` (core/relational/history/TableChanges.java:92,208-211 —
+CREATE/ALTER/DROP, rename carried as ALTER with previousId). This module
+covers the subset a lake sink can act on — CREATE TABLE, ALTER TABLE
+ADD/RENAME/CHANGE/MODIFY/DROP COLUMN, RENAME/DROP/TRUNCATE TABLE — with
+the same output shape; anything else raises ``UnsupportedDdl`` so callers
+can journal-and-skip like the reference's non-table DDL events.
+
+The grammar subset is hand-written (regex + split) on purpose: the engine
+needs exactly the statements that change a captured table's shape, and the
+reference's 10k-line grammar mostly handles dialect noise a lake sink
+ignores (engines, charsets, index options).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+#: MySQL type name → lake manifest type
+_TYPE_MAP = [
+    (r"tinyint\s*\(\s*1\s*\)|bool(ean)?", "boolean"),
+    (r"(tiny|small|medium)?int(eger)?(\s*\(\d+\))?(\s+unsigned)?", None),  # int-ish, see below
+    (r"bigint(\s*\(\d+\))?(\s+unsigned)?", "long"),
+    (r"float(\s*\(\d+(,\s*\d+)?\))?", "float"),
+    (r"(double|real)(\s+precision)?(\s*\(\d+(,\s*\d+)?\))?", "double"),
+    (r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)|numeric\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", "decimal"),
+    (r"(var)?char(acter)?(\s*\(\d+\))?|(tiny|medium|long)?text|enum\s*\(.*?\)|set\s*\(.*?\)|json|uuid", "string"),
+    (r"(var)?binary(\s*\(\d+\))?|(tiny|medium|long)?blob", "binary"),
+    (r"datetime(\s*\(\d+\))?|timestamp(\s*\(\d+\))?", "timestamp"),
+    (r"date", "date"),
+    (r"time(\s*\(\d+\))?|year", "long"),
+]
+
+
+class UnsupportedDdl(ValueError):
+    """Statement outside the supported subset (callers journal + skip)."""
+
+
+def map_type(sql_type: str) -> str:
+    s = sql_type.strip().lower()
+    for pat, t in _TYPE_MAP:
+        m = re.fullmatch(pat, s)
+        if m:
+            if t == "decimal":
+                nums = [g for g in m.groups() if g and g.isdigit()]
+                return f"decimal({nums[0]},{nums[1]})"
+            if t is None:  # int family: unsigned ints widen (SURVEY §2.7)
+                if "bigint" in s:
+                    return "long"
+                return "long" if "unsigned" in s else "int"
+            return t
+    raise UnsupportedDdl(f"unmapped SQL type: {sql_type!r}")
+
+
+@dataclass
+class TableChange:
+    """One parsed statement — the TableChanges.java entry analog."""
+
+    type: str  # CREATE | ALTER | DROP | TRUNCATE | RENAME
+    table: str
+    previous_table: str | None = None  # RENAME: old id (previousId analog)
+    fields: list[tuple[str, str]] = field(default_factory=list)  # CREATE
+    key_cols: list[str] = field(default_factory=list)  # CREATE
+    changes: list[dict] = field(default_factory=list)  # ALTER → evolve dicts
+
+
+def _ident(s: str) -> str:
+    return s.strip().strip("`\"'")
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+_COL_STOPWORDS = re.compile(
+    r"\s+(not\s+null|null|default\s+\S+|auto_increment|comment\s+'[^']*'"
+    r"|primary\s+key|unique|collate\s+\S+|character\s+set\s+\S+)",
+    re.I,
+)
+
+
+def _parse_create(body: str, table: str) -> TableChange:
+    fields, keys = [], []
+    for item in _split_top_level(body):
+        item = item.strip()
+        low = item.lower()
+        if low.startswith("primary key"):
+            inner = item[item.find("(") + 1 : item.rfind(")")]
+            keys = [_ident(c) for c in inner.split(",")]
+            continue
+        if low.startswith(("key ", "key(", "index", "unique", "constraint",
+                           "foreign", "check")):
+            continue  # index/constraint noise a lake sink ignores
+        m = re.match(r"[`\"]?(\w+)[`\"]?\s+(.+)", item, re.S)
+        if not m:
+            raise UnsupportedDdl(f"unparsable column def: {item!r}")
+        name, rest = m.group(1), m.group(2)
+        if re.search(r"\bprimary\s+key\b", rest, re.I):
+            keys.append(name)
+        rest = _COL_STOPWORDS.sub("", rest).strip()
+        fields.append((name, map_type(rest)))
+    return TableChange(type="CREATE", table=table, fields=fields, key_cols=keys)
+
+
+def _parse_alter_item(item: str, current_types: dict[str, str] | None) -> list[dict]:
+    item = item.strip()
+    low = item.lower()
+    if m := re.match(r"add\s+(column\s+)?[`\"]?(\w+)[`\"]?\s+(.+)", item, re.I | re.S):
+        rest = m.group(3)
+        dm = re.search(r"default\s+('([^']*)'|\S+)", rest, re.I)
+        default = None
+        if dm:
+            default = dm.group(2) if dm.group(2) is not None else dm.group(1)
+            if isinstance(default, str) and default.lower() in ("null",):
+                default = None
+        rest = _COL_STOPWORDS.sub("", rest).strip()
+        out = {"action": "add", "name": m.group(2), "type": map_type(rest)}
+        if default is not None:
+            ty = out["type"]
+            out["default"] = (
+                int(default) if ty in ("int", "long")
+                else float(default) if ty in ("float", "double")
+                else default
+            )
+        return [out]
+    if m := re.match(r"rename\s+column\s+[`\"]?(\w+)[`\"]?\s+to\s+[`\"]?(\w+)[`\"]?", item, re.I):
+        return [{"action": "rename", "from": m.group(1), "to": m.group(2)}]
+    if m := re.match(r"change\s+(column\s+)?[`\"]?(\w+)[`\"]?\s+[`\"]?(\w+)[`\"]?\s+(.+)", item, re.I | re.S):
+        old, new, rest = m.group(2), m.group(3), m.group(4)
+        rest = _COL_STOPWORDS.sub("", rest).strip()
+        new_type = map_type(rest)
+        out = []
+        if old != new:
+            out.append({"action": "rename", "from": old, "to": new})
+        if current_types is not None and current_types.get(old) not in (None, new_type):
+            out.append({"action": "widen", "name": new, "type": new_type})
+        return out
+    if m := re.match(r"modify\s+(column\s+)?[`\"]?(\w+)[`\"]?\s+(.+)", item, re.I | re.S):
+        rest = _COL_STOPWORDS.sub("", rest if (rest := m.group(3)) else "")
+        new_type = map_type(rest.strip())
+        name = m.group(2)
+        if current_types is not None and current_types.get(name) == new_type:
+            return []  # nullability/default tweak only
+        return [{"action": "widen", "name": name, "type": new_type}]
+    if m := re.match(r"drop\s+(column\s+)?[`\"]?(\w+)[`\"]?$", item, re.I):
+        return [{"action": "drop", "name": m.group(2)}]
+    raise UnsupportedDdl(f"unsupported ALTER clause: {item!r}")
+
+
+def parse_ddl(
+    sql: str, current_types: dict[str, str] | None = None
+) -> list[TableChange]:
+    """Parse one-or-more ``;``-separated DDL statements.
+
+    ``current_types`` (column → manifest type of the captured table) lets
+    CHANGE/MODIFY distinguish a real type widen from a constraint tweak —
+    the reference resolves this against its in-memory ``Tables`` catalog.
+    """
+    out = []
+    for stmt in sql.split(";"):
+        stmt = re.sub(r"\s+", " ", stmt.strip())
+        if not stmt:
+            continue
+        low = stmt.lower()
+        if m := re.match(r"create\s+table\s+(if\s+not\s+exists\s+)?([`\"\w.]+)\s*\((.*)\)[^)]*$", stmt, re.I | re.S):
+            out.append(_parse_create(m.group(3), _ident(m.group(2))))
+        elif m := re.match(r"alter\s+table\s+([`\"\w.]+)\s+(.*)$", stmt, re.I | re.S):
+            table, rest = _ident(m.group(1)), m.group(2)
+            if rm := re.match(r"rename\s+(to\s+)?[`\"]?([\w.]+)[`\"]?$", rest, re.I):
+                out.append(TableChange(type="RENAME", table=_ident(rm.group(2)),
+                                       previous_table=table))
+                continue
+            changes = []
+            for item in _split_top_level(rest):
+                changes.extend(_parse_alter_item(item, current_types))
+            out.append(TableChange(type="ALTER", table=table, changes=changes))
+        elif m := re.match(r"rename\s+table\s+([`\"\w.]+)\s+to\s+([`\"\w.]+)", stmt, re.I):
+            out.append(TableChange(type="RENAME", table=_ident(m.group(2)),
+                                   previous_table=_ident(m.group(1))))
+        elif m := re.match(r"drop\s+table\s+(if\s+exists\s+)?([`\"\w.]+)", stmt, re.I):
+            out.append(TableChange(type="DROP", table=_ident(m.group(2))))
+        elif m := re.match(r"truncate\s+(table\s+)?([`\"\w.]+)", stmt, re.I):
+            out.append(TableChange(type="TRUNCATE", table=_ident(m.group(2))))
+        else:
+            raise UnsupportedDdl(f"unsupported statement: {stmt[:80]!r}")
+    return out
+
+
+def apply_ddl(table, sql: str) -> list[TableChange]:
+    """Parse ``sql`` and apply ALTERs addressed to ``table`` via
+    :meth:`LakeTable.evolve` (the DDL → TableChanges → sink-evolution
+    pipeline of SchemaHistory.record + JdbcChangeEventSink auto-ALTER).
+    Returns the parsed changes (for journaling)."""
+    m = table.manifest()
+    current = {f.name: f.type for f in m.fields}
+    parsed = parse_ddl(sql, current_types=current)
+    for tc in parsed:
+        if tc.type == "ALTER" and tc.changes:
+            table.evolve(tc.changes)
+    return parsed

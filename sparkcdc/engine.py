@@ -45,18 +45,41 @@ class EngineConfig:
     seed: int = 42
     hot_key_permille: int = 0
     salt_buckets: int = 0  # >0 => two-level reduce for hot keys
+    #: "fat" | "narrow" | "narrow_cached" | "refetch" — per-key LWW reduce
+    #: shape (apply.reduce_last_write_wins). narrow shuffles only
+    #: (key, offset) and wins when rows are wide; narrow_cached
+    #: additionally persists the flattened batch so the semi-join probe
+    #: side doesn't recompute the source (the right choice for
+    #: expensive/external sources). refetch is the two-phase plan for
+    #: offset-addressable (seekable) sources — a Kafka consumer can seek,
+    #: a log store can re-read, the generator is closed-form: phase 1
+    #: reduces a (key, offset)-ONLY projection (column pruning means the
+    #: payload is never computed/fetched), phase 2 re-fetches just the
+    #: winning offsets' full records. Payload work drops from O(batch) to
+    #: O(keys) — the same idea as the reference's ReselectColumnsPost-
+    #: Processor re-querying the source for payloads it needs.
+    reduce_strategy: str = "fat"
     content_chars: int = 64
     snapshot_mode: str = "initial"  # initial | no_data | never (BinlogConnectorConfig.java:126-181)
     transforms: list[Transform] = field(default_factory=list)
     writer: str = "engine"
-    #: "auto" | "all" | "pruned" — bucket pruning strategy for MERGE.
-    #: auto: dense batches (>= 512 events/bucket expected) rewrite all
-    #: buckets in one job; sparse batches pay a tiny pre-pass to rewrite
-    #: only the buckets they touch.
-    merge_scope: str = "auto"
+    #: "mor" | "cow" — sink commit mode (K1/K2). ``mor`` (merge-on-read,
+    #: the default): each batch commits O(batch) delta bytes and deltas are
+    #: folded down by bucket-aligned compaction once a bucket accumulates
+    #: ``compact_max_deltas`` of them; ``cow``: every merge leaves pure
+    #: base files (compact-in-commit). Both read back identically.
+    commit_mode: str = "mor"
+    #: compact a bucket when it holds this many outstanding delta files
+    #: (bounds read amplification AND disk growth; the replay hot path
+    #: then costs amortized O(batch + state/compact_max_deltas) per batch)
+    compact_max_deltas: int = 8
     #: route malformed events (bad op, missing key) to a _dlq table instead
     #: of failing the batch (K8, cf. debezium-sink dlq/ErrorReporter.java)
     dlq_enabled: bool = False
+    #: emit BEGIN/END transaction markers per micro-batch into the <meta>/tx
+    #: table (A3, provide.transaction.metadata;
+    #: core/pipeline/txmetadata/TransactionMonitor.java:31-117)
+    provide_transaction_metadata: bool = False
     #: honor op='t' TRUNCATE events by clearing table state at the truncate
     #: offset (K4, truncate.enabled; JdbcChangeEventSink flush-ordering:
     #: truncate flushes everything before continuing)
@@ -150,6 +173,7 @@ class CdcEngine:
         env = snapshot_events(
             source_df, row_cols=row_cols, key_cols=m.key_cols,
             n_parts=self.cfg.n_parts, table_name=self.table.name,
+            mark_boundaries=True,  # FIRST/LAST completion markers
         )
         # committed_batch()+1 so an `always`-mode re-snapshot isn't fenced
         self.notifications.notify("Initial Snapshot", "STARTED")
@@ -166,6 +190,7 @@ class CdcEngine:
         total_events: int,
         envelopes_for: Callable[[int, int], DataFrame] | None = None,
         schema_changes: list[tuple[int, list[dict]]] | None = None,
+        envelopes_for_ids: Callable[[DataFrame], DataFrame] | None = None,
     ) -> dict:
         """Replay events [committed, total_events) in micro-batches.
 
@@ -183,12 +208,22 @@ class CdcEngine:
         """
         cfg = self.cfg
         if envelopes_for is None:
+            from .envelope import cdc_events_over_ids
+
             envelopes_for = lambda lo, hi: cdc_events(  # noqa: E731
                 self.spark, hi - lo, start=lo, n_keys=cfg.n_keys,
                 n_parts=cfg.n_parts, seed=cfg.seed,
                 hot_key_permille=cfg.hot_key_permille,
                 content_chars=cfg.content_chars,
             )
+            if envelopes_for_ids is None:
+                # the generator is trivially offset-addressable (closed
+                # form) — enables the two-phase "refetch" reduce
+                envelopes_for_ids = lambda ids: cdc_events_over_ids(  # noqa: E731
+                    ids, n_keys=cfg.n_keys, n_parts=cfg.n_parts,
+                    seed=cfg.seed, hot_key_permille=cfg.hot_key_permille,
+                    content_chars=cfg.content_chars,
+                )
         start = self.committed_offset()
         batch_id = self.committed_batch() + 1
         self._catch_up_schema_journal()
@@ -222,7 +257,8 @@ class CdcEngine:
                     continue
                 env = envelopes_for(sub_lo, sub_hi)
                 r = self._apply_batch(env, batch_id=batch_id, kind="replay",
-                                      offsets={"lo": sub_lo, "next": sub_hi})
+                                      offsets={"lo": sub_lo, "next": sub_hi},
+                                      refetch_ids=envelopes_for_ids)
                 stats["batches"] += 1
                 stats["events"] += sub_hi - sub_lo
                 stats["wall_sec"] += r["wall_sec"]
@@ -286,6 +322,15 @@ class CdcEngine:
             return None
         return self.spark.read.parquet(os.path.join(root, "*"))
 
+    def tx_log(self) -> DataFrame | None:
+        """Read the transaction-marker table (the reference's
+        ``<topic>.transaction`` stream analog); None if tx metadata was
+        never enabled."""
+        root = os.path.join(self.table.meta_dir, "tx")
+        if not os.path.isdir(root) or not os.listdir(root):
+            return None
+        return self.spark.read.parquet(os.path.join(root, "*"))
+
     # -- incremental snapshot (S9-S13) -------------------------------------------
 
     def run_incremental_snapshot(
@@ -325,18 +370,19 @@ class CdcEngine:
         env = snapshot_events(
             deduped, row_cols=row_cols, key_cols=m.key_cols,
             n_parts=self.cfg.n_parts,
+            snapshot_marker="incremental",  # SnapshotRecord.INCREMENTAL
         )
         batch_id = self.committed_batch() + 1
         self.notifications.notify(
             "Incremental Snapshot", "STARTED",
             window_lo=window_lo, window_hi=window_hi,
         )
-        # sparse by construction (only keys untouched in the window) →
-        # force the pruned merge scope; the offsets=None default would
-        # otherwise map to scope='all' and rewrite every bucket
+        # one-shot backfill: commit copy-on-write so the touched buckets
+        # are compacted in the same commit (sparse batches only touch the
+        # buckets their keys hash to — the delta write prunes for free)
         res = self._apply_batch(
             env, batch_id=batch_id, kind="incremental_snapshot",
-            offsets=None, scope="pruned",
+            offsets=None, mode="cow",
         )
         self.notifications.notify(
             "Incremental Snapshot", "COMPLETED", version=res.get("version")
@@ -397,7 +443,8 @@ class CdcEngine:
 
     def _apply_batch(
         self, env: DataFrame, batch_id: int, kind: str,
-        offsets: dict | None = None, scope: str | None = None,
+        offsets: dict | None = None, mode: str | None = None,
+        refetch_ids: Callable[[DataFrame], DataFrame] | None = None,
     ) -> dict:
         t0 = time.time()
         # fence FIRST: a redelivered batch must be a TOTAL no-op. Side
@@ -414,18 +461,22 @@ class CdcEngine:
             }
         for tf in self.cfg.transforms:
             env = tf(env)
-        # the DLQ/truncate probes below would each re-evaluate the whole
+        # the DLQ/truncate/tx probes below would each re-evaluate the whole
         # upstream pipeline (source + transforms); persist the batch ONCE so
         # every pass downstream — probes, quarantine write, the reduce —
         # reads the cached envelope instead of recomputing it. The hot
-        # replay path (no DLQ/no truncate) stays persist-free.
-        persisted = self.cfg.dlq_enabled or self.cfg.truncate_enabled
+        # replay path (no DLQ/no truncate/no tx markers) stays persist-free.
+        persisted = (
+            self.cfg.dlq_enabled
+            or self.cfg.truncate_enabled
+            or self.cfg.provide_transaction_metadata
+        )
         if persisted:
             env = env.persist()
         try:
             return self._apply_batch_inner(
                 env, batch_id=batch_id, kind=kind, offsets=offsets,
-                scope=scope, t0=t0,
+                mode=mode, t0=t0, refetch_ids=refetch_ids,
             )
         finally:
             if persisted:
@@ -433,10 +484,21 @@ class CdcEngine:
 
     def _apply_batch_inner(
         self, env: DataFrame, *, batch_id: int, kind: str,
-        offsets: dict | None, scope: str | None, t0: float,
+        offsets: dict | None, mode: str | None, t0: float,
+        refetch_ids: Callable[[DataFrame], DataFrame] | None = None,
     ) -> dict:
         if self.cfg.dlq_enabled:
             env = self._quarantine_malformed(env, batch_id)
+        if self.cfg.provide_transaction_metadata:
+            # TransactionMonitor analog: BEGIN/END markers for every tx in
+            # this micro-batch land in the <meta>/tx metadata table
+            from .txmetadata import transaction_markers
+
+            transaction_markers(env).withColumn(
+                "__batch", F.lit(batch_id)
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.table.meta_dir, "tx", f"batch-{batch_id}")
+            )
         if self.cfg.truncate_enabled:
             # K4 truncate ordering: a TRUNCATE at offset T discards all
             # earlier state AND all earlier events in this batch; only
@@ -453,10 +515,61 @@ class CdcEngine:
         m = self.table.manifest()
         row_cols = [f.name for f in m.fields]
         src_map, null_types, null_defaults = self._reconcile_schema(env, m)
-        changes = apply_mod.reduce_envelopes(
-            env, row_cols, m.key_cols, salt_buckets=self.cfg.salt_buckets,
-            src_map=src_map, null_types=null_types, null_defaults=null_defaults,
-        )
+        strategy = self.cfg.reduce_strategy
+        cached = False
+        if (
+            strategy == "refetch"
+            and refetch_ids is not None
+            and kind == "replay"
+        ):
+            # Two-phase reduce for seekable sources: phase 1 reduces a
+            # (key, offset)-only projection — Catalyst column pruning means
+            # the payload columns are never computed/fetched and map-side
+            # partial aggregation collapses the batch to ≤ #keys rows per
+            # task before the (tiny) shuffle. Phase 2 re-fetches ONLY the
+            # winning offsets' full records. Payload work: O(keys), not
+            # O(batch). (Kafka `seek`, log-store range reads, and the
+            # closed-form generator all support phase 2; cf. the
+            # reference's ReselectColumnsPostProcessor re-querying the
+            # source, core/processors/reselect/*.java:51.)
+            keys_only = apply_mod.envelopes_to_changes(
+                env, m.key_cols, src_map=src_map,
+                null_types=null_types, null_defaults=null_defaults,
+            )
+            winning = (
+                keys_only.groupBy(*m.key_cols)
+                .agg(F.max("offset").alias("offset"))
+                .select(F.col("offset").alias("id"))
+            )
+            env_w = refetch_ids(winning)
+            # the SMT chain ran on the phase-1 batch; re-fetched records
+            # need it too (projections like masking; filters re-apply
+            # idempotently)
+            for tf in self.cfg.transforms:
+                env_w = tf(env_w)
+            changes = apply_mod.envelopes_to_changes(
+                env_w, row_cols, src_map=src_map,
+                null_types=null_types, null_defaults=null_defaults,
+            ).select(*row_cols, "_op")  # one row per key by construction
+        else:
+            flat = apply_mod.envelopes_to_changes(
+                env, row_cols,
+                src_map=src_map, null_types=null_types,
+                null_defaults=null_defaults,
+            )
+            if strategy == "refetch":
+                strategy = "fat"  # non-replay batches / unseekable source
+            cached = strategy == "narrow_cached"
+            if cached:
+                # persist the flattened batch so the narrow semi-join's
+                # probe side reads the cache instead of re-evaluating the
+                # source; unpersisted after merge materializes the result
+                flat = flat.persist()
+                strategy = "narrow"
+            changes = apply_mod.reduce_last_write_wins(
+                flat, m.key_cols, salt_buckets=self.cfg.salt_buckets,
+                strategy=strategy,
+            ).select(*row_cols, "_op")
         # offsets=None (e.g. incremental snapshot: no stream progress) must
         # carry the prior checkpoint forward, not wipe it; and a batch whose
         # data-derived offsets lag the committed checkpoint (redelivered /
@@ -469,20 +582,22 @@ class CdcEngine:
             summary = {"offsets": prev}
         else:
             summary = {"offsets": offsets}
-        scope = scope or self.cfg.merge_scope
-        if scope == "auto":
-            if offsets is None:
-                # snapshot-style batches (no stream offsets) touch every
-                # bucket by definition — skip the pruning pre-pass
-                scope = "all"
-            else:
-                n_events = offsets["next"] - offsets["lo"]
-                dense = n_events >= self.table.manifest().n_buckets * 512
-                scope = "all" if dense else "pruned"
         res = self.table.merge(
             changes, batch_id=batch_id, writer=self.cfg.writer, summary=summary,
-            scope=scope,
+            mode=mode or self.cfg.commit_mode,
         )
+        if cached:
+            flat.unpersist()
+        # MOR bookkeeping: fold down any bucket that has accumulated its
+        # delta budget (bounds read amplification + disk growth); the
+        # compaction is bucket-aligned and exchange-free (lake.compact)
+        if not res.get("skipped"):
+            due = {
+                b for b, c in self.table.delta_counts().items()
+                if c >= self.cfg.compact_max_deltas
+            }
+            if due:
+                self.table.compact(buckets=due)
         if self.cfg.expire_keep_last > 0:
             self.table.expire_versions(keep_last=self.cfg.expire_keep_last)
         wall = time.time() - t0

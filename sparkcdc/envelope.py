@@ -293,6 +293,8 @@ def snapshot_events(
     snapshot_ts_ms: int = 1_700_000_000_000,
     table_name: str = "source_code_repos",
     db_name: str = "code",
+    snapshot_marker: str = "true",
+    mark_boundaries: bool = False,
 ) -> DataFrame:
     """Wrap a consistent table read as op='r' envelopes.
 
@@ -301,6 +303,14 @@ def snapshot_events(
     Here a snapshot is just a pinned read of the source table (Iceberg
     snapshot isolation; no locks, cf. BinlogSnapshotChangeEventSource.java:155-209
     whose FLUSH TABLES WITH READ LOCK this replaces for free).
+
+    ``source.snapshot`` marker granularity (SnapshotRecord.java:16-44):
+    ``snapshot_marker`` is the base value ('true', or 'incremental' for
+    ad-hoc backfills); with ``mark_boundaries`` the rows holding the
+    min/max key hash are tagged ``first_in_data_collection`` /
+    ``last_in_data_collection`` so downstream consumers can detect
+    per-table snapshot completion (the reference's FIRST/LAST markers) —
+    one tiny scalar aggregate, no sort, no window.
     """
     row_cols = row_cols or [n for n, _ in REPO_ROW_FIELDS]
     key_cols = key_cols or REPO_KEY
@@ -310,11 +320,24 @@ def snapshot_events(
     )
     # hash routing of keys to partitions (PartitionRouting.java:241)
     key_hash = F.xxhash64(*[F.col(c) for c in key_cols])
+    marker = F.lit(snapshot_marker)
+    if mark_boundaries:
+        bounds = source_df.agg(
+            F.min(key_hash).alias("lo"), F.max(key_hash).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            marker = (
+                F.when(key_hash == bounds["lo"],
+                       F.lit("first_in_data_collection"))
+                .when(key_hash == bounds["hi"],
+                      F.lit("last_in_data_collection"))
+                .otherwise(marker)
+            )
     src = F.struct(
         F.lit("sparkcdc").alias("name"),
         F.lit(db_name).alias("db"),
         F.lit(table_name).alias("table"),
-        F.lit("true").alias("snapshot"),  # SnapshotRecord.java TRUE
+        marker.alias("snapshot"),  # SnapshotRecord.java:16-44
         F.lit(None).cast("string").alias("file"),
         F.lit(-1).cast("long").alias("pos"),
         F.lit(0).alias("row"),

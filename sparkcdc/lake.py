@@ -10,10 +10,14 @@ mirrors Iceberg's model so the production swap is mechanical:
 - every commit writes a new JSON *manifest* listing the exact data files of
   that version, then atomically flips a VERSION pointer (Iceberg's metadata
   pointer swap). Readers of version K never see a torn state;
-- MERGE is copy-on-write per bucket: a change batch only rewrites the
-  buckets that contain changed keys — at 100 TB / 4096 buckets a micro-batch
-  touching k buckets rewrites k/4096 of the table, and the bucket pruning
-  happens driver-side from the manifest (Iceberg manifest pruning);
+- MERGE is shuffle-to-storage: the reduced batch is hash-partitioned once
+  onto its buckets and lands as bucket-partitioned *delta* files — current
+  state is never shuffled. In merge-on-read mode (Iceberg
+  position/equality-delete analog) the commit stops there, O(batch) bytes;
+  in copy-on-write mode the affected buckets are immediately compacted.
+  Compaction itself is a storage-partitioned join: one task per bucket
+  reads that bucket's base+delta files directly (pyarrow) and rewrites
+  them — no exchange, no sort, ever, of table state;
 - schema evolution is field-id based (Iceberg-style): rename keeps the id,
   so files written before the rename are mapped correctly at read time;
   int->long / float->double widening is a read-side cast of old files;
@@ -70,6 +74,28 @@ def type_of(name: str) -> T.DataType:
         p, s = name[name.find("(") + 1 : -1].split(",")
         return T.DecimalType(int(p), int(s))
     return _TYPE_TO_SPARK[name]
+
+
+def arrow_type_of(name: str):
+    """The pyarrow dtype for a manifest type name (used by the
+    storage-partitioned compaction path, which reads parquet with pyarrow
+    inside Spark tasks)."""
+    import pyarrow as pa
+
+    if name.startswith("decimal"):
+        p, s = name[name.find("(") + 1 : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    return {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+    }[name]
 
 
 @dataclass
@@ -245,7 +271,15 @@ class LakeTable:
     ) -> DataFrame:
         """Read table state at ``version`` (default: current), optionally
         pruned to a bucket subset (driver-side manifest pruning — the
-        scale-critical path for MERGE)."""
+        scale-critical path for MERGE).
+
+        Merge-on-read reconciliation: when the selected files include delta
+        files (MOR commits, Iceberg equality-delete analog), the winning
+        row per key is the one from the highest commit ``seq`` — each file
+        holds at most one row per key (base files are compacted state;
+        delta files are reduced batches), so ``max_by(row, seq)`` per key
+        is exact. Delete markers (``_op='d'``) drop the key. Base-only
+        reads skip the reconcile entirely (buckets are file-disjoint)."""
         m = self.manifest(version)
         cur = {f.id: f for f in m.fields}
         files = [
@@ -254,17 +288,18 @@ class LakeTable:
         ]
         if not files:
             return self.spark.createDataFrame([], m.spark_schema())
+        has_delta = any(f.get("kind", "base") == "delta" for f in files)
 
-        # group files by their write-time epoch; map each group's columns to
-        # the current schema by field id (rename-safe), cast widened types,
-        # fill columns added later with NULL. Iceberg does exactly this.
-        by_epoch: dict[int, list[str]] = {}
+        # group files by (write-time epoch, kind, commit seq); map each
+        # group's columns to the current schema by field id (rename-safe),
+        # cast widened types, fill columns added later with NULL/default.
+        # Iceberg does exactly this.
+        groups: dict[tuple, list[str]] = {}
         for f in files:
-            by_epoch.setdefault(f["epoch"], []).append(
-                os.path.join(self.dir, f["path"])
-            )
+            k = (f["epoch"], f.get("kind", "base"), f.get("seq", 0))
+            groups.setdefault(k, []).append(os.path.join(self.dir, f["path"]))
         parts = []
-        for ep, paths in by_epoch.items():
+        for (ep, kind, seq), paths in groups.items():
             old = {f.id: f for f in m.epochs[str(ep)]}
             df = self.spark.read.parquet(*paths)
             cols = []
@@ -280,30 +315,52 @@ class LakeTable:
                     cols.append(
                         F.lit(cf.default).cast(type_of(cf.type)).alias(cf.name)
                     )
+            if has_delta:
+                cols.append(
+                    (F.col("_op") if kind == "delta" else F.lit("u")).alias("__op")
+                )
+                cols.append(F.lit(seq).cast("long").alias("__seq"))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if not has_delta:
+            return out
+        names = [f.name for f in m.fields]
+        payload = [c for c in names if c not in m.key_cols] + ["__op"]
+        row = F.struct(*[F.col(c) for c in payload])
+        return (
+            out.groupBy(*m.key_cols)
+            .agg(F.max_by(row, F.col("__seq")).alias("__r"))
+            .select(*m.key_cols, "__r.*")
+            .filter(F.col("__op") != "d")
+            .select(*names)
+        )
 
     # -- write paths ----------------------------------------------------------
 
-    def _write_data(self, df: DataFrame, commit_tag: str) -> list[dict]:
+    def _write_data(
+        self, df: DataFrame, commit_tag: str, *,
+        kind: str = "base", seq: int = 0, repartition: bool = True,
+    ) -> list[dict]:
         """Write df (must carry __bucket col) partitioned by bucket under a
-        unique commit dir; return manifest file entries."""
+        unique commit dir; return manifest file entries.
+
+        ``kind='delta'`` marks the files as MOR change files (they carry an
+        ``_op`` column); ``seq`` is the commit sequence used for read-side
+        last-write-wins. ``repartition=False`` skips the bucket-colocating
+        shuffle for inputs already partitioned one-bucket-per-task (the
+        compaction path)."""
         rel = os.path.join("data", f"commit-{commit_tag}")
         out_dir = os.path.join(self.dir, rel)
         n_buckets = self.manifest().n_buckets
-        (
-            df.withColumnRenamed("__bucket", "b")
+        data = df.withColumnRenamed("__bucket", "b")
+        if repartition:
             # co-locate each bucket into one task before partitionBy, else
             # every task writes a file per bucket (tasks × buckets tiny
             # files — read amplification on every subsequent merge)
-            .repartition(n_buckets, F.col("b"))
-            .write.mode("overwrite")
-            .partitionBy("b")
-            .parquet(out_dir)
-        )
+            data = data.repartition(n_buckets, F.col("b"))
+        data.write.mode("overwrite").partitionBy("b").parquet(out_dir)
         entries = []
         m_epoch = self.manifest().epoch
         for bdir in os.listdir(out_dir):
@@ -313,7 +370,8 @@ class LakeTable:
             for fn in os.listdir(os.path.join(out_dir, bdir)):
                 if fn.endswith(".parquet"):
                     entries.append(
-                        {"path": os.path.join(rel, bdir, fn), "bucket": bucket, "epoch": m_epoch}
+                        {"path": os.path.join(rel, bdir, fn), "bucket": bucket,
+                         "epoch": m_epoch, "kind": kind, "seq": seq}
                     )
         return entries
 
@@ -326,7 +384,7 @@ class LakeTable:
         data = df.select(
             *[F.col(f.name).cast(type_of(f.type)).alias(f.name) for f in m.fields]
         ).withColumn("__bucket", self._bucket_expr(m.key_cols, m.n_buckets))
-        entries = self._write_data(data, tag)
+        entries = self._write_data(data, tag, seq=m.version + 1)
         new = Manifest(
             version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs, files=entries,
@@ -341,13 +399,53 @@ class LakeTable:
         self._write_manifest(new)
         return {"version": new.version, "files": len(entries)}
 
+    def append(
+        self,
+        rows: DataFrame,
+        batch_id: int,
+        writer: str = "default",
+        summary: dict | None = None,
+    ) -> dict:
+        """insert.mode=insert (K2): append rows with NO key semantics —
+        the path for keyless tables (primary.key.mode=none) and
+        audit/event-log sinks. Still fenced per (writer, batch_id). Rows
+        are bucketed by a hash of ALL columns (no key to bucket by), so
+        files stay balanced and size-bounded."""
+        m = self.manifest()
+        last = m.summary.get("last_batch", {}).get(writer)
+        if last is not None and batch_id <= last:
+            return {"version": m.version, "skipped": True, "reason": "fenced"}
+        if self.delta_counts(m):
+            raise ValueError("append-mode table cannot hold merge deltas")
+        new_version = m.version + 1
+        tag = f"{new_version}-{uuid.uuid4().hex[:8]}"
+        names = [f.name for f in m.fields]
+        data = rows.select(
+            *[F.col(f.name).cast(type_of(f.type)).alias(f.name) for f in m.fields]
+        ).withColumn("__bucket", self._bucket_expr(names, m.n_buckets))
+        entries = self._write_data(data, tag, kind="base", seq=new_version)
+        last_batch = dict(m.summary.get("last_batch", {}))
+        last_batch[writer] = batch_id
+        new = Manifest(
+            version=new_version, parent=m.version, n_buckets=m.n_buckets,
+            key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs,
+            files=m.files + entries,
+            summary={**(summary or {}), "op": "append", "batch_id": batch_id,
+                     "writer": writer, "last_batch": last_batch,
+                     "committed_ms": int(time.time() * 1000)},
+        )
+        self._write_manifest(new)
+        return {"version": new.version, "skipped": False,
+                "files": len(entries)}
+
     def merge(
         self,
         changes: DataFrame,
         batch_id: int,
         writer: str = "default",
         summary: dict | None = None,
-        scope: str = "pruned",
+        mode: str = "cow",
+        scope: str | None = None,  # retained for API compat; unused
     ) -> dict:
         """Apply a reduced change batch: columns = current schema + ``_op``
         ('u' upsert / 'd' delete), exactly one row per key.
@@ -355,89 +453,86 @@ class LakeTable:
         Idempotent: if (writer, batch_id) is already <= the last committed
         batch for that writer, the call is a no-op (fencing).
 
-        scope:
-        - ``pruned`` (default): pre-compute the affected bucket set
-          (persist + tiny distinct collect) and rewrite only those buckets —
-          the sparse-batch path (incremental snapshots, trickle streams).
-        - ``all``: skip the pre-pass and rewrite every bucket in one job —
-          the dense-replay path, where a big batch touches every bucket
-          anyway and the pruning pre-pass is pure overhead.
+        The merge is a *shuffle-to-storage* design: the batch is hash-
+        repartitioned once on its bucket and written as bucket-partitioned
+        **delta files** — the only exchange anywhere is the O(batch) one
+        that colocates changes with their bucket. Current state is NEVER
+        shuffled:
+
+        - ``mode='mor'`` (merge-on-read): commit stops at the delta files
+          — O(batch) bytes regardless of bucket density (Iceberg
+          equality-delete analog; a 1-key trickle batch commits one tiny
+          file, not a bucket rewrite). Readers reconcile via per-key
+          max-by-seq (see ``read``); ``compact`` folds deltas down.
+        - ``mode='cow'`` (default): after the delta write, the affected
+          buckets are compacted in the SAME commit, so the committed state
+          is pure base files (round-trip identical to a classic
+          copy-on-write MERGE). Compaction is bucket-aligned and
+          exchange-free — each task reads exactly one bucket's base+delta
+          files with pyarrow and rewrites that bucket (a storage-
+          partitioned join: the on-disk invariant bucket =
+          pmod(xxhash64(seed, key), N) makes co-location free).
+
+        Reference sink semantics unchanged: jdbc-sink/
+        JdbcChangeEventSink.java:72-158, dialect MERGE at
+        dialect/sqlserver/SqlServerDatabaseDialect.java:128-130.
         """
         m = self.manifest()
+        if not m.key_cols:
+            raise ValueError(
+                "keyless table (primary.key.mode=none) is insert-only — "
+                "use append()"
+            )
         last = m.summary.get("last_batch", {}).get(writer)
         if last is not None and batch_id <= last:
             return {"version": m.version, "skipped": True, "reason": "fenced"}
 
+        new_version = m.version + 1
+        tag = f"{new_version}-{uuid.uuid4().hex[:8]}"
         # enforce the manifest schema (casts cover widened types; the sink
         # owns the final type, K3)
-        changes = changes.select(
+        data = changes.select(
             *[F.col(f.name).cast(type_of(f.type)).alias(f.name) for f in m.fields],
             "_op",
-        )
-        if scope == "pruned":
-            bucketed = changes.withColumn(
-                "__bucket", self._bucket_expr(m.key_cols, m.n_buckets)
-            ).persist()
-            try:
-                # Small driver-side collect of the affected bucket ids (<=
-                # n_buckets ints) — manifest pruning, NOT a data collect.
-                affected = {
-                    r[0] for r in bucketed.select("__bucket").distinct().collect()
-                }
-                return self._merge_into(
-                    bucketed.drop("__bucket"), affected, m, batch_id, writer, summary
+        ).withColumn("__bucket", self._bucket_expr(m.key_cols, m.n_buckets))
+
+        if not m.files:
+            # empty table: a delta with nothing underneath IS the base —
+            # write it as such (minus delete markers) and skip reconcile
+            # cost forever after (snapshot loads / first replay batch)
+            data = data.filter(F.col("_op") != "d").drop("_op")
+            entries = self._write_data(data, tag, kind="base", seq=new_version)
+            affected = {e["bucket"] for e in entries}
+            files = list(entries)
+        else:
+            entries = self._write_data(data, tag, kind="delta", seq=new_version)
+            # affected buckets fall out of the partitioned write — no
+            # pre-pass, no persist, no distinct-collect
+            affected = {e["bucket"] for e in entries}
+            if mode == "cow" and affected:
+                old_aff = [f for f in m.files if f["bucket"] in affected]
+                base_entries = self._compact_files(
+                    m, old_aff + entries, f"{tag}-c", seq=new_version
                 )
-            finally:
-                bucketed.unpersist()
-        affected = set(range(m.n_buckets))
-        return self._merge_into(changes, affected, m, batch_id, writer, summary)
+                kept = [f for f in m.files if f["bucket"] not in affected]
+                files = kept + base_entries
+                # the intra-commit delta files are referenced by no
+                # manifest — remove their dir eagerly
+                shutil.rmtree(
+                    os.path.join(self.dir, "data", f"commit-{tag}"),
+                    ignore_errors=True,
+                )
+            else:
+                files = m.files + entries
 
-    def _merge_into(
-        self,
-        changes: DataFrame,
-        affected: set[int],
-        m: Manifest,
-        batch_id: int,
-        writer: str,
-        summary: dict | None,
-    ) -> dict:
-        """The MERGE proper: one full-outer join of current state vs the
-        change-set, each side consumed exactly once —
-        ``WHEN MATCHED AND op='d' THEN DELETE / WHEN MATCHED THEN UPDATE SET *
-        / WHEN NOT MATCHED AND op!='d' THEN INSERT *`` as a coalesce over the
-        join. AQE picks broadcast for small batches and splits skewed keys.
-        """
-        non_key = [f.name for f in m.fields if f.name not in m.key_cols]
-        current = self.read(buckets=affected)
-
-        s_present = F.col("s._op").isNotNull()
-        joined = current.alias("t").join(
-            changes.alias("s"), on=m.key_cols, how="full_outer"
-        )
-        new_state = joined.filter(
-            ~(s_present & (F.col("s._op") == "d"))
-        ).select(
-            *m.key_cols,
-            *[
-                F.when(s_present, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in non_key
-            ],
-        )
-
-        tag = f"{m.version + 1}-{uuid.uuid4().hex[:8]}"
-        data = new_state.withColumn("__bucket", self._bucket_expr(m.key_cols, m.n_buckets))
-        entries = self._write_data(data, tag)
-
-        kept = [f for f in m.files if f["bucket"] not in affected]
         last_batch = dict(m.summary.get("last_batch", {}))
         last_batch[writer] = batch_id
         new = Manifest(
-            version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
+            version=new_version, parent=m.version, n_buckets=m.n_buckets,
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs,
-            files=kept + entries,
-            summary={**(summary or {}), "op": "merge", "batch_id": batch_id,
+            files=files,
+            summary={**(summary or {}), "op": "merge", "mode": mode,
+                     "batch_id": batch_id,
                      "writer": writer, "last_batch": last_batch,
                      "affected_buckets": sorted(affected),
                      "committed_ms": int(time.time() * 1000)},
@@ -447,8 +542,163 @@ class LakeTable:
             "version": new.version,
             "skipped": False,
             "affected_buckets": len(affected),
-            "files": len(entries),
+            "files": len(new.files),
         }
+
+    # -- compaction (storage-partitioned, exchange-free) ---------------------
+
+    def delta_counts(self, m: Manifest | None = None) -> dict[int, int]:
+        """Per-bucket count of outstanding delta files (MOR bookkeeping)."""
+        m = m or self.manifest()
+        out: dict[int, int] = {}
+        for f in m.files:
+            if f.get("kind", "base") == "delta":
+                out[f["bucket"]] = out.get(f["bucket"], 0) + 1
+        return out
+
+    def compact(self, buckets: set[int] | None = None) -> dict:
+        """Fold a bucket subset's base+delta files into fresh base files
+        (default: every bucket holding deltas). Maintenance analog of
+        Iceberg's rewrite_data_files; preserves fences and offsets."""
+        m = self.manifest()
+        with_deltas = set(self.delta_counts(m))
+        target = with_deltas if buckets is None else (buckets & with_deltas)
+        if not target:
+            return {"version": m.version, "compacted_buckets": 0}
+        new_version = m.version + 1
+        tag = f"{new_version}-{uuid.uuid4().hex[:8]}-compact"
+        group = [f for f in m.files if f["bucket"] in target]
+        entries = self._compact_files(m, group, tag, seq=new_version)
+        kept = [f for f in m.files if f["bucket"] not in target]
+        new = Manifest(
+            version=new_version, parent=m.version, n_buckets=m.n_buckets,
+            key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs,
+            files=kept + entries,
+            summary={"op": "compact",
+                     "compacted_buckets": sorted(target),
+                     "last_batch": m.summary.get("last_batch", {}),
+                     "offsets": m.summary.get("offsets", {}),
+                     "committed_ms": int(time.time() * 1000)},
+        )
+        self._write_manifest(new)
+        return {"version": new.version, "compacted_buckets": len(target)}
+
+    def _compact_files(
+        self, m: Manifest, files: list[dict], tag: str, seq: int
+    ) -> list[dict]:
+        """Rewrite ``files`` (≥1 buckets of base+delta parquet) into one
+        base file per bucket, with per-key last-write-wins by commit seq
+        and delete-marker elimination.
+
+        This is the storage-partitioned-join emulation (SURVEY §4 / the
+        'plan you'd want at 100×'): the files of a bucket are ALREADY
+        co-located by the write invariant, so each Spark task reads its
+        bucket's files directly with pyarrow and reduces them locally —
+        the physical plan has NO exchange and NO sort of table state; the
+        only Spark machinery is task scheduling + the parquet write.
+        Scale contract (same as Iceberg SPJ): n_buckets must be sized so
+        one bucket's live state fits a task (e.g. 100 TB / 64k buckets
+        ≈ 1.6 GB/task).
+        """
+        by_bucket: dict[int, list[dict]] = {}
+        for f in files:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        specs = [
+            json.dumps({
+                "bucket": b,
+                "files": sorted(fs, key=lambda e: e.get("seq", 0)),
+            })
+            for b, fs in sorted(by_bucket.items())
+        ]
+        root = self.dir
+        epochs_json = {k: [f.to_json() for f in v] for k, v in m.epochs.items()}
+        cur_fields = [f.to_json() for f in m.fields]
+        key_cols = list(m.key_cols)
+        out_schema = T.StructType(
+            list(m.spark_schema().fields)
+            + [T.StructField("b", T.IntegerType(), False)]
+        )
+
+        def compact_fn(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            for batch in batches:
+                for spec_s in batch.column(0).to_pylist():
+                    spec = json.loads(spec_s)
+                    tables = []
+                    for fe in spec["files"]:  # ascending seq
+                        t = pq.read_table(os.path.join(root, fe["path"]))
+                        old_by_id = {
+                            f["id"]: f for f in epochs_json[str(fe["epoch"])]
+                        }
+                        n = t.num_rows
+                        arrays, names = [], []
+                        for cf in cur_fields:
+                            at = arrow_type_of(cf["type"])
+                            if cf["id"] in old_by_id:
+                                arr = t.column(old_by_id[cf["id"]]["name"])
+                                if arr.type != at:
+                                    arr = pc.cast(arr, at)
+                            elif cf["default"] is not None:
+                                arr = pa.array([cf["default"]] * n, type=at)
+                            else:
+                                arr = pa.nulls(n, at)
+                            arrays.append(arr)
+                            names.append(cf["name"])
+                        if fe.get("kind", "base") == "delta":
+                            op = pc.cast(t.column("_op"), pa.string())
+                        else:
+                            op = pa.array(["u"] * n, type=pa.string())
+                        arrays.append(op)
+                        names.append("__op")
+                        tables.append(pa.Table.from_arrays(arrays, names=names))
+
+                    # last-write-wins: walk files newest-first; a key wins
+                    # on first sight (each file holds ≤1 row per key)
+                    seen = None
+                    survivors = []
+                    for t in reversed(tables):
+                        keystr = pc.binary_join_element_wise(
+                            *[pc.cast(t.column(k), pa.string()) for k in key_cols],
+                            "\x1f",
+                        )
+                        if seen is not None:
+                            mask = pc.invert(
+                                pc.is_in(keystr, value_set=seen)
+                            )
+                            t = t.filter(mask)
+                            keystr = keystr.filter(mask)
+                        survivors.append(t)
+                        ks = (
+                            keystr.combine_chunks()
+                            if isinstance(keystr, pa.ChunkedArray)
+                            else keystr
+                        )
+                        seen = (
+                            ks if seen is None
+                            else pa.concat_arrays([seen, ks])
+                        )
+                    out = pa.concat_tables(survivors)
+                    out = out.filter(pc.not_equal(out.column("__op"), "d"))
+                    out = out.drop_columns(["__op"]).append_column(
+                        "b",
+                        pa.array([spec["bucket"]] * out.num_rows, pa.int32()),
+                    )
+                    if out.num_rows:
+                        yield from out.to_batches()
+
+        spec_df = (
+            self.spark.createDataFrame([(s,) for s in specs], "spec string")
+            .coalesce(1)          # single input partition so the round-
+            .repartition(len(specs))  # robin gives exactly 1 spec per task
+        )
+        compacted = spec_df.mapInArrow(compact_fn, out_schema)
+        return self._write_data(
+            compacted.withColumnRenamed("b", "__bucket"), tag,
+            kind="base", seq=seq, repartition=False,
+        )
 
     def delete_where(self, predicate: str, batch_id: int | None = None) -> dict:
         """TRUNCATE-style targeted delete (K4: truncate handling)."""
@@ -459,7 +709,7 @@ class LakeTable:
         data = remaining.select(*names).withColumn(
             "__bucket", self._bucket_expr(m.key_cols, m.n_buckets)
         )
-        entries = self._write_data(data, tag)
+        entries = self._write_data(data, tag, seq=m.version + 1)
         new = Manifest(
             version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs, files=entries,
@@ -477,7 +727,8 @@ class LakeTable:
         """Apply schema changes: each is one of
         {"action":"add","name":...,"type":...},
         {"action":"rename","from":...,"to":...},
-        {"action":"widen","name":...,"type":...}.
+        {"action":"widen","name":...,"type":...},
+        {"action":"drop","name":...}.
 
         Sink rule (JdbcChangeEventSink.java:325-331): added columns must be
         nullable (optional) — enforced here by construction. Rename keeps the
@@ -512,6 +763,13 @@ class LakeTable:
                 if (fld.type, ch["type"]) not in WIDENINGS:
                     raise ValueError(f"illegal widen {fld.type}->{ch['type']}")
                 fld.type = ch["type"]
+            elif ch["action"] == "drop":
+                # Iceberg-style drop: the field id leaves the current
+                # schema; old files keep the column bytes, readers skip it
+                if ch["name"] in m.key_cols:
+                    raise ValueError(f"cannot drop key column {ch['name']!r}")
+                fld = next(f for f in flds if f.name == ch["name"])
+                flds.remove(fld)
             else:
                 raise ValueError(f"unknown action {ch['action']}")
         key_cols = m.key_cols

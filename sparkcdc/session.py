@@ -40,6 +40,9 @@ def get_spark(
         # the lighter codec (+11% replay throughput, BASELINE.md)
         .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # write timestamps as annotated INT64 micros (not legacy INT96) so
+        # pyarrow task-side reads (compaction) see the exact Spark type
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # max_by(struct, ord) is a TypedImperativeAggregate → planned as
         # ObjectHashAggregate, which silently FALLS BACK to sort-based
         # aggregation after 128 distinct keys per task (the default
@@ -47,6 +50,12 @@ def get_spark(
         # Raise it so per-key last-write-wins stays a hash aggregation.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 "16777216")
+        # the narrow LWW reduce semi-joins a winners set of (key, offset)
+        # rows back to the batch; it is deliberately UN-hinted so huge key
+        # counts degrade gracefully to a shuffled join instead of OOMing a
+        # mandatory broadcast — raise the auto threshold so AQE still
+        # broadcasts the common case (millions of keys ≈ tens of MB)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKCDC_DRIVER_MEM", "16g"))
     )

@@ -1,0 +1,73 @@
+"""Sink key/insert-mode configuration (K5/K2 config parity).
+
+Reference: jdbc-sink/JdbcSinkConnectorConfig.java —
+``primary.key.mode = record_key | record_value | kafka | none`` +
+``primary.key.fields`` (:384,541-558) and
+``insert.mode = insert | upsert | update`` (:275-289). This module resolves
+those configs against the envelope/value shape into the effective merge key
+columns, and validates the combinations the reference rejects (e.g. upsert
+requires a key; ``kafka`` mode keys on the coordinates triple).
+"""
+
+from __future__ import annotations
+
+#: kafka-coordinates key (topic, partition, offset) → our lake analog:
+#: the source table plays the topic, part_id/offset are the coordinates
+KAFKA_KEY_COLS = ["part_id", "offset"]
+
+
+def resolve_key_columns(
+    mode: str,
+    *,
+    envelope_key_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    key_fields: list[str] | None = None,
+) -> list[str]:
+    """The effective primary-key columns for the sink table.
+
+    - ``record_key``: the captured table's key (optionally narrowed by
+      ``key_fields``) — the default and the only mode the engine's replay
+      path uses.
+    - ``record_value``: ``key_fields`` drawn from the VALUE columns (for
+      sources whose key is absent/unusable).
+    - ``kafka``: the (partition, offset) coordinates — every event is its
+      own key (append-only audit shape).
+    - ``none``: no key → insert-mode only (LakeTable.append), merge is
+      rejected.
+    """
+    if mode == "record_key":
+        base = envelope_key_cols or []
+        if not base:
+            raise ValueError("record_key mode requires envelope key columns")
+        if key_fields:
+            missing = [k for k in key_fields if k not in base]
+            if missing:
+                raise ValueError(
+                    f"primary.key.fields {missing} not in record key {base}"
+                )
+            return list(key_fields)
+        return list(base)
+    if mode == "record_value":
+        if not key_fields:
+            raise ValueError("record_value mode requires primary.key.fields")
+        missing = [k for k in key_fields if k not in (value_cols or [])]
+        if missing:
+            raise ValueError(f"primary.key.fields {missing} not in value columns")
+        return list(key_fields)
+    if mode == "kafka":
+        return list(KAFKA_KEY_COLS)
+    if mode == "none":
+        return []
+    raise ValueError(f"unknown primary.key.mode {mode!r}")
+
+
+def validate_insert_mode(insert_mode: str, key_cols: list[str]) -> None:
+    """upsert/update require a key (JdbcSinkConnectorConfig validators);
+    insert works with or without one."""
+    if insert_mode not in ("insert", "upsert", "update"):
+        raise ValueError(f"unknown insert.mode {insert_mode!r}")
+    if insert_mode in ("upsert", "update") and not key_cols:
+        raise ValueError(
+            f"insert.mode={insert_mode} requires key columns "
+            "(primary.key.mode=none is insert-only)"
+        )

@@ -54,6 +54,22 @@ def rate_envelope_stream(
     )
 
 
+def json_envelope_stream(
+    engine: CdcEngine, path: str, row_fields=None
+) -> DataFrame:
+    """Serialized-envelope ingestion: a JSON-lines file stream → vectorized
+    ``from_json`` parse → typed envelopes. This is the sandbox stand-in for
+    the reference's most-used deployment — consuming real wire records
+    (EmbeddedEngine.java:432 handleBatch; Kafka-sourced envelopes). The
+    Kafka swap is one line: replace ``readStream.text`` with
+    ``readStream.format('kafka')...selectExpr("CAST(value AS STRING)")`` —
+    everything from the parse on is identical."""
+    from .transforms.serialize import parse_envelope_json
+
+    raw = engine.spark.readStream.text(path)
+    return parse_envelope_json(raw, row_fields)
+
+
 def default_checkpoint_dir(engine: CdcEngine) -> str:
     """Deterministic checkpoint location under the table's meta dir.
 
@@ -74,6 +90,7 @@ def start_stream(
     checkpoint_dir: str | None = None,
     *,
     trigger_interval: str = "1 second",
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Attach the engine to an envelope stream; returns the running query.
 
@@ -110,9 +127,13 @@ def start_stream(
         finally:
             batch_df.unpersist()
 
-    return (
-        envelope_stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=trigger_interval)
-        .start()
+    writer = envelope_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        # bounded backlog drain: process everything currently available,
+        # then stop (the batch-catchup mode of the connector)
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

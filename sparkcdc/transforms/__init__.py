@@ -43,6 +43,11 @@ from .serialize import (
     parse_envelope_json,
     parse_envelope_json_arrow,
 )
+from .avro import (
+    envelope_avro_schema,
+    envelope_to_avro,
+    parse_envelope_avro,
+)
 
 TRANSFORMS = {
     "ExtractNewRecordState": extract_new_record_state,
@@ -97,4 +102,7 @@ __all__ = list(TRANSFORMS) + [
     "envelope_to_cloudevents",
     "parse_envelope_json",
     "parse_envelope_json_arrow",
+    "envelope_avro_schema",
+    "envelope_to_avro",
+    "parse_envelope_avro",
 ]

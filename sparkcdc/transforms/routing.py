@@ -87,18 +87,46 @@ def outbox_event_router(
     field_payload: str = "payload",
     route_by_field: str = "aggregatetype",
     route_col: str = ROUTE_COL,
+    additional_fields: list[str | tuple[str, str]] | None = None,
+    expand_json_payload: bool = False,
+    payload_schema=None,
 ):
     """Outbox pattern: events are rows INSERTed into an outbox table; route
     by aggregatetype, key by aggregateid, emit the payload as the value.
     Input: flat outbox rows (after ExtractNewRecordState) with the four
-    canonical outbox columns."""
+    canonical outbox columns.
+
+    Full-config parity with the reference
+    (core/transforms/outbox/EventRouterDelegate.java):
+
+    - ``additional_fields`` mirrors ``table.fields.additional.placement``:
+      each entry is an outbox column to carry along — ``"col"`` places it
+      as an envelope field ``__col`` (placement=envelope), ``("col",
+      "header")`` as a header-style column ``__header_col`` (headers are
+      plain columns in this model, cf. HeaderToValue).
+    - ``expand_json_payload=True`` mirrors ``table.expand.json.payload``:
+      the string payload is parsed into a typed struct. ``payload_schema``
+      (DDL string or StructType) is required — Debezium infers from the
+      JSON per record; a columnar engine declares the schema once and gets
+      a vectorized ``from_json`` instead of per-record inference.
+    """
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(
+        payload_col = F.col(field_payload)
+        if expand_json_payload:
+            if payload_schema is None:
+                raise ValueError("expand_json_payload requires payload_schema")
+            payload_col = F.from_json(payload_col, payload_schema)
+        cols = [
             F.col(field_event_key).alias("key"),
             F.col(field_event_type).alias("event_type"),
-            F.col(field_payload).alias("payload"),
+            payload_col.alias("payload"),
             F.col(route_by_field).alias(route_col),
-        )
+        ]
+        for af in additional_fields or []:
+            name, placement = (af, "envelope") if isinstance(af, str) else af
+            prefix = "__header_" if placement == "header" else "__"
+            cols.append(F.col(name).alias(f"{prefix}{name}"))
+        return df.select(*cols)
 
     return _apply

@@ -1,0 +1,159 @@
+"""Avro binary wire format (T16) and DDL-string schema capture
+(debezium-ddl-parser subset)."""
+
+import json
+
+import pytest
+
+from sparkcdc.ddl import UnsupportedDdl, apply_ddl, map_type, parse_ddl
+
+
+# -- DDL parser (pure python) -----------------------------------------------
+
+
+def test_map_type_families():
+    assert map_type("varchar(255)") == "string"
+    assert map_type("TEXT") == "string"
+    assert map_type("int") == "int"
+    assert map_type("INT UNSIGNED") == "long"  # unsigned widen, §2.7
+    assert map_type("bigint(20)") == "long"
+    assert map_type("tinyint(1)") == "boolean"
+    assert map_type("decimal(12, 3)") == "decimal(12,3)"
+    assert map_type("datetime(6)") == "timestamp"
+    assert map_type("longblob") == "binary"
+    with pytest.raises(UnsupportedDdl):
+        map_type("geometrycollection")
+
+
+def test_parse_create_table():
+    [tc] = parse_ddl("""
+        CREATE TABLE IF NOT EXISTS app.repos (
+          `repo` VARCHAR(200) NOT NULL,
+          path VARCHAR(500) NOT NULL,
+          commit CHAR(40),
+          stars INT UNSIGNED DEFAULT 0,
+          content LONGTEXT,
+          PRIMARY KEY (repo, path),
+          KEY idx_lang (commit)
+        ) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4
+    """)
+    assert tc.type == "CREATE" and tc.table == "app.repos"
+    assert tc.fields == [("repo", "string"), ("path", "string"),
+                         ("commit", "string"), ("stars", "long"),
+                         ("content", "string")]
+    assert tc.key_cols == ["repo", "path"]
+
+
+def test_parse_alter_clauses():
+    [tc] = parse_ddl(
+        "ALTER TABLE t ADD COLUMN lang VARCHAR(16) DEFAULT 'py', "
+        "RENAME COLUMN commit TO sha, "
+        "DROP COLUMN legacy",
+    )
+    assert tc.type == "ALTER"
+    assert tc.changes == [
+        {"action": "add", "name": "lang", "type": "string", "default": "py"},
+        {"action": "rename", "from": "commit", "to": "sha"},
+        {"action": "drop", "name": "legacy"},
+    ]
+
+
+def test_parse_change_modify_with_catalog():
+    cur = {"n": "int", "name": "string"}
+    [tc] = parse_ddl("ALTER TABLE t CHANGE COLUMN n n2 BIGINT", cur)
+    assert tc.changes == [
+        {"action": "rename", "from": "n", "to": "n2"},
+        {"action": "widen", "name": "n2", "type": "long"},
+    ]
+    # MODIFY that only tweaks nullability → no schema change
+    [tc2] = parse_ddl("ALTER TABLE t MODIFY name VARCHAR(99) NOT NULL", cur)
+    assert tc2.changes == []
+
+
+def test_parse_table_level_statements():
+    tcs = parse_ddl(
+        "RENAME TABLE a TO b; DROP TABLE IF EXISTS c; TRUNCATE TABLE d"
+    )
+    assert [(t.type, t.table) for t in tcs] == [
+        ("RENAME", "b"), ("DROP", "c"), ("TRUNCATE", "d")]
+    assert tcs[0].previous_table == "a"
+
+
+def test_apply_ddl_evolves_lake_table(spark, tmp_root):
+    from sparkcdc.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, tmp_root, "t",
+        fields=[("id", "string"), ("n", "int"), ("legacy", "string")],
+        key_cols=["id"], n_buckets=2,
+    )
+    t.merge(spark.createDataFrame([("k1", 1, "x", "u")],
+                                  ["id", "n", "legacy", "_op"]), batch_id=0)
+    apply_ddl(t, """
+        ALTER TABLE t ADD lang VARCHAR(8) DEFAULT 'py';
+        ALTER TABLE t CHANGE n n BIGINT;
+        ALTER TABLE t DROP COLUMN legacy
+    """)
+    df = t.read()
+    assert set(df.columns) == {"id", "n", "lang"}
+    r = df.first()
+    assert (r.id, r.n, r.lang) == ("k1", 1, "py")
+    assert dict(df.dtypes)["n"] == "bigint"
+
+
+# -- Avro wire format --------------------------------------------------------
+
+
+def test_avro_schema_json_is_valid():
+    from sparkcdc.transforms.avro import envelope_avro_schema
+    from sparkcdc.envelope import REPO_ROW_FIELDS
+
+    s = json.loads(envelope_avro_schema(REPO_ROW_FIELDS))
+    assert s["name"] == "Envelope"
+    names = [f["name"] for f in s["fields"]]
+    assert names == ["op", "ts_ms", "before", "after", "source",
+                     "part_id", "offset", "tombstone"]
+    assert s["fields"][3]["type"] == ["null", "Before"]
+
+
+def test_avro_roundtrip_generator_envelopes(spark):
+    from pyspark.sql import functions as F
+    from sparkcdc.envelope import cdc_events
+    from sparkcdc.transforms.avro import envelope_to_avro, parse_envelope_avro
+
+    env = cdc_events(spark, 500, n_keys=50, n_parts=4, tombstones=True)
+    wire = envelope_to_avro(env)
+    assert dict(wire.dtypes)["value"] == "binary"
+    back = parse_envelope_avro(wire)
+
+    cols = ["op", "ts_ms", "offset", "part_id", "tombstone"]
+    proj = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select(
+            *cols,
+            F.col("after.repo"), F.col("after.content"),
+            F.col("before.path"), F.col("source.pos"), F.col("source.gtid"),
+        ).collect()
+    )
+    assert proj(back) == proj(env)
+    # null-image semantics survive: op='c' has NO before record at all
+    c_rows = back.filter("op = 'c'").select("before").collect()
+    assert all(r.before is None for r in c_rows)
+
+
+def test_avro_roundtrip_through_merge_path(spark, tmp_root):
+    """Wire-consume path: Avro bytes → parse → reduce → state equals the
+    direct replay of the same envelopes."""
+    from pyspark.sql import functions as F
+    from sparkcdc import apply as apply_mod
+    from sparkcdc.envelope import cdc_events
+    from sparkcdc.transforms.avro import envelope_to_avro, parse_envelope_avro
+
+    env = cdc_events(spark, 1000, n_keys=100, n_parts=4)
+    direct = apply_mod.reduce_envelopes(
+        env, ["repo", "path", "commit", "lang", "content"], ["repo", "path"])
+    via_wire = apply_mod.reduce_envelopes(
+        parse_envelope_avro(envelope_to_avro(env)),
+        ["repo", "path", "commit", "lang", "content"], ["repo", "path"])
+    a = sorted(tuple(r) for r in direct.collect())
+    b = sorted(tuple(r) for r in via_wire.collect())
+    assert a == b and len(a) > 0
