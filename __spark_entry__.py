@@ -629,6 +629,47 @@ def q_cdc_envelope_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_cdc_envelope_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 Avro binary wire format: envelope → Avro bytes (public-spec
+    encoder, transforms.avro) → decode; the oracle recomputes the
+    projected fields from raw events, so a match proves losslessness."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.transforms import envelope_to_avro, parse_envelope_avro
+
+    env = _env(spark, sf_dir)
+    back = parse_envelope_avro(
+        envelope_to_avro(env, EVENT_ROW_FIELDS), EVENT_ROW_FIELDS
+    )
+    return back.select(
+        F.col("op"),
+        F.col("ts_ms"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.col("source.pos").alias("pos"),
+        F.col("offset"),
+    )
+
+
+def q_cdc_envelope_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 proto3 wire format roundtrip (transforms.protobuf)."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.transforms import (
+        envelope_to_protobuf,
+        parse_envelope_protobuf,
+    )
+
+    env = _env(spark, sf_dir)
+    back = parse_envelope_protobuf(
+        envelope_to_protobuf(env, EVENT_ROW_FIELDS), EVENT_ROW_FIELDS
+    )
+    return back.select(
+        F.col("op"),
+        F.col("ts_ms"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.col("source.pos").alias("pos"),
+        F.col("offset"),
+    )
+
+
 def q_cdc_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 initial consistent snapshot: pinned table read → op='r' envelopes
     → flatten through the standard apply path."""
@@ -653,8 +694,20 @@ def q_cdc_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full CDC replay through reduce + MERGE at sf0.001 scale."""
-    return q_cdc_replay_merge(spark, "/root/testdata/sf0.001")
+    """Flagship: full CDC replay of generated envelopes over the
+    north-star source-code-repo table through reduce + MOR merge +
+    auto-compaction; returns final state with the sha256 verification
+    column (the north-rule invariant)."""
+    root = tempfile.mkdtemp(prefix="sparkcdc_entry_")
+    eng = default_engine(
+        spark, root, n_buckets=8,
+        config=EngineConfig(batch_size=10_000, n_keys=2_000, n_parts=8),
+    )
+    eng.replay(20_000)
+    return eng.table.read().select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -690,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
         "text_bpe_token_count": q_text_bpe_token_count,
         "cdc_envelope_json_roundtrip": q_cdc_envelope_json_roundtrip,
+        "cdc_envelope_avro_roundtrip": q_cdc_envelope_avro_roundtrip,
+        "cdc_envelope_protobuf_roundtrip": q_cdc_envelope_protobuf_roundtrip,
         "text_stats": q_text_stats,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1109,6 +1164,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "cdc_envelope_json_roundtrip": """
+            SELECT CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                   epoch_us(ts) // 1000 AS ts_ms,
+                   user_id,
+                   event_id AS pos,
+                   event_id AS offset
+            FROM events
+        """,
+        "cdc_envelope_avro_roundtrip": """
+            SELECT CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                   epoch_us(ts) // 1000 AS ts_ms,
+                   user_id,
+                   event_id AS pos,
+                   event_id AS offset
+            FROM events
+        """,
+        "cdc_envelope_protobuf_roundtrip": """
             SELECT CASE WHEN event_type='signup' THEN 'c'
                         WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
                    epoch_us(ts) // 1000 AS ts_ms,

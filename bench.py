@@ -10,6 +10,9 @@ Usage:
   python bench.py --scaling       # same replay job at local[8] vs local[32]
                                   # → prints throughput + scaling efficiency
                                   # (the sandbox stand-in for N vs 4N executors)
+
+Env knobs: SPARKCDC_REDUCE_STRATEGY (fat|narrow|narrow_cached|refetch),
+SPARKCDC_COMMIT_MODE (mor|cow), SPARKCDC_BENCH_EVENTS / _BATCH / _KEYS.
 """
 
 from __future__ import annotations
@@ -48,7 +51,8 @@ def _sf_of(path: str) -> float:
 
 
 def run_replay(spark, n_events: int, n_parts: int, *, salt_buckets: int = 0,
-               hot_key_permille: int = 0) -> dict:
+               hot_key_permille: int = 0, batch_size: int | None = None,
+               strategy: str | None = None) -> dict:
     """The north-star job: generated envelope stream → per-key reduce →
     bucketed MERGE, measured end-to-end including commits.
 
@@ -62,9 +66,10 @@ def run_replay(spark, n_events: int, n_parts: int, *, salt_buckets: int = 0,
         eng = default_engine(
             spark, root, n_buckets=64,
             config=EngineConfig(
-                batch_size=REPLAY_BATCH, n_keys=REPLAY_KEYS, n_parts=n_parts,
+                batch_size=batch_size or REPLAY_BATCH,
+                n_keys=REPLAY_KEYS, n_parts=n_parts,
                 salt_buckets=salt_buckets, hot_key_permille=hot_key_permille,
-                reduce_strategy=os.environ.get(
+                reduce_strategy=strategy or os.environ.get(
                     "SPARKCDC_REDUCE_STRATEGY", "fat"),
                 commit_mode=os.environ.get("SPARKCDC_COMMIT_MODE", "mor"),
             ),
@@ -170,6 +175,7 @@ def main() -> None:
         # run records what the VM could deliver that day.
         import subprocess
 
+        strategy = os.environ.get("SPARKCDC_REDUCE_STRATEGY", "fat")
         runs: dict[int, list[float]] = {8: [], 32: []}
         for cores in (8, 32, 32, 8):
             out = subprocess.run(
@@ -183,6 +189,8 @@ def main() -> None:
         eff = best32 / (4 * best8)
         print(json.dumps({
             "scaling": {
+                "reduce_strategy": strategy,
+                "batch_events": REPLAY_BATCH,
                 "local8_events_per_sec": round(best8),
                 "local32_events_per_sec": round(best32),
                 "all_runs": {k: [round(v) for v in vs] for k, vs in runs.items()},
@@ -208,17 +216,28 @@ def main() -> None:
     replay_stats = run_replay(spark, REPLAY_EVENTS, n_parts=CPUS)
     replay_sec = round(time.time() - t0, 3)
 
-    queries = {"cdc_replay_4m": replay_sec}
+    # the seekable-source fast path (two-phase refetch reduce) measured at
+    # its natural batch size — reported alongside the general-path number
+    t0 = time.time()
+    refetch_stats = run_replay(
+        spark, REPLAY_EVENTS * 2, n_parts=CPUS,
+        batch_size=REPLAY_EVENTS * 2, strategy="refetch",
+    )
+    refetch_sec = round(time.time() - t0, 3)
+
+    queries = {"cdc_replay_32m": replay_sec,
+               "cdc_replay_refetch_64m": refetch_sec}
     queries.update(bench_queries(spark, SF_DIR))
 
     total = round(time.time() - t_total0, 3)
     print(json.dumps({
-        "metric": "sparkcdc headline: 4M-event CDC replay (gen→reduce→merge) + operator suite",
+        "metric": "sparkcdc headline: 32M-event CDC replay (gen→reduce→MOR merge) + operator suite",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": _sf_of(SF_DIR),
         "replay_events_per_sec": round(replay_stats["events_per_sec"]),
+        "replay_events_per_sec_refetch": round(refetch_stats["events_per_sec"]),
     }))
 
 

@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--hot-key-permille", type=int, default=0)
         sp.add_argument("--salt-buckets", type=int, default=0)
+        sp.add_argument("--commit-mode", default="mor", choices=["mor", "cow"])
+        sp.add_argument("--compact-max-deltas", type=int, default=8)
+        sp.add_argument(
+            "--reduce-strategy", default="fat",
+            choices=["fat", "narrow", "narrow_cached", "refetch"],
+        )
 
     sp = sub.add_parser("replay", help="bounded replay of generated envelopes")
     common(sp)
@@ -52,6 +58,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--seconds", type=int, default=0, help="0 = run until killed")
 
     sp = sub.add_parser("describe", help="print table manifest summary")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--table", default="source_code_repos")
+    sp.add_argument("--master", default=None)
+
+    sp = sub.add_parser(
+        "compact", help="fold merge-on-read deltas into base files"
+    )
     sp.add_argument("--root", required=True)
     sp.add_argument("--table", default="source_code_repos")
     sp.add_argument("--master", default=None)
@@ -68,13 +81,24 @@ def main(argv: list[str] | None = None) -> int:
             "version": m.version, "epoch": m.epoch,
             "fields": [f.to_json() for f in m.fields],
             "n_buckets": m.n_buckets, "key_cols": m.key_cols,
-            "files": len(m.files), "summary": m.summary,
+            "files": len(m.files), "deltas": t.delta_counts(m),
+            "summary": m.summary,
         }, indent=2))
+        return 0
+
+    if args.cmd == "compact":
+        from .lake import LakeTable
+
+        t = LakeTable.load(spark, args.root, args.table)
+        print(json.dumps(t.compact()))
         return 0
 
     cfg = EngineConfig(
         batch_size=args.batch_size, n_keys=args.keys, seed=args.seed,
         hot_key_permille=args.hot_key_permille, salt_buckets=args.salt_buckets,
+        commit_mode=args.commit_mode,
+        compact_max_deltas=args.compact_max_deltas,
+        reduce_strategy=args.reduce_strategy,
     )
     eng = default_engine(spark, args.root, name=args.table,
                          n_buckets=args.buckets, config=cfg)

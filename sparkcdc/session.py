@@ -43,11 +43,15 @@ def get_spark(
         # write timestamps as annotated INT64 micros (not legacy INT96) so
         # pyarrow task-side reads (compaction) see the exact Spark type
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        # max_by(struct, ord) is a TypedImperativeAggregate → planned as
-        # ObjectHashAggregate, which silently FALLS BACK to sort-based
-        # aggregation after 128 distinct keys per task (the default
-        # fallback threshold) — i.e. every real LWW reduce was sorting.
-        # Raise it so per-key last-write-wins stays a hash aggregation.
+        # TypedImperativeAggregates (collect_list/set, percentile) plan as
+        # ObjectHashAggregate, which silently falls back to SORT-based
+        # aggregation after 128 distinct keys per task (the default) —
+        # raise it so they stay hash-based. NOTE: max_by with a struct
+        # buffer is a DeclarativeAggregate and plans as SortAggregate
+        # regardless (verified on the physical plan) — that sort is
+        # intrinsic to whole-row LWW in Spark and is exactly why the
+        # narrow/refetch reduce strategies exist (their max(long) is a
+        # plain HashAggregate).
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 "16777216")
         # the narrow LWW reduce semi-joins a winners set of (key, offset)

@@ -48,6 +48,11 @@ from .avro import (
     envelope_to_avro,
     parse_envelope_avro,
 )
+from .protobuf import (
+    envelope_proto_schema,
+    envelope_to_protobuf,
+    parse_envelope_protobuf,
+)
 
 TRANSFORMS = {
     "ExtractNewRecordState": extract_new_record_state,
@@ -105,4 +110,7 @@ __all__ = list(TRANSFORMS) + [
     "envelope_avro_schema",
     "envelope_to_avro",
     "parse_envelope_avro",
+    "envelope_proto_schema",
+    "envelope_to_protobuf",
+    "parse_envelope_protobuf",
 ]

@@ -140,6 +140,31 @@ def test_avro_roundtrip_generator_envelopes(spark):
     assert all(r.before is None for r in c_rows)
 
 
+def test_protobuf_roundtrip(spark):
+    from pyspark.sql import functions as F
+    from sparkcdc.envelope import cdc_events
+    from sparkcdc.transforms.protobuf import (
+        envelope_proto_schema,
+        envelope_to_protobuf,
+        parse_envelope_protobuf,
+    )
+
+    assert 'syntax = "proto3"' in envelope_proto_schema()
+    env = cdc_events(spark, 400, n_keys=40, n_parts=4, tombstones=True)
+    back = parse_envelope_protobuf(envelope_to_protobuf(env))
+    cols = ["op", "ts_ms", "offset", "part_id", "tombstone"]
+    proj = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select(
+            *cols, F.col("after.repo"), F.col("after.content"),
+            F.col("before.path"), F.col("source.pos"),
+        ).collect()
+    )
+    assert proj(back) == proj(env)
+    assert all(
+        r.before is None for r in back.filter("op = 'c'").select("before").collect()
+    )
+
+
 def test_avro_roundtrip_through_merge_path(spark, tmp_root):
     """Wire-consume path: Avro bytes → parse → reduce → state equals the
     direct replay of the same envelopes."""
