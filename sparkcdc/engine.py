@@ -244,15 +244,34 @@ class CdcEngine:
             hi = min(lo + cfg.batch_size, total_events)
             for sub_lo, sub_hi, changes in split_at_boundaries(lo, hi, boundaries):
                 if changes:
-                    # journal FIRST (write-ahead): a crash between the two
-                    # steps is repaired by _catch_up_schema_journal on the
-                    # next replay; the reverse order would re-apply the
-                    # evolve and corrupt the schema (duplicate column)
-                    self.schema_history.record(
-                        sub_lo, changes,
-                        base_epoch=self.table.manifest().epoch,
-                    )
-                    self.table.evolve(changes)
+                    if isinstance(changes, str):
+                        # DDL-string schema capture: parse the statement(s)
+                        # against the current catalog into TableChanges-
+                        # style evolutions (ddl.py; the reference's
+                        # binlog-DDL → SchemaHistory → sink-ALTER path)
+                        from .ddl import parse_ddl
+
+                        cur = {
+                            f.name: f.type
+                            for f in self.table.manifest().fields
+                        }
+                        changes = [
+                            c
+                            for tc in parse_ddl(changes, current_types=cur)
+                            if tc.type == "ALTER"
+                            for c in tc.changes
+                        ]
+                    if changes:
+                        # journal FIRST (write-ahead): a crash between the
+                        # two steps is repaired by _catch_up_schema_journal
+                        # on the next replay; the reverse order would
+                        # re-apply the evolve and corrupt the schema
+                        # (duplicate column)
+                        self.schema_history.record(
+                            sub_lo, changes,
+                            base_epoch=self.table.manifest().epoch,
+                        )
+                        self.table.evolve(changes)
                 if sub_hi <= sub_lo:
                     continue
                 env = envelopes_for(sub_lo, sub_hi)

@@ -134,14 +134,43 @@ def extract_changed_record_state(
     return _apply
 
 
-def extract_schema_to_new_record(epoch_col: str = "__schema_epoch"):
-    """Attach the schema epoch under which each event was produced (the
-    engine sets ``source.sequence``-style epoch in generated streams; when
-    absent, epoch 0)."""
+def extract_schema_to_new_record(
+    epoch_boundaries: list[tuple[int, int]] | None = None,
+    epoch_col: str = "__schema_epoch",
+    schema_col: str = "__schema",
+):
+    """T11 ExtractSchemaToNewRecord
+    (core/transforms/ExtractSchemaToNewRecord.java): copy the source
+    schema metadata into each record —
+
+    - ``schema_col``: the record's value-schema descriptor (field
+      name/type pairs of the ``after`` image) as a JSON string, the
+      Connect-schema analog;
+    - ``epoch_col``: the schema epoch in force when the event was
+      produced, resolved from ``epoch_boundaries`` = [(offset, epoch),
+      ...] (a SchemaHistory journal rendering: epoch e applies from that
+      offset on). Resolution is a literal CASE chain — no join, no
+      lookup table; the boundary list is tiny (one entry per DDL event).
+
+    Without boundaries the epoch is a ``schema_epoch`` column if the
+    stream carries one, else 0.
+    """
 
     def _apply(df: DataFrame) -> DataFrame:
+        fields = [
+            {"field": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema["after"].dataType.fields
+        ]
+        import json as _json
+
+        out = df.withColumn(schema_col, F.lit(_json.dumps(fields)))
+        if epoch_boundaries:
+            epoch = F.lit(0)
+            for off, ep in sorted(epoch_boundaries):
+                epoch = F.when(F.col("offset") >= off, F.lit(ep)).otherwise(epoch)
+            return out.withColumn(epoch_col, epoch)
         if "schema_epoch" in df.columns:
-            return df.withColumn(epoch_col, F.col("schema_epoch"))
-        return df.withColumn(epoch_col, F.lit(0))
+            return out.withColumn(epoch_col, F.col("schema_epoch"))
+        return out.withColumn(epoch_col, F.lit(0))
 
     return _apply

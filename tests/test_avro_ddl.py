@@ -182,3 +182,38 @@ def test_avro_roundtrip_through_merge_path(spark, tmp_root):
     a = sorted(tuple(r) for r in direct.collect())
     b = sorted(tuple(r) for r in via_wire.collect())
     assert a == b and len(a) > 0
+
+
+def test_replay_with_ddl_string_schema_change(spark, tmp_root):
+    """The binlog-DDL path: replay() accepts a raw DDL string at an offset
+    boundary; it is parsed against the live catalog, journaled, and applied
+    mid-stream with epoch-aligned batch splitting."""
+    from pyspark.sql import functions as F
+    from sparkcdc.engine import CdcEngine, EngineConfig
+    from sparkcdc.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, tmp_root, "t",
+        fields=[("repo", "string"), ("path", "string"), ("commit", "string"),
+                ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"], n_buckets=4,
+    )
+    eng = CdcEngine(spark, t, EngineConfig(batch_size=400, n_keys=30,
+                                           n_parts=4))
+    eng.replay(
+        800,
+        schema_changes=[(200,
+            "ALTER TABLE source_code_repos ADD stars INT DEFAULT 7, "
+            "RENAME COLUMN lang TO language")],
+    )
+    df = t.read()
+    assert "language" in df.columns and "stars" in df.columns
+    assert t.manifest().epoch == 1
+    # journal carries the parsed TableChanges form
+    [entry] = eng.schema_history.entries()
+    assert entry["offset"] == 200
+    assert {c["action"] for c in entry["changes"]} == {"add", "rename"}
+    # rows whose winner arrived before the evolve read the default through
+    # field-id mapping; all rows carry the default (added with default=7)
+    assert {r["stars"] for r in df.collect()} == {7}
+    assert df.count() > 0

@@ -230,3 +230,24 @@ def test_build_chain_unknown_type():
 
     with pytest.raises(ValueError):
         build_chain([{"type": "NoSuchSmt"}])
+
+
+def test_extract_schema_to_new_record(spark):
+    """T11: schema descriptor + epoch stamping from journal boundaries."""
+    import json
+
+    from sparkcdc.envelope import cdc_events
+    from sparkcdc.transforms import extract_schema_to_new_record
+
+    env = cdc_events(spark, 300, n_keys=20, n_parts=4)
+    out = extract_schema_to_new_record(
+        epoch_boundaries=[(100, 1), (200, 2)]
+    )(env)
+    rows = out.select("offset", "__schema_epoch", "__schema").collect()
+    for r in rows:
+        expect = 0 if r["offset"] < 100 else 1 if r["offset"] < 200 else 2
+        assert r["__schema_epoch"] == expect
+    schema = json.loads(rows[0]["__schema"])
+    assert {f["field"] for f in schema} == {
+        "repo", "path", "commit", "lang", "content"}
+    assert all(f["type"] == "string" for f in schema)
