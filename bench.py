@@ -150,16 +150,21 @@ def main() -> None:
         # startup, outside the measurement. On a real cluster this flag is
         # simply standard executor hygiene (-Xms=-Xmx).
         cores = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
+        # 2 tasks per core: a straggling task (OS jitter on a shared VM,
+        # uneven zstd ratios) then costs half a task, not a whole stage
+        # tail — the standard 2-3x tasks/core posture, applied identically
+        # at both parallelism levels
+        tpc = int(os.environ.get("SPARKCDC_TASKS_PER_CORE", "2"))
         spark = get_spark(
             f"sparkcdc-bench-{cores}", master=f"local[{cores}]",
-            shuffle_partitions=cores,
+            shuffle_partitions=cores * tpc,
             extra_conf={
                 "spark.driver.extraJavaOptions": "-Xms8g -XX:+AlwaysPreTouch",
                 "spark.driver.memory": "8g",
             },
         )
-        run_replay(spark, 1_000_000, n_parts=cores)  # warmup JIT/codegen
-        st = run_replay(spark, REPLAY_EVENTS, n_parts=cores)
+        run_replay(spark, 1_000_000, n_parts=cores * tpc)  # warmup JIT/codegen
+        st = run_replay(spark, REPLAY_EVENTS, n_parts=cores * tpc)
         print(json.dumps({"cores": cores,
                           "events_per_sec": st["events_per_sec"]}))
         return

@@ -123,6 +123,15 @@ class CdcEngine:
             self.table.manifest().summary.get("last_batch", {}).get(self.cfg.writer, -1)
         )
 
+    def committed_partition_offsets(self):
+        """Per-partition resume vector (north rule: per-partition offset
+        checkpoints; GtidSet/Kafka-offsets analog — see offsets.py)."""
+        from .offsets import OffsetVector
+
+        return OffsetVector.from_summary(
+            self.table.manifest().summary.get("offsets", {}).get("parts", {})
+        )
+
     # -- phases ---------------------------------------------------------------
 
     def run(
@@ -593,14 +602,25 @@ class CdcEngine:
         # carry the prior checkpoint forward, not wipe it; and a batch whose
         # data-derived offsets lag the committed checkpoint (redelivered /
         # out-of-order micro-batch) must never REGRESS it — the replay
-        # resume point only moves forward
+        # resume point only moves forward. Per-partition vectors
+        # ("parts", north rule: per-partition offset checkpoints) merge
+        # pointwise-max for the same reason.
         prev = m.summary.get("offsets", {})
         if offsets is None:
             summary = {"offsets": prev}
         elif int(prev.get("next", 0)) > int(offsets.get("next", 0)):
             summary = {"offsets": prev}
         else:
-            summary = {"offsets": offsets}
+            merged = dict(offsets)
+            if "parts" in offsets or "parts" in prev:
+                from .offsets import OffsetVector
+
+                merged["parts"] = (
+                    OffsetVector.from_summary(prev.get("parts", {}))
+                    .merge(OffsetVector.from_summary(offsets.get("parts", {})))
+                    .to_summary()
+                )
+            summary = {"offsets": merged}
         res = self.table.merge(
             changes, batch_id=batch_id, writer=self.cfg.writer, summary=summary,
             mode=mode or self.cfg.commit_mode,

@@ -115,14 +115,21 @@ def start_stream(
         # would otherwise each re-evaluate the micro-batch from source
         batch_df = batch_df.persist()
         try:
+            from .offsets import partition_bounds
+
             bounds = batch_df.agg(
                 F.min("offset").alias("lo"), F.max("offset").alias("hi")
             ).collect()[0]
+            # per-partition high-water vector (north rule): the same
+            # persisted batch feeds both probes, one tiny agg each
+            parts = partition_bounds(batch_df)
             stream_engine._apply_batch(
                 batch_df,
                 batch_id=batch_id,
                 kind="stream",
-                offsets={"lo": int(bounds["lo"]), "next": int(bounds["hi"]) + 1},
+                offsets={"lo": int(bounds["lo"]),
+                         "next": int(bounds["hi"]) + 1,
+                         "parts": parts.to_summary()},
             )
         finally:
             batch_df.unpersist()
