@@ -150,10 +150,16 @@ class CdcEngine:
         - ``initial_only``: snapshot, never stream
         - ``always``: snapshot on every start, then stream
         - ``no_data`` (schema_only) / ``never``: stream only
+        - ``recovery``: rebuild a lost/corrupt schema-history journal from
+          the table manifest (field-id diff of consecutive epochs), then
+          stream — no data is re-read (the reference's
+          snapshot.mode=recovery)
         """
         mode = self.cfg.snapshot_mode
         done_before = self.committed_batch() >= 0
         out: dict = {"snapshot": None}
+        if mode == "recovery":
+            out["recovered_entries"] = self.recover_schema_history()
         wants_snapshot = (
             mode == "always"
             or (mode in ("initial", "initial_only", "when_needed") and not done_before)
@@ -296,6 +302,45 @@ class CdcEngine:
             stats["events"] / stats["wall_sec"] if stats["wall_sec"] else 0.0
         )
         return stats
+
+    def recover_schema_history(self) -> int:
+        """Rebuild a lost schema-history journal from the manifest
+        (snapshot.mode=recovery): consecutive epochs are diffed by FIELD ID
+        into add/rename/widen/drop entries, journaled at the committed
+        offset (the schema in force applies from the resume point on).
+        ``base_epoch=None`` marks them as reconstructed — the write-ahead
+        catch-up must not re-apply them. No-op if a journal exists."""
+        if self.schema_history.entries():
+            return 0
+        m = self.table.manifest()
+        resume = self.committed_offset()
+        n = 0
+        for ep in range(1, m.epoch + 1):
+            old = {f.id: f for f in m.epochs[str(ep - 1)]}
+            new = {f.id: f for f in m.epochs[str(ep)]}
+            changes: list[dict] = []
+            for fid, f in new.items():
+                if fid not in old:
+                    ch = {"action": "add", "name": f.name, "type": f.type}
+                    if f.default is not None:
+                        ch["default"] = f.default
+                    changes.append(ch)
+                    continue
+                o = old[fid]
+                if o.name != f.name:
+                    changes.append(
+                        {"action": "rename", "from": o.name, "to": f.name}
+                    )
+                if o.type != f.type:
+                    changes.append(
+                        {"action": "widen", "name": f.name, "type": f.type}
+                    )
+            for fid, o in old.items():
+                if fid not in new:
+                    changes.append({"action": "drop", "name": o.name})
+            self.schema_history.record(resume, changes, base_epoch=None)
+            n += 1
+        return n
 
     def _catch_up_schema_journal(self) -> None:
         """Repair the crash window of the write-ahead schema journal: an

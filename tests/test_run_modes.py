@@ -111,3 +111,37 @@ def test_auto_expire_bounds_disk(spark, tmp_root):
     # all-but-previous-version files GC'd: disk holds <= files of kept manifests
     prev_live = {f["path"] for f in eng.table.manifest(eng.table.current_version() - 1).files}
     assert on_disk <= (live | prev_live)
+
+
+def test_recovery_mode_rebuilds_schema_history(spark, tmp_root):
+    """snapshot_mode=recovery: a lost schema-history journal is rebuilt
+    from the manifest by field-id diff of consecutive epochs, and replay
+    continues with the correct schema reconciliation."""
+    import os
+
+    cfg = EngineConfig(batch_size=200, n_keys=30, n_parts=4)
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    eng.replay(400, schema_changes=[(200, [
+        {"action": "add", "name": "stars", "type": "int", "default": 5},
+        {"action": "rename", "from": "lang", "to": "language"},
+    ])])
+    assert eng.table.manifest().epoch == 1
+
+    # simulate journal loss
+    os.remove(os.path.join(eng.table.meta_dir, "schema_history.jsonl"))
+
+    cfg2 = EngineConfig(batch_size=200, n_keys=30, n_parts=4,
+                        snapshot_mode="recovery")
+    eng2 = default_engine(spark, tmp_root, n_buckets=4, config=cfg2)
+    out = eng2.run(800)
+    assert out["recovered_entries"] == 1
+    [entry] = eng2.schema_history.entries()
+    acts = {c["action"] for c in entry["changes"]}
+    assert acts == {"add", "rename"}
+    assert eng2.schema_history.epoch_at(10**9) == 1
+    # replay continued past the recovery point with the evolved schema
+    df = eng2.table.read()
+    assert "language" in df.columns and "stars" in df.columns
+    assert eng2.committed_offset() == 800
+    # recovery is idempotent: a journal now exists, nothing re-recovers
+    assert eng2.recover_schema_history() == 0
