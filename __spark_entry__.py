@@ -629,6 +629,48 @@ def q_cdc_envelope_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_cdc_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table capture (MultiTableEngine): one envelope stream routed
+    by source.table into two shard sink tables (each with its own fence
+    and offsets), read back as the union of both tables' final states."""
+    from sparkcdc.engine import EngineConfig
+    from sparkcdc.multitable import MultiTableEngine
+
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_mt_")
+    tables = {
+        f"app.events_{i}": LakeTable.create(
+            spark, root, f"events_{i}", fields=EVENT_TABLE_FIELDS,
+            key_cols=["user_id"], n_buckets=4,
+        )
+        for i in (0, 1)
+    }
+    mt = MultiTableEngine(spark, tables, EngineConfig(n_parts=8))
+    env = _env(spark, sf_dir).withColumn(
+        "source",
+        F.col("source").withField(
+            "table",
+            F.concat(
+                F.lit("events_"),
+                F.pmod(
+                    F.coalesce(F.col("after.user_id"), F.col("before.user_id")),
+                    F.lit(2),
+                ),
+            ),
+        ),
+    )
+    hi = env.agg(F.max("offset")).first()[0] + 1
+    mt.apply_batch(env, batch_id=0, offsets={"lo": 0, "next": hi})
+    parts = [
+        mt.state(name).withColumn("shard", F.lit(name))
+        for name in sorted(tables)
+    ]
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "shard", "user_id", "event_type",
+        _cents(F.col("value")).alias("value_cents"), "props",
+    )
+
+
 def q_cdc_envelope_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 Avro binary wire format: envelope → Avro bytes (public-spec
     encoder, transforms.avro) → decode; the oracle recomputes the
@@ -743,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
         "text_bpe_token_count": q_text_bpe_token_count,
         "cdc_envelope_json_roundtrip": q_cdc_envelope_json_roundtrip,
+        "cdc_multitable": q_cdc_multitable,
         "cdc_envelope_avro_roundtrip": q_cdc_envelope_avro_roundtrip,
         "cdc_envelope_protobuf_roundtrip": q_cdc_envelope_protobuf_roundtrip,
         "text_stats": q_text_stats,
@@ -1171,6 +1214,16 @@ def oracle_sql() -> dict[str, str]:
                    event_id AS pos,
                    event_id AS offset
             FROM events
+        """,
+        "cdc_multitable": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT concat('app.events_', CAST(user_id % 2 AS VARCHAR)) AS shard,
+                   user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents, props
+            FROM last WHERE rn = 1 AND event_type <> 'error'
         """,
         "cdc_envelope_avro_roundtrip": """
             SELECT CASE WHEN event_type='signup' THEN 'c'

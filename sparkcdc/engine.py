@@ -80,6 +80,13 @@ class EngineConfig:
     #: table (A3, provide.transaction.metadata;
     #: core/pipeline/txmetadata/TransactionMonitor.java:31-117)
     provide_transaction_metadata: bool = False
+    #: engine-wired ReselectColumnsPostProcessor (T15 as a post-processor,
+    #: core/processors/reselect/ReselectColumnsPostProcessor.java:51):
+    #: columns whose unavailable-value markers (TOAST/LOB placeholders) are
+    #: refilled from the sink's own current state before the merge — one
+    #: lookup join per batch against the affected rows, not per-record
+    #: point queries
+    reselect_unavailable_columns: list[str] = field(default_factory=list)
     #: honor op='t' TRUNCATE events by clearing table state at the truncate
     #: offset (K4, truncate.enabled; JdbcChangeEventSink flush-ordering:
     #: truncate flushes everything before continuing)
@@ -643,6 +650,13 @@ class CdcEngine:
                 flat, m.key_cols, salt_buckets=self.cfg.salt_buckets,
                 strategy=strategy,
             ).select(*row_cols, "_op")
+        if self.cfg.reselect_unavailable_columns:
+            from .transforms.reselect import reselect_columns
+
+            changes = reselect_columns(
+                self.table.read(), m.key_cols,
+                self.cfg.reselect_unavailable_columns,
+            )(changes)
         # offsets=None (e.g. incremental snapshot: no stream progress) must
         # carry the prior checkpoint forward, not wipe it; and a batch whose
         # data-derived offsets lag the committed checkpoint (redelivered /

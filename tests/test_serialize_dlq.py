@@ -123,3 +123,42 @@ def test_notifications_emitted(spark, tmp_root):
     kinds = [(n["aggregate_type"], n["type"]) for n in eng.notifications.read()]
     assert ("Initial Snapshot", "STARTED") in kinds
     assert ("Initial Snapshot", "COMPLETED") in kinds
+
+
+def test_engine_reselect_unavailable_columns(spark, tmp_root):
+    """T15 as an engine post-processor: update events carrying the TOAST
+    unavailable-value marker are refilled from the sink's current state
+    before the merge (ReselectColumnsPostProcessor.java:51)."""
+    from pyspark.sql import functions as F
+    from sparkcdc.engine import CdcEngine, EngineConfig
+    from sparkcdc.envelope import envelope_schema, row_struct
+    from sparkcdc.lake import LakeTable
+    from sparkcdc.transforms.reselect import UNAVAILABLE
+
+    t = LakeTable.create(
+        spark, tmp_root, "t",
+        fields=[("repo", "string"), ("path", "string"), ("commit", "string"),
+                ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"], n_buckets=4,
+    )
+    eng = CdcEngine(spark, t, EngineConfig(
+        n_keys=10, n_parts=2,
+        reselect_unavailable_columns=["content"],
+    ))
+
+    def env_of(rows):
+        return spark.createDataFrame(rows, envelope_schema())
+
+    # batch 0: real content
+    eng._apply_batch(env_of([
+        ("c", 1, None, ("r", "p", "c1", "py", "BIG_VALUE"),
+         None, None, 0, 0, False),
+    ]), batch_id=0, kind="replay", offsets={"lo": 0, "next": 1})
+    # batch 1: update whose content is the unavailable marker (TOAST)
+    eng._apply_batch(env_of([
+        ("u", 2, ("r", "p", None, None, None),
+         ("r", "p", "c2", "py", UNAVAILABLE), None, None, 0, 1, False),
+    ]), batch_id=1, kind="replay", offsets={"lo": 1, "next": 2})
+    row = t.read().first()
+    assert row["commit"] == "c2"           # updated field applied
+    assert row["content"] == "BIG_VALUE"   # marker refilled from state
