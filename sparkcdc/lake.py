@@ -813,10 +813,29 @@ class LakeTable:
                             os.remove(p)
                             removed += 1
                 os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
-        # clean now-empty commit dirs
+        # orphaned commit dirs: a crash between a data write and its
+        # manifest commit leaves a commit-{V}-... dir referenced by NO
+        # manifest, ever (version numbers strictly increase, so an old V
+        # can never be adopted by a future commit). Reclaim dirs whose
+        # intended version fell out of the keep window and whose files are
+        # not live — the Iceberg orphan-file cleanup analog.
+        horizon = min(keep, default=0)
         for d in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)
-            if os.path.isdir(full) and not any(
+            if not (os.path.isdir(full) and d.startswith("commit-")):
+                continue
+            try:
+                intended = int(d.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            has_live = any(
+                p.startswith(os.path.join("data", d)) for p in live
+            )
+            if intended < horizon and not has_live:
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            # also clean now-empty commit dirs
+            if not any(
                 fn.endswith(".parquet") for _, _, fns in os.walk(full) for fn in fns
             ):
                 shutil.rmtree(full)

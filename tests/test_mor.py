@@ -176,3 +176,26 @@ def test_mor_across_schema_evolution(spark, tmp_root):
     t.compact()
     assert t.delta_counts() == {}
     assert rows(t.read()) == [("k1", 10, None), ("k2", 20, "py")]
+
+
+def test_expire_reclaims_crash_orphaned_commit_dirs(spark, tmp_root):
+    """A crash between a data write and its manifest commit leaves an
+    orphan commit dir no manifest ever references; expire_versions
+    reclaims it once its intended version falls out of the keep window
+    (Iceberg orphan-file cleanup analog), while referenced and recent
+    dirs survive."""
+    import os
+    import shutil as sh
+
+    t = mk(spark, tmp_root)
+    t.merge(ch(spark, [("r", "a", "1", "u")]), batch_id=1)
+    # fabricate an orphan: copy the live commit dir under a long-dead tag
+    live_dir = [d for d in os.listdir(t.data_dir) if d.startswith("commit-")][0]
+    orphan = os.path.join(t.data_dir, "commit-0-deadbeef")
+    sh.copytree(os.path.join(t.data_dir, live_dir), orphan)
+    for i in range(2, 7):
+        t.merge(ch(spark, [("r", "a", str(i), "u")]), batch_id=i)
+    t.expire_versions(keep_last=2)
+    assert not os.path.exists(orphan)
+    # live data intact
+    assert t.read().first().content == "6"
