@@ -76,9 +76,19 @@ def _ident(s: str) -> str:
 
 
 def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens AND outside quoted literals
+    (``DEFAULT 'a,b'`` must stay one item)."""
     out, depth, cur = [], 0, []
+    quote: str | None = None
     for ch in s:
-        if ch == "(":
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1

@@ -15,6 +15,7 @@ SURVEY §2.9 — same recipe, with the fence made explicit).
 from __future__ import annotations
 
 import os
+import re
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -270,19 +271,32 @@ class CdcEngine:
                         # DDL-string schema capture: parse the statement(s)
                         # against the current catalog into TableChanges-
                         # style evolutions (ddl.py; the reference's
-                        # binlog-DDL → SchemaHistory → sink-ALTER path)
-                        from .ddl import parse_ddl
+                        # binlog-DDL → SchemaHistory → sink-ALTER path).
+                        # Only ALTERs addressed to THIS captured table
+                        # apply (a binlog carries every table's DDL);
+                        # unsupported statements journal-and-skip like the
+                        # reference's non-table DDL events.
+                        from .ddl import UnsupportedDdl, parse_ddl
 
+                        raw = changes
                         cur = {
                             f.name: f.type
                             for f in self.table.manifest().fields
                         }
-                        changes = [
-                            c
-                            for tc in parse_ddl(changes, current_types=cur)
-                            if tc.type == "ALTER"
-                            for c in tc.changes
-                        ]
+                        try:
+                            changes = [
+                                c
+                                for tc in parse_ddl(raw, current_types=cur)
+                                if tc.type == "ALTER"
+                                and self._ddl_targets_this_table(tc.table)
+                                for c in tc.changes
+                            ]
+                        except UnsupportedDdl as e:
+                            self.notifications.notify(
+                                "Schema", "DDL_SKIPPED",
+                                ddl=raw[:200], error=str(e),
+                            )
+                            changes = []
                     if changes:
                         # journal FIRST (write-ahead): a crash between the
                         # two steps is repaired by _catch_up_schema_journal
@@ -349,6 +363,11 @@ class CdcEngine:
             n += 1
         return n
 
+    def _ddl_targets_this_table(self, ddl_table: str) -> bool:
+        """An ALTER addresses this sink iff its (possibly db-qualified)
+        table identifier's last component matches the captured table."""
+        return ddl_table.split(".")[-1] == self.table.name
+
     def _catch_up_schema_journal(self) -> None:
         """Repair the crash window of the write-ahead schema journal: an
         entry whose target epoch (base_epoch+1) the manifest never reached
@@ -361,6 +380,10 @@ class CdcEngine:
             if base is not None and base >= epoch:
                 self.table.evolve(e["changes"])
                 epoch = self.table.manifest().epoch
+
+    def _writer_tag(self) -> str:
+        """Filesystem-safe writer name for side-table paths."""
+        return re.sub(r"[^A-Za-z0-9_.-]", "_", self.cfg.writer)
 
     # -- dead-letter queue (K8) --------------------------------------------------
 
@@ -387,7 +410,13 @@ class CdcEngine:
             )
         )
         quarantined = env.filter(bad)
-        dlq_dir = os.path.join(self.table.meta_dir, "dlq", f"batch-{batch_id}")
+        # writer-scoped dir: batch replay and streaming each have their own
+        # batch-id sequence — a bare batch-N path would let one overwrite
+        # the other's quarantined events
+        dlq_dir = os.path.join(
+            self.table.meta_dir, "dlq",
+            f"batch-{self._writer_tag()}-{batch_id}",
+        )
         # empty-check via a cheap limit probe rather than count() of the stream
         if quarantined.limit(1).count() > 0:
             quarantined.withColumn(
@@ -484,6 +513,9 @@ class CdcEngine:
                     lo = int(req.get("window_lo", 0))
                     hi = int(req.get("window_hi", self.committed_offset()))
                     self.run_incremental_snapshot(src, lo, hi)
+                    # ack ONLY after the backfill committed: a crash
+                    # before this point redelivers the signal on restart
+                    self.signals.ack_request(req)
         return acted
 
     # -- schema reconciliation ---------------------------------------------------
@@ -577,7 +609,10 @@ class CdcEngine:
             transaction_markers(env).withColumn(
                 "__batch", F.lit(batch_id)
             ).write.mode("overwrite").parquet(
-                os.path.join(self.table.meta_dir, "tx", f"batch-{batch_id}")
+                os.path.join(
+                    self.table.meta_dir, "tx",
+                    f"batch-{self._writer_tag()}-{batch_id}",
+                )
             )
         if self.cfg.truncate_enabled:
             # K4 truncate ordering: a TRUNCATE at offset T discards all

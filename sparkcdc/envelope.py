@@ -313,10 +313,15 @@ def snapshot_events(
     ``source.snapshot`` marker granularity (SnapshotRecord.java:16-44):
     ``snapshot_marker`` is the base value ('true', or 'incremental' for
     ad-hoc backfills); with ``mark_boundaries`` the rows holding the
-    min/max key hash are tagged ``first_in_data_collection`` /
-    ``last_in_data_collection`` so downstream consumers can detect
-    per-table snapshot completion (the reference's FIRST/LAST markers) —
-    one tiny scalar aggregate, no sort, no window.
+    min/max KEY TUPLE (exact lexicographic struct bounds — collision-free
+    by construction, unlike a hash) are tagged
+    ``first_in_data_collection`` / ``last_in_data_collection`` so
+    downstream consumers can detect per-table snapshot completion (the
+    reference's FIRST/LAST markers). The bounds are one scalar aggregate
+    — an extra pass over the source, which is why boundary marking is
+    opt-in (the engine enables it for the one-time initial snapshot,
+    where completion detection is worth one extra scan; trickle paths
+    leave it off).
     """
     row_cols = row_cols or [n for n, _ in REPO_ROW_FIELDS]
     key_cols = key_cols or REPO_KEY
@@ -328,14 +333,20 @@ def snapshot_events(
     key_hash = F.xxhash64(*[F.col(c) for c in key_cols])
     marker = F.lit(snapshot_marker)
     if mark_boundaries:
+        key_struct = F.struct(*[F.col(c) for c in key_cols])
         bounds = source_df.agg(
-            F.min(key_hash).alias("lo"), F.max(key_hash).alias("hi")
+            F.min(key_struct).alias("lo"), F.max(key_struct).alias("hi")
         ).first()
         if bounds["lo"] is not None:
+            def _lit_struct(row):
+                return F.struct(*[
+                    F.lit(row[c]).alias(c) for c in key_cols
+                ])
+
             marker = (
-                F.when(key_hash == bounds["lo"],
+                F.when(key_struct == _lit_struct(bounds["lo"]),
                        F.lit("first_in_data_collection"))
-                .when(key_hash == bounds["hi"],
+                .when(key_struct == _lit_struct(bounds["hi"]),
                       F.lit("last_in_data_collection"))
                 .otherwise(marker)
             )

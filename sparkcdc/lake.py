@@ -432,6 +432,10 @@ class LakeTable:
             files=m.files + entries,
             summary={**(summary or {}), "op": "append", "batch_id": batch_id,
                      "writer": writer, "last_batch": last_batch,
+                     # carry the replay checkpoint forward unless this
+                     # commit supplies its own (all commit ops preserve it)
+                     "offsets": (summary or {}).get(
+                         "offsets", m.summary.get("offsets", {})),
                      "committed_ms": int(time.time() * 1000)},
         )
         self._write_manifest(new)
@@ -477,6 +481,10 @@ class LakeTable:
         JdbcChangeEventSink.java:72-158, dialect MERGE at
         dialect/sqlserver/SqlServerDatabaseDialect.java:128-130.
         """
+        if mode not in ("cow", "mor"):
+            # explicit: a legacy positional `scope` argument landing here
+            # must fail loudly, not silently become a merge-on-read commit
+            raise ValueError(f"unknown merge mode {mode!r} (cow|mor)")
         m = self.manifest()
         if not m.key_cols:
             raise ValueError(
@@ -535,6 +543,8 @@ class LakeTable:
                      "batch_id": batch_id,
                      "writer": writer, "last_batch": last_batch,
                      "affected_buckets": sorted(affected),
+                     "offsets": (summary or {}).get(
+                         "offsets", m.summary.get("offsets", {})),
                      "committed_ms": int(time.time() * 1000)},
         )
         self._write_manifest(new)
@@ -656,14 +666,24 @@ class LakeTable:
                         tables.append(pa.Table.from_arrays(arrays, names=names))
 
                     # last-write-wins: walk files newest-first; a key wins
-                    # on first sight (each file holds ≤1 row per key)
+                    # on first sight (each file holds ≤1 row per key).
+                    # Composite keys join LENGTH-PREFIXED so a separator
+                    # character inside a key component cannot alias two
+                    # distinct keys ("a\x1fb","c" vs "a","b\x1fc").
+                    def _keystr(t):
+                        parts = []
+                        for k in key_cols:
+                            s = pc.cast(t.column(k), pa.string())
+                            parts.append(
+                                pc.cast(pc.utf8_length(s), pa.string())
+                            )
+                            parts.append(s)
+                        return pc.binary_join_element_wise(*parts, "\x1f")
+
                     seen = None
                     survivors = []
                     for t in reversed(tables):
-                        keystr = pc.binary_join_element_wise(
-                            *[pc.cast(t.column(k), pa.string()) for k in key_cols],
-                            "\x1f",
-                        )
+                        keystr = _keystr(t)
                         if seen is not None:
                             mask = pc.invert(
                                 pc.is_in(keystr, value_set=seen)
@@ -792,9 +812,15 @@ class LakeTable:
     # -- maintenance ----------------------------------------------------------
 
     def expire_versions(self, keep_last: int = 2) -> int:
-        """GC data files referenced only by expired manifests."""
+        """GC data files referenced only by expired manifests.
+
+        Only versions STRICTLY OLDER than the keep window are touched —
+        a version committed concurrently after our current_version()
+        snapshot (v > cur) is never expired, so racing GC against another
+        writer's fresh commit cannot destroy it."""
         cur = self.current_version()
         keep = set(range(max(0, cur - keep_last + 1), cur + 1))
+        horizon_lo = min(keep, default=0)
         live: set[str] = set()
         all_versions = [
             int(f[1:-5]) for f in os.listdir(self.meta_dir)
@@ -805,7 +831,7 @@ class LakeTable:
                 live |= {f["path"] for f in self.manifest(v).files}
         removed = 0
         for v in all_versions:
-            if v not in keep:
+            if v < horizon_lo:
                 for f in self.manifest(v).files:
                     if f["path"] not in live:
                         p = os.path.join(self.dir, f["path"])

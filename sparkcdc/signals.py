@@ -38,25 +38,30 @@ class SignalState:
 
 class FileSignalChannel:
     """JSONL signal file. ``state_path`` (recommended: under the table's
-    meta dir) persists the set of processed signal ids so a restarted
-    engine does NOT replay historical signals — the analog of the
-    reference tracking its signal-topic offset. Without it, ids are only
-    deduplicated within one process lifetime."""
+    meta dir) persists the set of ACKED signal ids so a restarted engine
+    does NOT replay handled signals — the analog of the reference tracking
+    its signal-topic offset. Ids are persisted only on ``ack`` (AFTER the
+    action completed), never on read: a crash between delivery and action
+    redelivers the signal on restart (at-least-once), while within one
+    process the in-memory seen-set prevents duplicate delivery."""
 
     def __init__(self, path: str, state_path: str | None = None):
         self.path = path
         self.state_path = state_path
-        self._processed: set[str] = set()
+        self._acked: set[str] = set()
         if state_path and os.path.exists(state_path):
             with open(state_path) as fh:
-                self._processed = set(json.load(fh))
+                self._acked = set(json.load(fh))
+        self._seen: set[str] = set(self._acked)
 
-    def _persist(self) -> None:
+    def ack(self, ids) -> None:
+        """Durably mark signals as handled (called after the action)."""
+        self._acked |= {i for i in ids if i is not None}
         if not self.state_path:
             return
         tmp = f"{self.state_path}.tmp"
         with open(tmp, "w") as fh:
-            json.dump(sorted(self._processed), fh)
+            json.dump(sorted(self._acked), fh)
         os.replace(tmp, self.state_path)
 
     def read_new(self) -> list[dict]:
@@ -68,12 +73,10 @@ class FileSignalChannel:
                 if not line.strip():
                     continue
                 sig = json.loads(line)
-                if sig.get("id") in self._processed:
+                if sig.get("id") in self._seen:
                     continue
-                self._processed.add(sig.get("id"))
+                self._seen.add(sig.get("id"))
                 out.append(sig)
-        if out:
-            self._persist()
         return out
 
 
@@ -96,12 +99,27 @@ class SignalProcessor:
                 elif typ == "resume":
                     self.state.paused = False
                 elif typ == "execute-snapshot":
-                    self.state.snapshot_requests.append(data)
+                    # deferred action: acked only after the backfill ran
+                    # (ack_request) — a crash in between redelivers it
+                    self.state.snapshot_requests.append(
+                        {**data, "__sig_id": sig.get("id"), "__channel": ch}
+                    )
+                    acted.append(sig)
+                    continue
                 elif typ == "stop-snapshot":
                     self.state.stopped_snapshots.append(data)
                 elif typ == "log":
                     self.state.log_lines.append(str(data.get("message", "")))
                 else:
                     continue  # unknown types ignored, like the reference
+                ch.ack([sig.get("id")])  # immediate action completed
                 acted.append(sig)
         return acted
+
+    @staticmethod
+    def ack_request(req: dict) -> None:
+        """Durably ack a deferred execute-snapshot request after its
+        backfill completed."""
+        ch = req.get("__channel")
+        if ch is not None:
+            ch.ack([req.get("__sig_id")])

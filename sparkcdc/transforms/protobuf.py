@@ -136,6 +136,22 @@ def _get_scalar(mv, pos, kind):
     raise ValueError(kind)
 
 
+def _skip_field(mv: memoryview, pos: int, wt: int) -> int:
+    """Skip an unknown field by wire type — required by the proto spec
+    (forward compatibility with producers on a newer schema)."""
+    if wt == _WT_VARINT:
+        _, pos = _get_varint(mv, pos)
+        return pos
+    if wt == _WT_FIX64:
+        return pos + 8
+    if wt == _WT_LEN:
+        n, pos = _get_varint(mv, pos)
+        return pos + n
+    if wt == 5:  # fixed32
+        return pos + 4
+    raise ValueError(f"unskippable wire type {wt}")
+
+
 def _get_message(mv: memoryview, pos: int, fields) -> tuple[dict, int]:
     n, pos = _get_varint(mv, pos)
     end = pos + n
@@ -143,7 +159,11 @@ def _get_message(mv: memoryview, pos: int, fields) -> tuple[dict, int]:
     by_num = {i: (name, kind) for i, (name, kind) in enumerate(fields, 1)}
     while pos < end:
         tag, pos = _get_varint(mv, pos)
-        name, kind = by_num[tag >> 3]
+        entry = by_num.get(tag >> 3)
+        if entry is None:
+            pos = _skip_field(mv, pos, tag & 7)
+            continue
+        name, kind = entry
         out[name], pos = _get_scalar(mv, pos, kind)
     return out, end
 
@@ -256,13 +276,21 @@ def parse_envelope_protobuf(
                         r["after"], pos = _get_message(mv, pos, row_f)
                     elif num == 5:
                         r["source"], pos = _get_message(mv, pos, _SOURCE_FIELDS)
-                    else:
+                    elif num in (1, 2, 6, 7, 8):
                         name = {1: "op", 2: "ts_ms", 6: "part_id",
                                 7: "offset", 8: "tombstone"}[num]
                         kind = {"op": "string", "ts_ms": "long",
                                 "part_id": "int", "offset": "long",
                                 "tombstone": "boolean"}[name]
                         r[name], pos = _get_scalar(mv, pos, kind)
+                    else:
+                        pos = _skip_field(mv, pos, tag & 7)
+                # proto3 scalar presence: a canonical producer OMITS
+                # default values — an absent tombstone means false, and
+                # leaving it NULL would silently drop the event from the
+                # merge path's (~tombstone) filter
+                if r["tombstone"] is None:
+                    r["tombstone"] = False
                 rows.append(r)
             yield pd.DataFrame(rows)
 

@@ -203,7 +203,7 @@ def test_replay_with_ddl_string_schema_change(spark, tmp_root):
     eng.replay(
         800,
         schema_changes=[(200,
-            "ALTER TABLE source_code_repos ADD stars INT DEFAULT 7, "
+            "ALTER TABLE t ADD stars INT DEFAULT 7, "
             "RENAME COLUMN lang TO language")],
     )
     df = t.read()

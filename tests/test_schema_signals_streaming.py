@@ -107,7 +107,12 @@ def test_signal_processor(tmp_root):
              "data": {"data-collections": ["code.repos"]}}) + "\n")
     sp.process()
     assert not sp.state.paused
-    assert sp.state.snapshot_requests == [{"data-collections": ["code.repos"]}]
+    assert [
+        {k: v for k, v in r.items() if not k.startswith("__")}
+        for r in sp.state.snapshot_requests
+    ] == [{"data-collections": ["code.repos"]}]
+    # deferred signals carry their ack token until the action completes
+    assert sp.state.snapshot_requests[0]["__sig_id"] == "4"
 
 
 def test_pause_signal_stops_replay(spark, tmp_root):
@@ -230,3 +235,32 @@ def test_streaming_available_now_with_checkpoint_restart(spark, tmp_root):
     streamed = {tuple(r) for r in eng.table.read().collect()}
     batched = {tuple(r) for r in batch_eng.table.read().collect()}
     assert streamed == batched
+
+
+def test_unacked_signal_redelivered_after_restart(tmp_root):
+    """At-least-once signals: a deferred execute-snapshot is only durably
+    acked AFTER its action ran — a crash in between redelivers it on
+    restart, while immediately-applied signals (pause) are acked right
+    away and never replay."""
+    sig_path = os.path.join(tmp_root, "signals.jsonl")
+    state_path = os.path.join(tmp_root, "signals.state.json")
+    with open(sig_path, "w") as fh:
+        fh.write(json.dumps({"id": "p", "type": "pause"}) + "\n")
+        fh.write(json.dumps({"id": "s", "type": "execute-snapshot",
+                             "data": {"window_lo": 0}}) + "\n")
+    sp = SignalProcessor([FileSignalChannel(sig_path, state_path)])
+    sp.process()
+    assert len(sp.state.snapshot_requests) == 1  # queued, NOT acked
+
+    # crash-restart before the backfill ran
+    sp2 = SignalProcessor([FileSignalChannel(sig_path, state_path)])
+    acted = sp2.process()
+    # pause was acked durably → not replayed; snapshot redelivered
+    assert [a["id"] for a in acted] == ["s"]
+    assert not sp2.state.paused
+    req = sp2.state.snapshot_requests.pop(0)
+    SignalProcessor.ack_request(req)  # the action "ran"
+
+    # next restart: nothing left
+    sp3 = SignalProcessor([FileSignalChannel(sig_path, state_path)])
+    assert sp3.process() == []
