@@ -60,6 +60,13 @@ def get_spark(
         # mandatory broadcast — raise the auto threshold so AQE still
         # broadcasts the common case (millions of keys ≈ tens of MB)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # task-side output commit (v2): v1's driver-side serial rename of
+        # one file per bucket per commit is pure serial tail. The weaker
+        # job-commit atomicity of v2 is irrelevant here — files become
+        # visible only via the table's own atomic manifest commit, which
+        # is the actual transaction boundary (+4% replay, measured)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKCDC_DRIVER_MEM", "16g"))
     )
