@@ -563,10 +563,7 @@ class CdcEngine:
         # effects below (truncate!, DLQ writes) before the merge's own
         # fence would re-execute on redelivery — a redelivered truncate
         # would wipe state the fenced merge then never restores.
-        last = self.table.manifest().summary.get("last_batch", {}).get(
-            self.cfg.writer
-        )
-        if last is not None and batch_id <= last:
+        if batch_id <= self.committed_batch():
             return {
                 "version": self.table.current_version(),
                 "skipped": True, "reason": "fenced", "wall_sec": 0.0,

@@ -258,6 +258,18 @@ class LakeTable:
             _exclusive_write(path, json.dumps(m.to_json()))
         _atomic_write(os.path.join(self.meta_dir, "VERSION"), str(m.version))
 
+    @staticmethod
+    def _carry_summary(m: Manifest, **extra) -> dict:
+        """Commit-summary skeleton: every commit op carries the fence map
+        and the replay checkpoint forward unless it overrides them — losing
+        either would un-fence redeliveries or rewind the resume point."""
+        return {
+            "last_batch": m.summary.get("last_batch", {}),
+            "offsets": m.summary.get("offsets", {}),
+            "committed_ms": int(time.time() * 1000),
+            **extra,
+        }
+
     # -- read (with field-id schema mapping + time travel) -------------------
 
     def _bucket_expr(self, key_cols: list[str], n_buckets: int):
@@ -388,13 +400,10 @@ class LakeTable:
         new = Manifest(
             version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs, files=entries,
-            summary={**(summary or {}), "op": "overwrite", "batch_id": batch_id,
-                     # preserve fence + checkpoint: overwrite replaces DATA,
-                     # not replay progress (else the next replay restarts at
-                     # offset 0 and stomps the fresh state with stale events)
-                     "last_batch": m.summary.get("last_batch", {}),
-                     "offsets": m.summary.get("offsets", {}),
-                     "committed_ms": int(time.time() * 1000)},
+            # overwrite replaces DATA, not replay progress (else the next
+            # replay restarts at offset 0 and stomps the fresh state)
+            summary=self._carry_summary(
+                m, **(summary or {}), op="overwrite", batch_id=batch_id),
         )
         self._write_manifest(new)
         return {"version": new.version, "files": len(entries)}
@@ -430,13 +439,9 @@ class LakeTable:
             version=new_version, parent=m.version, n_buckets=m.n_buckets,
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs,
             files=m.files + entries,
-            summary={**(summary or {}), "op": "append", "batch_id": batch_id,
-                     "writer": writer, "last_batch": last_batch,
-                     # carry the replay checkpoint forward unless this
-                     # commit supplies its own (all commit ops preserve it)
-                     "offsets": (summary or {}).get(
-                         "offsets", m.summary.get("offsets", {})),
-                     "committed_ms": int(time.time() * 1000)},
+            summary=self._carry_summary(
+                m, **(summary or {}), op="append", batch_id=batch_id,
+                writer=writer, last_batch=last_batch),
         )
         self._write_manifest(new)
         return {"version": new.version, "skipped": False,
@@ -539,13 +544,10 @@ class LakeTable:
             version=new_version, parent=m.version, n_buckets=m.n_buckets,
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs,
             files=files,
-            summary={**(summary or {}), "op": "merge", "mode": mode,
-                     "batch_id": batch_id,
-                     "writer": writer, "last_batch": last_batch,
-                     "affected_buckets": sorted(affected),
-                     "offsets": (summary or {}).get(
-                         "offsets", m.summary.get("offsets", {})),
-                     "committed_ms": int(time.time() * 1000)},
+            summary=self._carry_summary(
+                m, **(summary or {}), op="merge", mode=mode,
+                batch_id=batch_id, writer=writer, last_batch=last_batch,
+                affected_buckets=sorted(affected)),
         )
         self._write_manifest(new)
         return {
@@ -584,11 +586,8 @@ class LakeTable:
             version=new_version, parent=m.version, n_buckets=m.n_buckets,
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs,
             files=kept + entries,
-            summary={"op": "compact",
-                     "compacted_buckets": sorted(target),
-                     "last_batch": m.summary.get("last_batch", {}),
-                     "offsets": m.summary.get("offsets", {}),
-                     "committed_ms": int(time.time() * 1000)},
+            summary=self._carry_summary(
+                m, op="compact", compacted_buckets=sorted(target)),
         )
         self._write_manifest(new)
         return {"version": new.version, "compacted_buckets": len(target)}
@@ -733,10 +732,8 @@ class LakeTable:
         new = Manifest(
             version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
             key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs, files=entries,
-            summary={"op": "delete_where", "predicate": predicate, "batch_id": batch_id,
-                     "last_batch": m.summary.get("last_batch", {}),
-                     "offsets": m.summary.get("offsets", {}),
-                     "committed_ms": int(time.time() * 1000)},
+            summary=self._carry_summary(
+                m, op="delete_where", predicate=predicate, batch_id=batch_id),
         )
         self._write_manifest(new)
         return {"version": new.version}
@@ -801,10 +798,7 @@ class LakeTable:
         new = Manifest(
             version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
             key_cols=key_cols, epoch=new_epoch, epochs=epochs, files=m.files,
-            summary={"op": "evolve", "changes": changes,
-                     "last_batch": m.summary.get("last_batch", {}),
-                     "offsets": m.summary.get("offsets", {}),
-                     "committed_ms": int(time.time() * 1000)},
+            summary=self._carry_summary(m, op="evolve", changes=changes),
         )
         self._write_manifest(new)
         return {"version": new.version, "epoch": new_epoch}
