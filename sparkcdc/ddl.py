@@ -75,9 +75,9 @@ def _ident(s: str) -> str:
     return s.strip().strip("`\"'")
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split on commas outside parens AND outside quoted literals
-    (``DEFAULT 'a,b'`` must stay one item)."""
+def _split_top_level(s: str, delim: str = ",") -> list[str]:
+    """Split on ``delim`` outside parens AND outside quoted literals
+    (``DEFAULT 'a,b'`` / ``COMMENT 'x; y'`` must stay one item)."""
     out, depth, cur = [], 0, []
     quote: str | None = None
     for ch in s:
@@ -92,7 +92,7 @@ def _split_top_level(s: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+        if ch == delim and depth == 0:
             out.append("".join(cur))
             cur = []
         else:
@@ -103,8 +103,19 @@ def _split_top_level(s: str) -> list[str]:
 
 
 _COL_STOPWORDS = re.compile(
-    r"\s+(not\s+null|null|default\s+\S+|auto_increment|comment\s+'[^']*'"
+    r"\s+(not\s+null|null|default\s+('[^']*'|\S+)|auto_increment"
+    r"|comment\s+'[^']*'"
     r"|primary\s+key|unique|collate\s+\S+|character\s+set\s+\S+)",
+    re.I,
+)
+
+#: a CREATE TABLE item that is an index/constraint, NOT a column def.
+#: Keywords must be whole words followed by whitespace/paren — a column
+#: merely named ``checksum``/``indexed``/``uniqueid`` is a column.
+_CONSTRAINT_ITEM = re.compile(
+    r"(primary\s+key|foreign\s+key|unique(\s+key|\s+index)?"
+    r"|fulltext(\s+key|\s+index)?|spatial(\s+key|\s+index)?"
+    r"|key|index|constraint|check)\s*[\s(]",
     re.I,
 )
 
@@ -118,8 +129,7 @@ def _parse_create(body: str, table: str) -> TableChange:
             inner = item[item.find("(") + 1 : item.rfind(")")]
             keys = [_ident(c) for c in inner.split(",")]
             continue
-        if low.startswith(("key ", "key(", "index", "unique", "constraint",
-                           "foreign", "check")):
+        if _CONSTRAINT_ITEM.match(item):
             continue  # index/constraint noise a lake sink ignores
         m = re.match(r"[`\"]?(\w+)[`\"]?\s+(.+)", item, re.S)
         if not m:
@@ -187,7 +197,7 @@ def parse_ddl(
     the reference resolves this against its in-memory ``Tables`` catalog.
     """
     out = []
-    for stmt in sql.split(";"):
+    for stmt in _split_top_level(sql, ";"):
         stmt = re.sub(r"\s+", " ", stmt.strip())
         if not stmt:
             continue
@@ -214,6 +224,59 @@ def parse_ddl(
         else:
             raise UnsupportedDdl(f"unsupported statement: {stmt[:80]!r}")
     return out
+
+
+#: best-effort table identifier of a statement, for pre-parse filtering
+_STMT_TABLE = re.compile(
+    r"(?:create\s+table\s+(?:if\s+not\s+exists\s+)?"
+    r"|alter\s+table\s+|drop\s+table\s+(?:if\s+exists\s+)?"
+    r"|truncate\s+(?:table\s+)?|rename\s+table\s+)([`\"\w.]+)",
+    re.I,
+)
+
+
+def statement_table(stmt: str) -> str | None:
+    """The table a single DDL statement addresses, or None if the statement
+    shape is unknown (SET/ANALYZE/CREATE INDEX/...)."""
+    m = _STMT_TABLE.match(stmt.strip())
+    return _ident(m.group(1)) if m else None
+
+
+def parse_ddl_tolerant(
+    sql: str,
+    current_types: dict[str, str] | None = None,
+    *,
+    only_table: str | None = None,
+) -> tuple[list[TableChange], list[tuple[str, str]]]:
+    """Per-statement parse-and-filter — the engine's binlog-DDL path.
+
+    A binlog DDL string carries EVERY table's statements plus dialect noise
+    (CREATE INDEX, SET, ANALYZE ...). The reference journals-and-skips each
+    unsupported statement individually (one HistoryRecord per statement,
+    core/relational/history/SchemaHistory); an all-or-nothing parse would
+    drop a valid ALTER for the captured table because an unrelated statement
+    failed. ``only_table`` drops statements addressed to OTHER tables BEFORE
+    their clauses are parsed, so another table's CHANGE/MODIFY is never
+    resolved against this table's column catalog.
+
+    Returns ``(changes, skipped)`` where skipped is
+    ``[(statement, error), ...]`` for journal-and-skip reporting.
+    """
+    out: list[TableChange] = []
+    skipped: list[tuple[str, str]] = []
+    for stmt in _split_top_level(sql, ";"):
+        stmt = re.sub(r"\s+", " ", stmt.strip())
+        if not stmt:
+            continue
+        if only_table is not None:
+            target = statement_table(stmt)
+            if target is not None and target.split(".")[-1] != only_table:
+                continue  # another table's DDL: not ours to act on
+        try:
+            out.extend(parse_ddl(stmt, current_types=current_types))
+        except UnsupportedDdl as e:
+            skipped.append((stmt, str(e)))
+    return out, skipped
 
 
 def apply_ddl(table, sql: str) -> list[TableChange]:

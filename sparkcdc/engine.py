@@ -272,31 +272,37 @@ class CdcEngine:
                         # against the current catalog into TableChanges-
                         # style evolutions (ddl.py; the reference's
                         # binlog-DDL → SchemaHistory → sink-ALTER path).
-                        # Only ALTERs addressed to THIS captured table
-                        # apply (a binlog carries every table's DDL);
-                        # unsupported statements journal-and-skip like the
-                        # reference's non-table DDL events.
-                        from .ddl import UnsupportedDdl, parse_ddl
+                        # Per-statement tolerance: a binlog carries EVERY
+                        # table's DDL plus noise (CREATE INDEX / SET / ...)
+                        # — other tables' statements are dropped before
+                        # clause resolution and each unsupported statement
+                        # journals-and-skips individually, so a valid ALTER
+                        # for the captured table is never lost to an
+                        # unrelated statement (cf. the reference's one
+                        # HistoryRecord per statement).
+                        from .ddl import parse_ddl_tolerant
 
                         raw = changes
                         cur = {
                             f.name: f.type
                             for f in self.table.manifest().fields
                         }
-                        try:
-                            changes = [
-                                c
-                                for tc in parse_ddl(raw, current_types=cur)
-                                if tc.type == "ALTER"
-                                and self._ddl_targets_this_table(tc.table)
-                                for c in tc.changes
-                            ]
-                        except UnsupportedDdl as e:
+                        parsed, skipped = parse_ddl_tolerant(
+                            raw, current_types=cur,
+                            only_table=self.table.name,
+                        )
+                        for stmt, err in skipped:
                             self.notifications.notify(
                                 "Schema", "DDL_SKIPPED",
-                                ddl=raw[:200], error=str(e),
+                                ddl=stmt[:200], error=err,
                             )
-                            changes = []
+                        changes = [
+                            c
+                            for tc in parsed
+                            if tc.type == "ALTER"
+                            and self._ddl_targets_this_table(tc.table)
+                            for c in tc.changes
+                        ]
                     if changes:
                         # journal FIRST (write-ahead): a crash between the
                         # two steps is repaired by _catch_up_schema_journal
@@ -521,7 +527,7 @@ class CdcEngine:
     # -- schema reconciliation ---------------------------------------------------
 
     @staticmethod
-    def _reconcile_schema(env: DataFrame, m) -> tuple[dict, dict]:
+    def _reconcile_schema(env: DataFrame, m) -> tuple[dict, dict, dict]:
         """Map each current sink column to the field name the envelope
         carries, by FIELD ID across schema epochs (SURVEY §1.2 / hard part
         (3): rename must map by id or replay misapplies old-epoch events).

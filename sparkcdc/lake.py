@@ -419,8 +419,20 @@ class LakeTable:
         the path for keyless tables (primary.key.mode=none) and
         audit/event-log sinks. Still fenced per (writer, batch_id). Rows
         are bucketed by a hash of ALL columns (no key to bucket by), so
-        files stay balanced and size-bounded."""
+        files stay balanced and size-bounded.
+
+        Keyed tables are rejected: their files must obey the
+        ``bucket = pmod(hash(key), N)`` invariant that merge/compaction
+        co-location relies on — an all-column-hashed append would place a
+        key's row in the wrong bucket, and per-bucket compaction would then
+        keep it alongside the merged row (duplicate keys on read)."""
         m = self.manifest()
+        if m.key_cols:
+            raise ValueError(
+                "append() is insert-only for keyless tables "
+                "(primary.key.mode=none); this table has key columns "
+                f"{m.key_cols} — use merge()"
+            )
         last = m.summary.get("last_batch", {}).get(writer)
         if last is not None and batch_id <= last:
             return {"version": m.version, "skipped": True, "reason": "fenced"}
@@ -854,9 +866,16 @@ class LakeTable:
             if intended < horizon and not has_live:
                 shutil.rmtree(full, ignore_errors=True)
                 continue
-            # also clean now-empty commit dirs
-            if not any(
-                fn.endswith(".parquet") for _, _, fns in os.walk(full) for fn in fns
+            # also clean now-empty commit dirs — but age-gated: a CONCURRENT
+            # writer's in-flight commit dir (intended >= horizon) is legally
+            # empty until its first task-committed parquet file lands, so an
+            # empty dir is only reclaimed after a grace period
+            if (
+                not any(
+                    fn.endswith(".parquet")
+                    for _, _, fns in os.walk(full) for fn in fns
+                )
+                and time.time() - os.path.getmtime(full) > 600
             ):
                 shutil.rmtree(full)
         return removed

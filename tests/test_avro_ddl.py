@@ -79,6 +79,53 @@ def test_parse_table_level_statements():
     assert tcs[0].previous_table == "a"
 
 
+def test_parse_create_column_names_resembling_keywords():
+    """Columns merely NAMED like index/constraint keywords are columns
+    (prefix-matching would silently drop them); quoted defaults with
+    spaces stay intact."""
+    [tc] = parse_ddl("""
+        CREATE TABLE t (
+          id INT,
+          checksum TEXT,
+          indexed INT,
+          uniqueid VARCHAR(36),
+          keyring TEXT,
+          note VARCHAR(20) DEFAULT 'a b' NOT NULL,
+          PRIMARY KEY (id),
+          UNIQUE KEY uq (uniqueid),
+          KEY idx_k (keyring),
+          CHECK (indexed > 0)
+        )
+    """)
+    assert tc.fields == [("id", "int"), ("checksum", "string"),
+                         ("indexed", "int"), ("uniqueid", "string"),
+                         ("keyring", "string"), ("note", "string")]
+    assert tc.key_cols == ["id"]
+
+
+def test_parse_ddl_tolerant_per_statement():
+    from sparkcdc.ddl import parse_ddl_tolerant
+
+    changes, skipped = parse_ddl_tolerant(
+        "SET @@session.sql_mode='x;y'; "
+        "CREATE INDEX idx ON other (a); "
+        "ALTER TABLE other CHANGE a a2 BIGINT; "
+        "ALTER TABLE t ADD stars INT; "
+        "ANALYZE TABLE t2",
+        current_types={"id": "int"},
+        only_table="t",
+    )
+    # the one statement for OUR table parsed; other tables' statements were
+    # dropped BEFORE clause resolution (their columns never hit our catalog)
+    assert [tc.type for tc in changes] == ["ALTER"]
+    assert changes[0].changes == [
+        {"action": "add", "name": "stars", "type": "int"}
+    ]
+    # the three noise statements journal-and-skip individually
+    assert len(skipped) == 3
+    assert all(err for _, err in skipped)
+
+
 def test_apply_ddl_evolves_lake_table(spark, tmp_root):
     from sparkcdc.lake import LakeTable
 
@@ -217,3 +264,34 @@ def test_replay_with_ddl_string_schema_change(spark, tmp_root):
     # field-id mapping; all rows carry the default (added with default=7)
     assert {r["stars"] for r in df.collect()} == {7}
     assert df.count() > 0
+
+
+def test_replay_ddl_binlog_noise_does_not_drop_our_alter(spark, tmp_root):
+    """A multi-statement binlog DDL string where unrelated statements are
+    unsupported must still apply the captured table's ALTER (per-statement
+    journal-and-skip, not all-or-nothing)."""
+    from sparkcdc.engine import CdcEngine, EngineConfig
+    from sparkcdc.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, tmp_root, "t",
+        fields=[("repo", "string"), ("path", "string"), ("commit", "string"),
+                ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"], n_buckets=4,
+    )
+    eng = CdcEngine(spark, t, EngineConfig(batch_size=200, n_keys=20,
+                                           n_parts=4))
+    eng.replay(
+        400,
+        schema_changes=[(200,
+            "CREATE INDEX idx_x ON other_table (x); "
+            "ALTER TABLE other_table CHANGE foo bar BIGINT; "
+            "ALTER TABLE t ADD stars INT DEFAULT 3; "
+            "SET character_set_client = utf8mb4")],
+    )
+    df = t.read()
+    assert "stars" in df.columns
+    assert {r["stars"] for r in df.collect()} == {3}
+    # the unsupported statements were journaled as skipped notifications
+    skips = [n for n in eng.notifications.read() if n["type"] == "DDL_SKIPPED"]
+    assert len(skips) == 2  # CREATE INDEX + SET (other table's ALTER filtered)
