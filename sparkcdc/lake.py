@@ -285,27 +285,67 @@ class LakeTable:
         pruned to a bucket subset (driver-side manifest pruning — the
         scale-critical path for MERGE).
 
-        Merge-on-read reconciliation: when the selected files include delta
-        files (MOR commits, Iceberg equality-delete analog), the winning
-        row per key is the one from the highest commit ``seq`` — each file
-        holds at most one row per key (base files are compacted state;
-        delta files are reduced batches), so ``max_by(row, seq)`` per key
-        is exact. Delete markers (``_op='d'``) drop the key. Base-only
-        reads skip the reconcile entirely (buckets are file-disjoint)."""
+        Merge-on-read reconciliation is BUCKET-SCOPED: buckets are
+        file-disjoint by the write invariant, so only buckets that actually
+        hold delta files (MOR commits, Iceberg equality-delete analog) pay
+        the per-key ``max_by(row, seq)`` reconcile — base-only buckets
+        stream straight through with no aggregate and no shuffle. A reader
+        between compactions therefore shuffles O(delta-bucket state), not
+        O(table state). Within a reconciled bucket the winning row per key
+        is the one from the highest commit ``seq`` — each file holds at
+        most one row per key (base files are compacted state; delta files
+        are reduced batches), so ``max_by`` per key is exact; delete
+        markers (``_op='d'``) drop the key."""
         m = self.manifest(version)
-        cur = {f.id: f for f in m.fields}
         files = [
             f for f in m.files
             if buckets is None or f["bucket"] in buckets
         ]
         if not files:
             return self.spark.createDataFrame([], m.spark_schema())
-        has_delta = any(f.get("kind", "base") == "delta" for f in files)
+        delta_buckets = {
+            f["bucket"] for f in files if f.get("kind", "base") == "delta"
+        }
+        plain, rec = self._split_for_reconcile(files, delta_buckets)
+        names = [f.name for f in m.fields]
+        outs = []
+        if plain:
+            outs.append(self._read_mapped(m, plain, with_mor_cols=False))
+        if rec:
+            union = self._read_mapped(m, rec, with_mor_cols=True)
+            payload = [c for c in names if c not in m.key_cols] + ["__op"]
+            row = F.struct(*[F.col(c) for c in payload])
+            outs.append(
+                union.groupBy(*m.key_cols)
+                .agg(F.max_by(row, F.col("__seq")).alias("__r"))
+                .select(*m.key_cols, "__r.*")
+                .filter(F.col("__op") != "d")
+                .select(*names)
+            )
+        out = outs[0]
+        for p in outs[1:]:
+            out = out.unionByName(p)
+        return out
 
-        # group files by (write-time epoch, kind, commit seq); map each
-        # group's columns to the current schema by field id (rename-safe),
-        # cast widened types, fill columns added later with NULL/default.
-        # Iceberg does exactly this.
+    @staticmethod
+    def _split_for_reconcile(
+        files: list[dict], delta_buckets: set[int]
+    ) -> tuple[list[dict], list[dict]]:
+        """Partition selected files into (base-only-bucket files, files of
+        delta-bearing buckets). Only the latter enter the MOR reconcile."""
+        plain = [f for f in files if f["bucket"] not in delta_buckets]
+        rec = [f for f in files if f["bucket"] in delta_buckets]
+        return plain, rec
+
+    def _read_mapped(
+        self, m: Manifest, files: list[dict], *, with_mor_cols: bool
+    ) -> DataFrame:
+        """Union ``files`` mapped to the current schema: group by
+        (write-time epoch, kind, commit seq); map each group's columns by
+        FIELD ID (rename-safe), cast widened types, fill later-added
+        columns with NULL/default. Iceberg does exactly this.
+        ``with_mor_cols`` adds the ``__op``/``__seq`` reconcile columns."""
+        cur = {f.id: f for f in m.fields}
         groups: dict[tuple, list[str]] = {}
         for f in files:
             k = (f["epoch"], f.get("kind", "base"), f.get("seq", 0))
@@ -327,7 +367,7 @@ class LakeTable:
                     cols.append(
                         F.lit(cf.default).cast(type_of(cf.type)).alias(cf.name)
                     )
-            if has_delta:
+            if with_mor_cols:
                 cols.append(
                     (F.col("_op") if kind == "delta" else F.lit("u")).alias("__op")
                 )
@@ -336,18 +376,7 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if not has_delta:
-            return out
-        names = [f.name for f in m.fields]
-        payload = [c for c in names if c not in m.key_cols] + ["__op"]
-        row = F.struct(*[F.col(c) for c in payload])
-        return (
-            out.groupBy(*m.key_cols)
-            .agg(F.max_by(row, F.col("__seq")).alias("__r"))
-            .select(*m.key_cols, "__r.*")
-            .filter(F.col("__op") != "d")
-            .select(*names)
-        )
+        return out
 
     # -- write paths ----------------------------------------------------------
 
@@ -732,23 +761,49 @@ class LakeTable:
         )
 
     def delete_where(self, predicate: str, batch_id: int | None = None) -> dict:
-        """TRUNCATE-style targeted delete (K4: truncate handling)."""
+        """Targeted delete (K4: truncate/delete handling), bucket-pruned:
+        only buckets that hold a matching row are rewritten; every other
+        bucket keeps its files untouched (Iceberg's delete-file/partition
+        pruning analog). ``'true'`` (the TRUNCATE path) short-circuits to
+        an empty manifest — no Spark job at all."""
         m = self.manifest()
         names = [f.name for f in m.fields]
-        remaining = self.read().filter(f"NOT ({predicate})")
+        if predicate.strip().lower() == "true":
+            new = Manifest(
+                version=m.version + 1, parent=m.version,
+                n_buckets=m.n_buckets, key_cols=m.key_cols, epoch=m.epoch,
+                epochs=m.epochs, files=[],
+                summary=self._carry_summary(
+                    m, op="delete_where", predicate=predicate,
+                    batch_id=batch_id),
+            )
+            self._write_manifest(new)
+            return {"version": new.version,
+                    "rewritten_buckets": len({f["bucket"] for f in m.files})}
+        # keyless (append-mode) tables bucket by all columns — mirror that
+        bucket_cols = m.key_cols or names
+        bucket_col = self._bucket_expr(bucket_cols, m.n_buckets)
+        matched = {
+            r[0]
+            for r in self.read().filter(predicate)
+            .select(bucket_col.alias("b")).distinct().collect()
+        }
+        if not matched:
+            return {"version": m.version, "rewritten_buckets": 0}
         tag = f"{m.version + 1}-{uuid.uuid4().hex[:8]}"
-        data = remaining.select(*names).withColumn(
-            "__bucket", self._bucket_expr(m.key_cols, m.n_buckets)
-        )
+        remaining = self.read(buckets=matched).filter(f"NOT ({predicate})")
+        data = remaining.select(*names).withColumn("__bucket", bucket_col)
         entries = self._write_data(data, tag, seq=m.version + 1)
+        kept = [f for f in m.files if f["bucket"] not in matched]
         new = Manifest(
             version=m.version + 1, parent=m.version, n_buckets=m.n_buckets,
-            key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs, files=entries,
+            key_cols=m.key_cols, epoch=m.epoch, epochs=m.epochs,
+            files=kept + entries,
             summary=self._carry_summary(
                 m, op="delete_where", predicate=predicate, batch_id=batch_id),
         )
         self._write_manifest(new)
-        return {"version": new.version}
+        return {"version": new.version, "rewritten_buckets": len(matched)}
 
     # -- schema evolution (field-id based; SURVEY §1.2 / K3) -----------------
 

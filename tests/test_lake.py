@@ -121,6 +121,36 @@ def test_delete_where_truncate(spark, tmp_root):
     t.merge(ch(spark, [("r1", "a", "1", "u"), ("r2", "b", "1", "u")]), batch_id=1)
     t.delete_where("repo = 'r1'")
     assert rows(t.read()) == [("r2", "b", "1")]
+    # TRUNCATE fast path: empty manifest, no files
+    t.delete_where("true")
+    assert t.read().count() == 0 and t.manifest().files == []
+
+
+def test_delete_where_prunes_untouched_buckets(spark, tmp_root):
+    """A selective delete rewrites ONLY the buckets holding matching rows;
+    every other bucket's files are carried over untouched (round-2
+    verdict minor #4)."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, tmp_root, "p",
+        [("repo", "string"), ("path", "string"), ("content", "string")],
+        KEY, n_buckets=8,
+    )
+    base = spark.range(400).select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.lit("v").alias("content"), F.lit("u").alias("_op"),
+    )
+    t.merge(base, batch_id=1)
+    before = {f["path"] for f in t.manifest().files}
+    res = t.delete_where("path = 'p7'")
+    assert res["rewritten_buckets"] == 1
+    after = {f["path"] for f in t.manifest().files}
+    # 7 of 8 bucket files survive by identity (no rewrite)
+    assert len(before & after) == 7
+    assert t.read().count() == 399
+    assert t.read().filter("path = 'p7'").count() == 0
 
 
 def test_expire_versions_gc(spark, tmp_root):
