@@ -85,6 +85,29 @@ def test_candidates_prefilter(spark, docs_df):
     assert len(pairs) == 1 and (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (0, 1)
 
 
+def test_candidates_prune_before_intersection(spark, docs_df):
+    """The LSH-candidate prune must cut the QUADRATIC stage, not decorate
+    its output (round-2 verdict 'What's wrong #2'): candidate docs'
+    shingles are the only input to the pair join/aggregation."""
+    from sparkcdc.pipeline.dedup import (
+        _candidate_scoped_shingles,
+        _exploded_shingles,
+    )
+
+    cand = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    sh = _exploded_shingles(docs_df, "text", "doc_id", 3).distinct()
+    scoped = _candidate_scoped_shingles(sh, cand)
+    # only docs 0 and 1 survive the scope — the intersection stage never
+    # sees docs 2-4's shingles
+    assert {r["doc"] for r in scoped.select("doc").distinct().collect()} == {0, 1}
+    # plan order: the aggregation sits ABOVE the semi-joins (candidates
+    # pruned the join input), not the other way around
+    out = ngram_jaccard_pairs(docs_df, threshold=0.1, candidates=cand)
+    lp = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in lp
+    assert lp.find("Aggregate") < lp.find("LeftSemi")
+
+
 @pytest.fixture()
 def emb_df(spark):
     # 3 clusters of near-identical vectors + one orthogonal-ish outlier
