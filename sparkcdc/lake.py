@@ -260,15 +260,20 @@ class LakeTable:
 
     @staticmethod
     def _carry_summary(m: Manifest, **extra) -> dict:
-        """Commit-summary skeleton: every commit op carries the fence map
-        and the replay checkpoint forward unless it overrides them — losing
-        either would un-fence redeliveries or rewind the resume point."""
-        return {
+        """Commit-summary skeleton: every commit op carries the fence map,
+        the replay checkpoint AND the incremental-snapshot progress forward
+        unless it overrides them — losing any would un-fence redeliveries,
+        rewind the resume point, or restart a mid-flight backfill from
+        chunk 0."""
+        base = {
             "last_batch": m.summary.get("last_batch", {}),
             "offsets": m.summary.get("offsets", {}),
             "committed_ms": int(time.time() * 1000),
-            **extra,
         }
+        if "incr_snapshot" in m.summary:
+            base["incr_snapshot"] = m.summary["incr_snapshot"]
+        base.update(extra)
+        return base
 
     # -- read (with field-id schema mapping + time travel) -------------------
 
