@@ -36,17 +36,17 @@ class SignalState:
     log_lines: list[str] = field(default_factory=list)
 
 
-class FileSignalChannel:
-    """JSONL signal file. ``state_path`` (recommended: under the table's
-    meta dir) persists the set of ACKED signal ids so a restarted engine
-    does NOT replay handled signals — the analog of the reference tracking
-    its signal-topic offset. Ids are persisted only on ``ack`` (AFTER the
-    action completed), never on read: a crash between delivery and action
-    redelivers the signal on restart (at-least-once), while within one
-    process the in-memory seen-set prevents duplicate delivery."""
+class _AckStateChannel:
+    """Shared ack bookkeeping. ``state_path`` (recommended: under the
+    table's meta dir) persists the set of ACKED signal ids so a restarted
+    engine does NOT replay handled signals — the analog of the reference
+    tracking its signal-topic offset. Ids are persisted only on ``ack``
+    (AFTER the action completed), never on read: a crash between delivery
+    and action redelivers the signal on restart (at-least-once), while
+    within one process the in-memory seen-set prevents duplicate
+    delivery."""
 
-    def __init__(self, path: str, state_path: str | None = None):
-        self.path = path
+    def _init_ack_state(self, state_path: str | None) -> None:
         self.state_path = state_path
         self._acked: set[str] = set()
         if state_path and os.path.exists(state_path):
@@ -64,6 +64,14 @@ class FileSignalChannel:
             json.dump(sorted(self._acked), fh)
         os.replace(tmp, self.state_path)
 
+
+class FileSignalChannel(_AckStateChannel):
+    """JSONL signal file (cf. FileSignalChannel.java:36)."""
+
+    def __init__(self, path: str, state_path: str | None = None):
+        self.path = path
+        self._init_ack_state(state_path)
+
     def read_new(self) -> list[dict]:
         if not os.path.exists(self.path):
             return []
@@ -77,6 +85,61 @@ class FileSignalChannel:
                     continue
                 self._seen.add(sig.get("id"))
                 out.append(sig)
+        return out
+
+
+class TableSignalChannel(_AckStateChannel):
+    """Signals consumed from a LAKE TABLE between micro-batches — the
+    reference's source-table channel analog
+    (core/pipeline/signal/channels/SourceSignalChannel.java:36: signals
+    arrive as inserts into a designated database table captured alongside
+    the data; the Spark-native form a lake user would actually operate).
+    Operators ``send()`` rows (id, type, data-JSON) into a keyless
+    append-mode LakeTable; the engine drains new rows at the poll
+    boundary. Ack semantics are identical to the file channel: the acked
+    set persists durably AFTER the action, unacked signals redeliver on
+    restart."""
+
+    def __init__(self, table, state_path: str | None = None):
+        self.table = table
+        self._init_ack_state(state_path)
+
+    @staticmethod
+    def create_signal_table(spark, root: str, name: str = "signals"):
+        """The designated signal table (signal.data.collection config)."""
+        from .lake import LakeTable
+
+        return LakeTable.create(
+            spark, root, name,
+            fields=[("id", "string"), ("type", "string"), ("data", "string")],
+            key_cols=[], n_buckets=1,
+        )
+
+    def send(self, signals: list[dict], writer: str = "signal-sender") -> None:
+        """Insert signals as table rows (what an operator's
+        ``INSERT INTO signals ...`` does in the reference)."""
+        rows = [
+            (s["id"], s["type"], json.dumps(s.get("data") or {}))
+            for s in signals
+        ]
+        df = self.table.spark.createDataFrame(
+            rows, "id string, type string, data string"
+        )
+        last = self.table.manifest().summary.get("last_batch", {}).get(writer, -1)
+        self.table.append(df, batch_id=last + 1, writer=writer)
+
+    def read_new(self) -> list[dict]:
+        # signal tables are tiny by contract (control plane, not data)
+        rows = self.table.read().collect()
+        out = []
+        for r in sorted(rows, key=lambda r: str(r["id"])):
+            if r["id"] in self._seen:
+                continue
+            self._seen.add(r["id"])
+            out.append({
+                "id": r["id"], "type": r["type"],
+                "data": json.loads(r["data"]) if r["data"] else {},
+            })
         return out
 
 
