@@ -27,6 +27,7 @@ from . import apply as apply_mod
 from .envelope import REPO_KEY, REPO_ROW_FIELDS, cdc_events, snapshot_events
 from .lake import CommitConflict, LakeTable
 from .metrics import MetricsLog
+from .sink import TableSink
 from .notifications import NotificationLog
 from .schema_history import SchemaHistory, split_at_boundaries
 from .signals import SignalProcessor
@@ -123,10 +124,13 @@ class CdcEngine:
     def __init__(
         self,
         spark: SparkSession,
-        table: LakeTable,
+        table: TableSink,
         config: EngineConfig | None = None,
         signal_processor: SignalProcessor | None = None,
     ):
+        # the engine is typed against the TableSink PROTOCOL (sink.py):
+        # LakeTable is the production impl; MemoryTableSink proves the
+        # engine has no hidden LakeTable dependency (test_sink_protocol)
         self.spark = spark
         self.table = table
         self.cfg = config or EngineConfig()

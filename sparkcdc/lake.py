@@ -164,6 +164,52 @@ class Manifest:
         )
 
 
+def apply_schema_changes(
+    fields: list[Field], key_cols: list[str], changes: list[dict]
+) -> tuple[list[Field], list[str]]:
+    """Pure field-id schema evolution shared by every TableSink impl:
+    add (nullable/defaulted only), rename (id kept so old files stay
+    readable), widen (legal promotions; key columns rejected — bucket
+    hashing is type-sensitive), drop (id leaves the schema). Returns the
+    new field list and the (possibly renamed) key columns."""
+    flds = [Field(f.id, f.name, f.type, f.nullable, f.default) for f in fields]
+    max_id = max((f.id for f in flds), default=0)
+    for ch in changes:
+        if ch["action"] == "add":
+            max_id += 1
+            flds.append(
+                Field(max_id, ch["name"], ch["type"], True, ch.get("default"))
+            )
+        elif ch["action"] == "rename":
+            fld = next(f for f in flds if f.name == ch["from"])
+            fld.name = ch["to"]
+        elif ch["action"] == "widen":
+            fld = next(f for f in flds if f.name == ch["name"])
+            if fld.name in key_cols:
+                # bucket assignment hashes by value AND Spark type
+                # (xxhash64(int) != xxhash64(long) for the same number):
+                # widening a key column would silently re-map keys to
+                # different buckets than their existing files
+                raise ValueError(
+                    f"cannot widen key column {fld.name!r}: bucket "
+                    "hashing is type-sensitive; rewrite the table instead"
+                )
+            if (fld.type, ch["type"]) not in WIDENINGS:
+                raise ValueError(f"illegal widen {fld.type}->{ch['type']}")
+            fld.type = ch["type"]
+        elif ch["action"] == "drop":
+            # Iceberg-style drop: the field id leaves the current
+            # schema; old files keep the column bytes, readers skip it
+            if ch["name"] in key_cols:
+                raise ValueError(f"cannot drop key column {ch['name']!r}")
+            fld = next(f for f in flds if f.name == ch["name"])
+            flds.remove(fld)
+        else:
+            raise ValueError(f"unknown action {ch['action']}")
+    renames = {c["from"]: c["to"] for c in changes if c["action"] == "rename"}
+    return flds, [renames.get(k, k) for k in key_cols]
+
+
 class CommitConflict(Exception):
     """Another writer committed this version first (optimistic concurrency,
     Iceberg-style): the caller must re-read the table state and retry its
@@ -825,45 +871,7 @@ class LakeTable:
         previousId, core/relational/history/TableChanges.java:49).
         """
         m = self.manifest()
-        flds = [
-            Field(f.id, f.name, f.type, f.nullable, f.default) for f in m.fields
-        ]
-        max_id = max((f.id for f in flds), default=0)
-        for ch in changes:
-            if ch["action"] == "add":
-                max_id += 1
-                flds.append(
-                    Field(max_id, ch["name"], ch["type"], True, ch.get("default"))
-                )
-            elif ch["action"] == "rename":
-                fld = next(f for f in flds if f.name == ch["from"])
-                fld.name = ch["to"]
-            elif ch["action"] == "widen":
-                fld = next(f for f in flds if f.name == ch["name"])
-                if fld.name in m.key_cols:
-                    # bucket assignment hashes by value AND Spark type
-                    # (xxhash64(int) != xxhash64(long) for the same number):
-                    # widening a key column would silently re-map keys to
-                    # different buckets than their existing files
-                    raise ValueError(
-                        f"cannot widen key column {fld.name!r}: bucket "
-                        "hashing is type-sensitive; rewrite the table instead"
-                    )
-                if (fld.type, ch["type"]) not in WIDENINGS:
-                    raise ValueError(f"illegal widen {fld.type}->{ch['type']}")
-                fld.type = ch["type"]
-            elif ch["action"] == "drop":
-                # Iceberg-style drop: the field id leaves the current
-                # schema; old files keep the column bytes, readers skip it
-                if ch["name"] in m.key_cols:
-                    raise ValueError(f"cannot drop key column {ch['name']!r}")
-                fld = next(f for f in flds if f.name == ch["name"])
-                flds.remove(fld)
-            else:
-                raise ValueError(f"unknown action {ch['action']}")
-        key_cols = m.key_cols
-        renames = {c["from"]: c["to"] for c in changes if c["action"] == "rename"}
-        key_cols = [renames.get(k, k) for k in key_cols]
+        flds, key_cols = apply_schema_changes(m.fields, m.key_cols, changes)
         new_epoch = m.epoch + 1
         epochs = dict(m.epochs)
         epochs[str(new_epoch)] = flds
