@@ -76,7 +76,22 @@ class EngineConfig:
     #: content_chars; external sources fall back to narrow_cached.
     estimated_row_bytes: int | None = None
     content_chars: int = 64
-    snapshot_mode: str = "initial"  # initial | no_data | never (BinlogConnectorConfig.java:126-181)
+    #: initial | initial_only | always | when_needed | no_data | never |
+    #: recovery | configuration_based | custom
+    #: (BinlogConnectorConfig.java:126-181)
+    snapshot_mode: str = "initial"
+    #: snapshot.mode=configuration_based knobs
+    #: (snapshot.mode.configuration.based.snapshot.{data,schema}):
+    #: independently choose whether data is snapshotted and whether the
+    #: schema history is rebuilt on start
+    snapshot_config_data: bool = False
+    snapshot_config_schema: bool = False
+    #: snapshot.mode=custom: the Snapshotter-SPI analog — a callable
+    #: ``(engine, done_before) -> {"data": bool, "stream": bool}``
+    #: deciding per start whether to snapshot and whether to stream
+    #: (io.debezium.spi.snapshot.Snapshotter shouldSnapshotData/
+    #: shouldStream)
+    custom_snapshotter: Callable[["CdcEngine", bool], dict] | None = None
     transforms: list[Transform] = field(default_factory=list)
     writer: str = "engine"
     #: "mor" | "cow" — sink commit mode (K1/K2). ``mor`` (merge-on-read,
@@ -187,21 +202,37 @@ class CdcEngine:
           the table manifest (field-id diff of consecutive epochs), then
           stream — no data is re-read (the reference's
           snapshot.mode=recovery)
+        - ``configuration_based``: data/schema phases chosen independently
+          by ``snapshot_config_data`` / ``snapshot_config_schema``
+          (snapshot.mode.configuration.based.snapshot.*)
+        - ``custom``: ``custom_snapshotter(engine, done_before)`` decides
+          ``{"data": ..., "stream": ...}`` per start (the Snapshotter SPI)
         """
         mode = self.cfg.snapshot_mode
         done_before = self.committed_batch() >= 0
         out: dict = {"snapshot": None}
+        wants_stream = True
         if mode == "recovery":
+            out["recovered_entries"] = self.recover_schema_history()
+        if mode == "configuration_based" and self.cfg.snapshot_config_schema:
             out["recovered_entries"] = self.recover_schema_history()
         wants_snapshot = (
             mode == "always"
             or (mode in ("initial", "initial_only", "when_needed") and not done_before)
         )
+        if mode == "configuration_based":
+            wants_snapshot = self.cfg.snapshot_config_data and not done_before
+        elif mode == "custom":
+            if self.cfg.custom_snapshotter is None:
+                raise ValueError("snapshot_mode=custom requires custom_snapshotter")
+            decision = self.cfg.custom_snapshotter(self, done_before)
+            wants_snapshot = bool(decision.get("data"))
+            wants_stream = bool(decision.get("stream", True))
         if wants_snapshot:
             if source_df is None:
                 raise ValueError(f"snapshot_mode={mode} requires source_df")
             out["snapshot"] = self.run_snapshot(source_df)
-        if mode == "initial_only":
+        if mode == "initial_only" or not wants_stream:
             return out
         out["replay"] = self.replay(
             total_events, envelopes_for=envelopes_for, schema_changes=schema_changes

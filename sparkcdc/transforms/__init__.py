@@ -40,6 +40,7 @@ from .reselect import reselect_columns
 from .serialize import (
     envelope_to_cloudevents,
     envelope_to_json,
+    parse_cloudevents,
     parse_envelope_json,
     parse_envelope_json_arrow,
 )
@@ -105,6 +106,7 @@ __all__ = list(TRANSFORMS) + [
     "build_chain",
     "envelope_to_json",
     "envelope_to_cloudevents",
+    "parse_cloudevents",
     "parse_envelope_json",
     "parse_envelope_json_arrow",
     "envelope_avro_schema",

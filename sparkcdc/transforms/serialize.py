@@ -37,25 +37,90 @@ def envelope_to_json(df: DataFrame, out_col: str = "value") -> DataFrame:
     )
 
 
+CE_TYPE = "io.debezium.connector.spark.DataChangeEvent"
+
+
 def envelope_to_cloudevents(
     df: DataFrame,
     source_uri: str = "/sparkcdc/source_code_repos",
     out_col: str = "value",
+    data_format: str = "json",
 ) -> DataFrame:
     """CloudEvents 1.0 JSON envelope (CloudEventsConverter.java:89):
-    id/source/specversion/type/time + the Debezium envelope as ``data``."""
-    ce = F.struct(
-        F.concat_ws(":", F.col("part_id"), F.col("offset")).alias("id"),
-        F.lit(source_uri).alias("source"),
-        F.lit("1.0").alias("specversion"),
-        F.lit("io.debezium.connector.spark.DataChangeEvent").alias("type"),
-        F.date_format(
-            (F.col("ts_ms") / 1000).cast("timestamp"),
-            "yyyy-MM-dd'T'HH:mm:ss'Z'",
-        ).alias("time"),
-        F.struct(*[F.col(c) for c in df.columns]).alias("data"),
-    )
-    return df.select(F.to_json(ce).alias(out_col))
+    id/source/specversion/type + the Debezium envelope as the payload.
+
+    ``data_format`` follows the reference's two payload formats:
+    - ``'json'``: the envelope nests as the structured ``data`` member;
+    - ``'avro'``: the envelope is the Avro-binary wire record
+      (transforms/avro.py) carried as ``data_base64`` with
+      ``datacontenttype='application/avro'`` (CloudEvents 1.0 JSON-format
+      binary-data rule) — the CloudEvents-with-Avro-payload composition of
+      CloudEventsConverter.java:89."""
+    if data_format == "json":
+        ce = F.struct(
+            F.concat_ws(":", F.col("part_id"), F.col("offset")).alias("id"),
+            F.lit(source_uri).alias("source"),
+            F.lit("1.0").alias("specversion"),
+            F.lit(CE_TYPE).alias("type"),
+            F.date_format(
+                (F.col("ts_ms") / 1000).cast("timestamp"),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("time"),
+            F.struct(*[F.col(c) for c in df.columns]).alias("data"),
+        )
+        return df.select(F.to_json(ce).alias(out_col))
+    if data_format == "avro":
+        from .avro import envelope_to_avro
+
+        wire = envelope_to_avro(df)
+        ce = F.struct(
+            F.concat_ws(":", F.col("part_id"), F.col("offset")).alias("id"),
+            F.lit(source_uri).alias("source"),
+            F.lit("1.0").alias("specversion"),
+            F.lit(CE_TYPE).alias("type"),
+            F.lit("application/avro").alias("datacontenttype"),
+            F.base64(F.col("value")).alias("data_base64"),
+        )
+        return wire.select(F.to_json(ce).alias(out_col))
+    raise ValueError(f"unknown CloudEvents data_format {data_format!r}")
+
+
+def parse_cloudevents(
+    df: DataFrame,
+    row_fields: list[tuple[str, T.DataType]] | None = None,
+    json_col: str = "value",
+    data_format: str = "json",
+) -> DataFrame:
+    """Consume-side of :func:`envelope_to_cloudevents`: CloudEvents JSON →
+    typed envelope DataFrame, dispatching on the payload format (a topic
+    is format-homogeneous, as in the reference's converter config)."""
+    if data_format == "json":
+        schema = T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("specversion", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("time", T.StringType()),
+            T.StructField("data", envelope_schema(row_fields)),
+        ])
+        return (
+            df.select(F.from_json(F.col(json_col), schema).alias("e"))
+            .select("e.data.*")
+        )
+    if data_format == "avro":
+        from .avro import parse_envelope_avro
+
+        ce_schema = (
+            "id string, source string, specversion string, type string, "
+            "datacontenttype string, data_base64 string"
+        )
+        wire = df.select(
+            F.unbase64(
+                F.from_json(F.col(json_col), ce_schema)["data_base64"]
+            ).alias("value")
+        )
+        return parse_envelope_avro(wire, row_fields)
+    raise ValueError(f"unknown CloudEvents data_format {data_format!r}")
 
 
 def parse_envelope_json(

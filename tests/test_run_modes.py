@@ -59,6 +59,61 @@ def test_snapshot_mode_requires_source(spark, tmp_root):
         eng.run(1000)
 
 
+def test_snapshot_mode_configuration_based(spark, tmp_root):
+    """snapshot.mode=configuration_based: the data and schema phases are
+    chosen independently by config flags
+    (BinlogConnectorConfig.java:126-181)."""
+    # data=False, schema=False: stream only
+    cfg = EngineConfig(batch_size=1000, n_keys=50,
+                       snapshot_mode="configuration_based")
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    out = eng.run(1000)
+    assert out["snapshot"] is None and out["replay"]["batches"] == 1
+
+    # data=True on a fresh table: snapshots, then streams
+    import os
+    cfg2 = EngineConfig(batch_size=1000, n_keys=50,
+                        snapshot_mode="configuration_based",
+                        snapshot_config_data=True)
+    eng2 = default_engine(spark, os.path.join(tmp_root, "b"), n_buckets=4,
+                          config=cfg2)
+    out2 = eng2.run(1000, source_df=_source(spark))
+    assert out2["snapshot"] is not None and out2["replay"]["batches"] == 1
+    # restart: data phase respects existing progress (like initial)
+    eng3 = default_engine(spark, os.path.join(tmp_root, "b"), n_buckets=4,
+                          config=cfg2)
+    out3 = eng3.run(1000, source_df=_source(spark))
+    assert out3["snapshot"] is None
+
+
+def test_snapshot_mode_custom_snapshotter(spark, tmp_root):
+    """snapshot.mode=custom: the Snapshotter-SPI callable decides data and
+    stream phases per start."""
+    calls = []
+
+    def snapshotter(engine, done_before):
+        calls.append(done_before)
+        return {"data": not done_before, "stream": done_before}
+
+    cfg = EngineConfig(batch_size=1000, n_keys=50, snapshot_mode="custom",
+                       custom_snapshotter=snapshotter)
+    eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    # first start: snapshot only (stream=False)
+    out = eng.run(1000, source_df=_source(spark))
+    assert out["snapshot"] is not None and "replay" not in out
+    # second start: stream only
+    eng2 = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
+    out2 = eng2.run(1000, source_df=_source(spark))
+    assert out2["snapshot"] is None and out2["replay"]["batches"] == 1
+    assert calls == [False, True]
+    # custom without a snapshotter is a config error
+    with pytest.raises(ValueError, match="custom_snapshotter"):
+        default_engine(
+            spark, tmp_root, n_buckets=4,
+            config=EngineConfig(snapshot_mode="custom"),
+        ).run(1000)
+
+
 def test_truncate_event_clears_prior_state(spark, tmp_root):
     cfg = EngineConfig(batch_size=1000, n_keys=50, truncate_enabled=True)
     eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)

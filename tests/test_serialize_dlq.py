@@ -54,6 +54,48 @@ def test_cloudevents_wrapper(spark):
         assert "data" in e and "op" in e["data"]
 
 
+def test_cloudevents_json_roundtrip(spark):
+    from sparkcdc.transforms import parse_cloudevents
+
+    env = cdc_events(spark, 200, n_keys=20, tombstones=True)
+    back = parse_cloudevents(envelope_to_cloudevents(env), REPO_ROW_FIELDS)
+    proj = lambda df: sorted(  # noqa: E731
+        df.select(
+            "op", "offset", "tombstone",
+            F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("r"),
+            F.coalesce(F.col("after.content"), F.lit("")).alias("c"),
+        ).collect()
+    )
+    assert proj(env) == proj(back)
+
+
+def test_cloudevents_avro_payload_roundtrip(spark):
+    """CloudEvents with an Avro-binary payload (data_base64 +
+    datacontenttype, CloudEventsConverter.java:89's non-JSON data format):
+    the full envelope survives the composition, including before-image
+    nullity."""
+    from sparkcdc.transforms import parse_cloudevents
+
+    env = cdc_events(spark, 200, n_keys=20, tombstones=True)
+    wire = envelope_to_cloudevents(env, data_format="avro")
+    one = json.loads(wire.first()["value"])
+    assert one["datacontenttype"] == "application/avro"
+    assert "data_base64" in one and "data" not in one
+    back = parse_cloudevents(wire, REPO_ROW_FIELDS, data_format="avro")
+    proj = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select(
+            "op", "ts_ms", "offset", "part_id", "tombstone",
+            F.col("after.repo"), F.col("after.content"),
+            F.col("before.path"), F.col("source.pos"),
+        ).collect()
+    )
+    assert proj(env) == proj(back)
+    assert all(
+        r.before is None
+        for r in back.filter("op = 'c'").select("before").collect()
+    )
+
+
 def test_dlq_quarantines_malformed(spark, tmp_root):
     eng = default_engine(
         spark, tmp_root, n_buckets=4,
