@@ -27,7 +27,7 @@ which is monotonic everywhere, so the invariant holds trivially.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -111,14 +111,8 @@ def envelope_schema(
 # ---------------------------------------------------------------------------
 
 
-def _h(seed: int, *cols: Column) -> Column:
-    """Deterministic 64-bit mix — xxhash64 is JVM-side and stable across
-    runs/versions for fixed input, unlike F.hash's seed behavior."""
-    return F.xxhash64(F.lit(seed), *cols)
-
-
-def _pm(col: Column, m: int) -> Column:
-    return F.pmod(col, F.lit(m))
+# (hash primitive: xxhash64 — JVM-side and stable across runs/versions for
+# fixed input, unlike F.hash's seed behavior; used as SQL text below)
 
 
 def cdc_events(
@@ -166,111 +160,106 @@ def cdc_events_over_ids(
     """The generator as a pure projection over an ``id`` column — works on
     batch AND streaming DataFrames (streaming.py maps the rate source's
     ``value`` through this, so streamed and batch replays of the same
-    offsets are byte-identical)."""
-    idc = F.col("id")
+    offsets are byte-identical).
 
-    # Plan-shape note: everything below is inlined into ONE select (no
-    # intermediate withColumn Projects) — shared sub-expressions are
-    # duplicated textually on purpose so the optimizer keeps a single
-    # Project (whole-stage codegen's common-subexpression elimination
-    # recovers the sharing at runtime). Caveat, verified on the physical
-    # plan: a key-only downstream projection still computes the full
-    # struct because CollapseProject refuses to inline a struct whose
-    # fields are extracted more than once (the key has two columns), so
-    # generated-source envelopes don't field-prune. Real columnar sources
-    # are unaffected — parquet/Kafka scans nested-schema-prune at the
-    # scan — and the un-pruned work here is pure hash CPU, which the
-    # scaling bench shows scaling at the host's CPU ceiling.
-    def key_id() -> Column:
-        uniform_key = _pm(_h(seed, idc), n_keys)
-        if hot_key_permille > 0:
-            is_hot = _pm(_h(seed + 1, idc), 1000) < hot_key_permille
-            return F.when(is_hot, F.lit(0)).otherwise(uniform_key).cast("long")
-        return uniform_key.cast("long")
+    Plan-shape note: everything below is inlined into ONE select (no
+    intermediate withColumn Projects) — shared sub-expressions are
+    duplicated textually on purpose so the optimizer keeps a single
+    Project (whole-stage codegen's common-subexpression elimination
+    recovers the sharing at runtime). Caveat, verified on the physical
+    plan: a key-only downstream projection still computes the full
+    struct because CollapseProject refuses to inline a struct whose
+    fields are extracted more than once (the key has two columns), so
+    generated-source envelopes don't field-prune. Real columnar sources
+    are unaffected — parquet/Kafka scans nested-schema-prune at the
+    scan — and the un-pruned work here is pure hash CPU, which the
+    scaling bench shows scaling at the host's CPU ceiling.
 
-    def repo() -> Column:
-        # keys -> repos with a quadratic ramp: low repo ids own many keys
-        # (deterministic layout skew, independent of event-rate skew)
-        repo_id = F.floor(
-            F.pow(key_id().cast("double") / F.lit(float(n_keys)), F.lit(2.0))
-            * F.lit(float(n_repos))
-        ).cast("int")
-        return F.format_string("org/repo-%04d", repo_id)
-
-    def path() -> Column:
-        return F.format_string("src/k_%06d.py", key_id().cast("int"))
-
-    def op() -> Column:
-        op_rnd = _pm(_h(seed + 2, idc), 100)
-        create_pct = 30
-        return (
-            F.when(op_rnd < delete_pct, F.lit("d"))
-            .when(op_rnd < delete_pct + create_pct, F.lit("c"))
-            .otherwise(F.lit("u"))
+    Construction-shape note (round-3 scaling finding): the projection is
+    built as SQL TEXT and handed to ``selectExpr`` in ONE py4j call.
+    Building the same tree through the Column API costs ~2.7 s of
+    DRIVER-SERIAL py4j round-trips per micro-batch — identical at every
+    parallelism level, so at 8M-event batches it alone capped N→4N
+    scaling efficiency (profiled: ~4-5 s serial per batch, of which the
+    Column-API build was the largest share). SQL text is parsed JVM-side
+    in milliseconds. The expressions are literal-for-literal identical to
+    the original Column build (int literals stay INT, doubles use the
+    ``D`` suffix) — byte-equality is locked by golden checksums in
+    ``test_envelope.py::test_generator_golden_checksums``."""
+    create_pct = 30
+    uniform_key = f"pmod(xxhash64({seed}, id), {n_keys})"
+    if hot_key_permille > 0:
+        key = (
+            f"CAST(CASE WHEN pmod(xxhash64({seed + 1}, id), 1000) < "
+            f"{hot_key_permille} THEN 0 ELSE {uniform_key} END AS BIGINT)"
         )
+    else:
+        key = f"CAST({uniform_key} AS BIGINT)"
 
-    commit = F.substring(
-        F.sha2(F.concat_ws("|", F.lit("commit"), key_id(), idc), 256), 1, 40
+    # keys -> repos with a quadratic ramp: low repo ids own many keys
+    # (deterministic layout skew, independent of event-rate skew)
+    repo = (
+        "format_string('org/repo-%04d', CAST(floor("
+        f"pow(CAST({key} AS DOUBLE) / {float(n_keys)!r}D, 2.0D)"
+        f" * {float(n_repos)!r}D) AS INT))"
     )
-    lang = F.element_at(
-        F.array(*[F.lit(x) for x in LANGS]),
-        (_pm(key_id(), len(LANGS)) + 1).cast("int"),
+    path = f"format_string('src/k_%06d.py', CAST({key} AS INT))"
+    op_rnd = f"pmod(xxhash64({seed + 2}, id), 100)"
+    op = (
+        f"CASE WHEN {op_rnd} < {delete_pct} THEN 'd' "
+        f"WHEN {op_rnd} < {delete_pct + create_pct} THEN 'c' "
+        "ELSE 'u' END"
+    )
+    commit = (
+        f"substring(sha2(concat_ws('|', 'commit', {key}, id), 256), 1, 40)"
+    )
+    langs = ", ".join(f"'{x}'" for x in LANGS)
+    lang = (
+        f"element_at(array({langs}), "
+        f"CAST(pmod({key}, {len(LANGS)}) + 1 AS INT))"
     )
     # content: versioned deterministic body, padded to content_chars
-    body = F.concat_ws(
-        ":",
-        F.lit("v"),
-        key_id(),
-        idc,
-        F.sha2(F.concat_ws("|", F.lit("content"), key_id(), idc), 256),
+    content = (
+        f"rpad(concat_ws(':', 'v', {key}, id, "
+        f"sha2(concat_ws('|', 'content', {key}, id), 256)), "
+        f"{content_chars}, 'x')"
     )
-    content = F.rpad(body, content_chars, "x")
-
-    after_s = F.struct(
-        repo().alias("repo"),
-        path().alias("path"),
-        commit.alias("commit"),
-        lang.alias("lang"),
-        content.alias("content"),
+    after_s = (
+        f"named_struct('repo', {repo}, 'path', {path}, 'commit', {commit}, "
+        f"'lang', {lang}, 'content', {content})"
     )
     # before: key identity only (apply path never reads non-key before fields;
     # Debezium fills the full old row image, which the generator cannot know
     # statelessly — T2 diff tests use their own fixtures)
-    null_s = F.lit(None).cast("string")
-    before_s = F.struct(
-        repo().alias("repo"),
-        path().alias("path"),
-        null_s.alias("commit"),
-        null_s.alias("lang"),
-        null_s.alias("content"),
+    before_s = (
+        f"named_struct('repo', {repo}, 'path', {path}, "
+        "'commit', CAST(NULL AS STRING), 'lang', CAST(NULL AS STRING), "
+        "'content', CAST(NULL AS STRING))"
+    )
+    part_id = f"CAST(pmod({key}, {n_parts}) AS INT)"
+    ts_ms = f"CAST({base_ts_ms} + id AS BIGINT)"
+    src = (
+        "named_struct('name', 'sparkcdc', 'db', 'code', "
+        "'table', 'source_code_repos', 'snapshot', 'false', "
+        "'file', format_string('binlog.%06d', CAST(id / 100000 AS INT)), "
+        f"'pos', id, 'row', CAST(pmod(id, 1000) AS INT), "
+        f"'gtid', concat('srv:1-', id), 'ts_ms', {ts_ms})"
+    )
+    txn = (
+        "CAST(NULL AS STRUCT<id: STRING, total_order: BIGINT, "
+        "data_collection_order: BIGINT>)"
     )
 
-    part_id = _pm(key_id(), n_parts).cast("int")
-    ts_ms = (F.lit(base_ts_ms) + idc).cast("long")
-
-    src = F.struct(
-        F.lit("sparkcdc").alias("name"),
-        F.lit("code").alias("db"),
-        F.lit("source_code_repos").alias("table"),
-        F.lit("false").alias("snapshot"),
-        F.format_string("binlog.%06d", (idc / 100000).cast("int")).alias("file"),
-        idc.alias("pos"),
-        _pm(idc, 1000).cast("int").alias("row"),
-        F.concat(F.lit("srv:1-"), idc).alias("gtid"),
-        ts_ms.alias("ts_ms"),
-    )
-    txn = F.lit(None).cast(transaction_struct())
-
-    out = ids.select(
-        op().alias("op"),
-        ts_ms.alias("ts_ms"),
-        F.when(op().isin("u", "d"), before_s).alias("before"),
-        F.when(op() != "d", after_s).alias("after"),
-        src.alias("source"),
-        txn.alias("transaction"),
-        part_id.alias("part_id"),
-        idc.alias("offset"),
-        F.lit(False).alias("tombstone"),
+    out = ids.selectExpr(
+        f"{op} AS op",
+        f"{ts_ms} AS ts_ms",
+        f"CASE WHEN {op} IN ('u', 'd') THEN {before_s} END AS before",
+        f"CASE WHEN {op} != 'd' THEN {after_s} END AS after",
+        f"{src} AS source",
+        f"{txn} AS transaction",
+        f"{part_id} AS part_id",
+        "id AS offset",
+        "false AS tombstone",
     )
     if tombstones:
         # EventDispatcher.java:519 — synthetic null-value record after each

@@ -72,3 +72,48 @@ def test_snapshot_events_are_reads(spark):
     assert row.source.snapshot == "true"
     assert row.after.content == "body"
     assert relax(env.schema) == relax(envelope_schema())
+
+
+def test_generator_golden_checksums(spark):
+    """Byte-stability lock on the closed-form generator: these checksums
+    were captured from the original Column-API build before it was
+    rewritten as SQL text (round-3 scaling fix — the Column build cost
+    ~2.7 s of driver-serial py4j calls per micro-batch). Any refactor
+    that changes a single literal type or expression shape changes the
+    xxhash64/sha2 outputs and fails here."""
+    from pyspark.sql import functions as F
+
+    from sparkcdc.envelope import cdc_events
+
+    def checksum(df):
+        row = (
+            df.select(
+                F.sha2(
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns])), 256
+                ).alias("h")
+            )
+            .agg(
+                F.sum(
+                    F.conv(F.substring("h", 1, 12), 16, 10).cast("decimal(38,0)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        return [str(row["s"]), row["n"]]
+
+    golden = {
+        "default": (dict(n_keys=1000, n_parts=8, seed=42), 0,
+                    ["14039572378093666337", 100000]),
+        "hot": (dict(n_keys=500, n_parts=4, seed=7, hot_key_permille=200), 0,
+                ["14078606111054486794", 100000]),
+        "wide": (dict(n_keys=300, n_parts=4, seed=3, content_chars=2048), 0,
+                 ["14083768330177350331", 100000]),
+        "tomb": (dict(n_keys=200, n_parts=4, seed=9, tombstones=True), 0,
+                 ["14763575676986140693", 104968]),
+        "offset": (dict(n_keys=1000, n_parts=8, seed=42), 5_000_000,
+                   ["14078512838183850998", 100000]),
+    }
+    for name, (kw, start, expect) in golden.items():
+        got = checksum(cdc_events(spark, 100_000, start=start, **kw))
+        assert got == expect, f"generator drift in config {name!r}: {got}"
