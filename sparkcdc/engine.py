@@ -133,6 +133,14 @@ class EngineConfig:
     #: retries flushes with backoff). 0 = fail fast.
     commit_retries: int = 3
     commit_retry_backoff_sec: float = 0.05
+    #: "auto" | "on" — AQE policy while executing the merge. The fat and
+    #: refetch replay plans contain NO join (partial agg → one exchange →
+    #: write), so AQE's per-stage materialization + driver re-planning is
+    #: pure serial overhead there (measured: −6-8% throughput, worse at
+    #: high parallelism); "auto" turns AQE off for exactly those batches
+    #: and leaves it ON whenever the plan has a join AQE helps (narrow's
+    #: winners semi-join broadcast, reselect's lookup join, skew joins).
+    merge_adaptive: str = "auto"
 
 
 class CdcEngine:
@@ -948,22 +956,42 @@ class CdcEngine:
             summary = {"offsets": merged}
         if extra_summary:
             summary.update(extra_summary)
-        res = self._merge_with_retry(
-            changes, batch_id=batch_id, summary=summary,
-            mode=mode or self.cfg.commit_mode,
-        )
-        if cached:
-            flat.unpersist()
-        # MOR bookkeeping: fold down any bucket that has accumulated its
-        # delta budget (bounds read amplification + disk growth); the
-        # compaction is bucket-aligned and exchange-free (lake.compact)
-        if not res.get("skipped"):
-            due = {
-                b for b, c in self.table.delta_counts().items()
-                if c >= self.cfg.compact_max_deltas
-            }
-            if due:
-                self.table.compact(buckets=due)
+        # AQE policy (see EngineConfig.merge_adaptive): the fat/refetch
+        # plans are join-free, so AQE only adds per-stage driver sync —
+        # turn it off for exactly this execution and restore after
+        aqe_restore = None
+        if (
+            self.cfg.merge_adaptive == "auto"
+            and chosen_strategy in ("fat", "refetch")
+            and not self.cfg.reselect_unavailable_columns
+        ):
+            aqe_restore = self.spark.conf.get(
+                "spark.sql.adaptive.enabled", "true"
+            )
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            res = self._merge_with_retry(
+                changes, batch_id=batch_id, summary=summary,
+                mode=mode or self.cfg.commit_mode,
+            )
+            if cached:
+                flat.unpersist()
+            # MOR bookkeeping: fold down any bucket that has accumulated
+            # its delta budget (bounds read amplification + disk growth);
+            # the compaction is bucket-aligned and exchange-free
+            # (lake.compact)
+            if not res.get("skipped"):
+                due = {
+                    b for b, c in self.table.delta_counts().items()
+                    if c >= self.cfg.compact_max_deltas
+                }
+                if due:
+                    self.table.compact(buckets=due)
+        finally:
+            if aqe_restore is not None:
+                self.spark.conf.set(
+                    "spark.sql.adaptive.enabled", aqe_restore
+                )
         if self.cfg.expire_keep_last > 0:
             self.table.expire_versions(keep_last=self.cfg.expire_keep_last)
         wall = time.time() - t0

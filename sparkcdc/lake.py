@@ -118,6 +118,11 @@ class Field:
                      d.get("default"))
 
 
+#: a full (non-delta) manifest is forced at least every N commits so the
+#: delta-chain resolution walk stays O(N) tiny files (see _write_manifest)
+FULL_MANIFEST_EVERY = 16
+
+
 @dataclass
 class Manifest:
     version: int
@@ -128,6 +133,9 @@ class Manifest:
     epochs: dict[str, list[Field]]  # epoch -> field list (full schema history)
     files: list[dict]  # {path, bucket, epoch}
     summary: dict = field(default_factory=dict)
+    #: delta-chain depth of the ON-DISK representation (0 = stored full);
+    #: in memory a Manifest is ALWAYS fully resolved
+    chain: int = 0
 
     @property
     def fields(self) -> list[Field]:
@@ -161,6 +169,7 @@ class Manifest:
             epochs={k: [Field.from_json(f) for f in v] for k, v in d["epochs"].items()},
             files=d["files"],
             summary=d["summary"],
+            chain=d.get("chain", 0),
         )
 
 
@@ -248,6 +257,8 @@ class LakeTable:
         self.dir = os.path.join(root, name)
         self.meta_dir = os.path.join(self.dir, "meta")
         self.data_dir = os.path.join(self.dir, "data")
+        #: resolved-manifest cache (manifests are immutable per version)
+        self._manifests: dict[int, Manifest] = {}
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -290,18 +301,77 @@ class LakeTable:
 
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
+        return self._resolve_manifest(v)
+
+    def _resolve_manifest(self, v: int) -> Manifest:
+        """Load version ``v`` fully resolved: a delta-form manifest
+        (``base`` + add/remove file delta) is folded onto its resolved
+        base. Chains are at most FULL_MANIFEST_EVERY links; resolved
+        manifests are cached (they are immutable)."""
+        hit = self._manifests.get(v)
+        if hit is not None:
+            return hit
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as fh:
-            return Manifest.from_json(json.load(fh))
+            raw = json.load(fh)
+        if raw.get("base") is None:
+            m = Manifest.from_json(raw)
+        else:
+            base = self._resolve_manifest(raw["base"])
+            remove = set(raw["delta"]["remove"])
+            raw["files"] = [
+                f for f in base.files if f["path"] not in remove
+            ] + raw["delta"]["add"]
+            m = Manifest.from_json(raw)
+        if len(self._manifests) > 4 * FULL_MANIFEST_EVERY:
+            # bound the cache: keep the most recent versions only
+            for old in sorted(self._manifests)[: 2 * FULL_MANIFEST_EVERY]:
+                del self._manifests[old]
+        self._manifests[v] = m
+        return m
+
+    def _manifest_payload(self, m: Manifest) -> dict:
+        """On-disk form of a commit: an APPEND/DELTA manifest when the
+        parent is available and the chain is short — ``files`` is replaced
+        by ``base`` (the parent version) + an add/remove path delta, so a
+        steady-state commit writes O(changed files) bytes instead of
+        re-listing the entire table (at 64k buckets a full list is
+        megabytes PER COMMIT of driver-serial json+fsync). Every
+        FULL_MANIFEST_EVERY commits the full list is written anyway,
+        bounding the read-side resolution walk. The Iceberg analog:
+        snapshots reference prior manifest files and add only new ones."""
+        payload = m.to_json()
+        if m.parent is None:
+            return payload
+        try:
+            parent = self._resolve_manifest(m.parent)
+        except FileNotFoundError:
+            return payload
+        if parent.chain + 1 >= FULL_MANIFEST_EVERY:
+            return payload
+        new_paths = {f["path"] for f in m.files}
+        parent_by_path = {f["path"] for f in parent.files}
+        add = [f for f in m.files if f["path"] not in parent_by_path]
+        remove = [p for p in parent_by_path if p not in new_paths]
+        if len(add) + len(remove) >= max(1, len(m.files)):
+            return payload  # delta bigger than the full list: store full
+        payload.pop("files")
+        payload["base"] = m.parent
+        payload["delta"] = {"add": add, "remove": remove}
+        payload["chain"] = parent.chain + 1
+        m.chain = parent.chain + 1
+        return payload
 
     def _write_manifest(self, m: Manifest, *, initial: bool = False) -> None:
         """Commit = exclusive create of v{N}.json (losers of a concurrent
         race get CommitConflict before the pointer moves), then the atomic
         VERSION pointer flip."""
         path = os.path.join(self.meta_dir, f"v{m.version}.json")
+        payload = self._manifest_payload(m)
         if initial:
-            _atomic_write(path, json.dumps(m.to_json()))
+            _atomic_write(path, json.dumps(payload))
         else:
-            _exclusive_write(path, json.dumps(m.to_json()))
+            _exclusive_write(path, json.dumps(payload))
+        self._manifests[m.version] = m
         _atomic_write(os.path.join(self.meta_dir, "VERSION"), str(m.version))
 
     @staticmethod
@@ -903,16 +973,40 @@ class LakeTable:
         for v in keep:
             if v in all_versions:
                 live |= {f["path"] for f in self.manifest(v).files}
+        # delta-manifest chain safety: kept manifests may be stored as
+        # deltas chaining through bases BELOW the horizon. Those base
+        # manifest FILES are retained (at most FULL_MANIFEST_EVERY tiny
+        # json files — never rewritten, so expire stays O(delta) serial
+        # work per commit); their DATA files are still GC'd normally.
+        # Resolution stays correct because it is pure path algebra: a
+        # GC'd data path is by definition subtracted by some later
+        # delta's remove-list before any kept version's file list.
+        def _raw_base(v: int) -> int | None:
+            with open(os.path.join(self.meta_dir, f"v{v}.json")) as fh:
+                return json.load(fh).get("base")
+
+        reachable: set[int] = set()
+        for v in sorted((v for v in all_versions if v in keep), reverse=True):
+            b = _raw_base(v)
+            while b is not None and b not in reachable:
+                reachable.add(b)
+                b = _raw_base(b)
+        # resolve every expiring manifest BEFORE deleting any of them (a
+        # delta chains to its parent; deleting in listdir order would
+        # break resolution of a not-yet-visited sibling)
+        old_versions = sorted(v for v in all_versions if v < horizon_lo)
+        old_files = {v: self.manifest(v).files for v in old_versions}
         removed = 0
-        for v in all_versions:
-            if v < horizon_lo:
-                for f in self.manifest(v).files:
-                    if f["path"] not in live:
-                        p = os.path.join(self.dir, f["path"])
-                        if os.path.exists(p):
-                            os.remove(p)
-                            removed += 1
+        for v in old_versions:
+            for f in old_files[v]:
+                if f["path"] not in live:
+                    p = os.path.join(self.dir, f["path"])
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed += 1
+            if v not in reachable:
                 os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
+            self._manifests.pop(v, None)
         # orphaned commit dirs: a crash between a data write and its
         # manifest commit leaves a commit-{V}-... dir referenced by NO
         # manifest, ever (version numbers strictly increase, so an old V

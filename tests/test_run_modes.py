@@ -144,12 +144,28 @@ def test_auto_expire_bounds_disk(spark, tmp_root):
     only their data files on disk."""
     import os
 
+    import json as _json
+
+    from sparkcdc.lake import FULL_MANIFEST_EVERY
+
     cfg = EngineConfig(batch_size=100, n_keys=30, expire_keep_last=2)
     eng = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
     eng.replay(1000)
     meta = os.path.join(tmp_root, "source_code_repos", "meta")
-    manifests = [f for f in os.listdir(meta) if f.startswith("v")]
-    assert len(manifests) <= 2
+    manifests = [f for f in os.listdir(meta)
+                 if f.startswith("v") and f.endswith(".json")]
+    # 2 kept versions + at most FULL_MANIFEST_EVERY tiny DELTA manifests
+    # retained as chain bases (metadata only — their data files are GC'd)
+    assert len(manifests) <= 2 + FULL_MANIFEST_EVERY
+    cur = eng.table.current_version()
+    kept = {f"v{cur}.json", f"v{cur - 1}.json"}
+    for fn in manifests:
+        if fn not in kept:
+            with open(os.path.join(meta, fn)) as fh:
+                raw = _json.load(fh)
+            assert raw.get("base") is not None, (
+                f"{fn} retained past the keep window but not a chain base"
+            )
     # table still reads fine and resumes
     assert eng.table.read().count() > 0
     eng2 = default_engine(spark, tmp_root, n_buckets=4, config=cfg)
