@@ -494,6 +494,52 @@ def q_cdc_resume_fencing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunked_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+S10 chunked RESUMABLE incremental snapshot through the real
+    engine: backfill the customer table in keyset-paginated chunks while
+    deduping against the change window [5000, 10000), KILLED after 2
+    chunks (max_chunks) and resumed by a fresh engine from the
+    checkpointed last_key. Final state must equal the one-shot backfill
+    semantics (the cdc_incremental_snapshot oracle) with both probe flags
+    true: resumed mid-backfill, and completed."""
+    from sparkcdc.engine import CdcEngine
+    from sparkcdc.lake import LakeTable as LT
+
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_chunked_")
+    t = LakeTable.create(
+        spark, root, "t",
+        fields=[("user_id", "long"), ("name", "string")],
+        key_cols=["user_id"], n_buckets=8,
+    )
+    cfg = EngineConfig(n_parts=8)
+    eng = CdcEngine(spark, t, cfg)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("name")
+    )
+    window = _env(spark, sf_dir).filter(
+        (F.col("offset") >= 5000) & (F.col("offset") < 10000)
+    )
+    # 5 chunks at ANY sf so the max_chunks=2 kill always lands mid-backfill
+    chunk = max(1, cust.count() // 5)
+    partial = eng.run_incremental_snapshot(
+        cust, 5000, 10000, stream_window=window,
+        chunk_size=chunk, max_chunks=2,
+    )
+    # crash-restart: fresh engine resumes at the checkpoint, not chunk 0
+    eng2 = CdcEngine(spark, LT.load(spark, root, "t"), cfg)
+    finish = eng2.run_incremental_snapshot(
+        cust, 5000, 10000, stream_window=window, chunk_size=chunk,
+    )
+    resumed_mid = (
+        not partial["done"] and finish["resumed_from"] is not None
+    )
+    return eng2.table.read().select(
+        "user_id", "name",
+        F.lit(bool(resumed_mid)).alias("resumed_mid_backfill"),
+        F.lit(bool(finish["done"])).alias("backfill_completed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -691,6 +737,32 @@ def q_cdc_envelope_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_cdc_envelope_cloudevents_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T16 CloudEvents with Avro-binary payload
+    (CloudEventsConverter.java:89's non-JSON data format): envelope →
+    Avro bytes → base64 data_base64 inside a CloudEvents 1.0 JSON
+    envelope → parse both layers back. The oracle recomputes the
+    projected fields from raw events, so a match proves the two-layer
+    composition is lossless."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.transforms import envelope_to_cloudevents, parse_cloudevents
+
+    env = _env(spark, sf_dir)
+    wire = envelope_to_cloudevents(
+        env, data_format="avro", row_fields=EVENT_ROW_FIELDS
+    )
+    back = parse_cloudevents(wire, EVENT_ROW_FIELDS, data_format="avro")
+    return back.select(
+        F.col("op"),
+        F.col("ts_ms"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.col("source.pos").alias("pos"),
+        F.col("offset"),
+    )
+
+
 def q_cdc_envelope_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 proto3 wire format roundtrip (transforms.protobuf)."""
     from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
@@ -788,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multitable": q_cdc_multitable,
         "cdc_envelope_avro_roundtrip": q_cdc_envelope_avro_roundtrip,
         "cdc_envelope_protobuf_roundtrip": q_cdc_envelope_protobuf_roundtrip,
+        "cdc_envelope_cloudevents_roundtrip": q_cdc_envelope_cloudevents_roundtrip,
+        "cdc_chunked_backfill": q_cdc_chunked_backfill,
         "text_stats": q_text_stats,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1242,6 +1316,24 @@ def oracle_sql() -> dict[str, str]:
                    event_id AS pos,
                    event_id AS offset
             FROM events
+        """,
+        "cdc_envelope_cloudevents_roundtrip": """
+            SELECT CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                   epoch_us(ts) // 1000 AS ts_ms,
+                   user_id,
+                   event_id AS pos,
+                   event_id AS offset
+            FROM events
+        """,
+        "cdc_chunked_backfill": """
+            SELECT c_custkey AS user_id, c_name AS name,
+                   true AS resumed_mid_backfill,
+                   true AS backfill_completed
+            FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT user_id FROM events
+              WHERE event_id >= 5000 AND event_id < 10000)
         """,
         "mm_decode_meta": """
             WITH h AS (

@@ -45,6 +45,7 @@ def envelope_to_cloudevents(
     source_uri: str = "/sparkcdc/source_code_repos",
     out_col: str = "value",
     data_format: str = "json",
+    row_fields: list[tuple[str, T.DataType]] | None = None,
 ) -> DataFrame:
     """CloudEvents 1.0 JSON envelope (CloudEventsConverter.java:89):
     id/source/specversion/type + the Debezium envelope as the payload.
@@ -72,7 +73,7 @@ def envelope_to_cloudevents(
     if data_format == "avro":
         from .avro import envelope_to_avro
 
-        wire = envelope_to_avro(df)
+        wire = envelope_to_avro(df, row_fields)
         ce = F.struct(
             F.concat_ws(":", F.col("part_id"), F.col("offset")).alias("id"),
             F.lit(source_uri).alias("source"),
