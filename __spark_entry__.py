@@ -593,6 +593,34 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", _ppm(F.col("cos")).alias("cos_ppm"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster grouping: near-dup PAIRS (the q_dedup_embedding
+    pipeline, sign-LSH candidates + exact cosine >= 0.3) folded into
+    connected components by iterative min-label propagation — the
+    keep-one-per-cluster step of a dedup pipeline. The oracle computes
+    the same components with a recursive CTE over the identical pair
+    set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b0 = sim.hyperplane_lsh_buckets(emb, n_planes=4, dim=64)
+    b1 = sim.hyperplane_lsh_buckets(emb, n_planes=8, dim=64).select(
+        "id", F.expr("shiftright(bucket, 4)").alias("bucket")
+    )
+    cand = None
+    for b in (b0, b1):
+        a = b.alias("a")
+        c = b.alias("c")
+        p = a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.id") < F.col("c.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        cand = p if cand is None else cand.unionByName(p)
+    pairs = dd.embedding_near_duplicates(
+        emb, threshold=0.3, candidates=cand.distinct()
+    )
+    return dd.duplicate_clusters(pairs).select("doc", "cluster")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -852,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
@@ -923,6 +952,24 @@ def _embedding_lsh_oracle_sql() -> str:
         JOIN embeddings a ON a.vec_id = id_a
         JOIN embeddings b ON b.vec_id = id_b
         WHERE {cos} >= 0.3
+    """
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Connected components of the embedding near-dup pair set via a
+    recursive CTE: min reachable node per node == the min-label each node
+    converges to in the Spark propagation."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_embedding_lsh_oracle_sql()}),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b AS a, id_a AS b FROM pairs),
+        reach(a, b) AS (
+          SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+        SELECT a AS doc, min(b) AS cluster FROM reach GROUP BY a
     """
 
 
@@ -1181,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.5
         """,
         "dedup_embedding": _embedding_lsh_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         "ann_cosine_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -15,6 +15,7 @@ from .dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
+    duplicate_clusters,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash",
+    "duplicate_clusters",
     "ngram_jaccard_pairs",
     "embedding_near_duplicates",
     "cosine_topk",

@@ -324,6 +324,88 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS = connected
+    components of the similarity graph — the step that turns pairwise
+    LSH/cosine output into a keep-one-per-cluster dedup decision
+    (``min(doc) per cluster`` is the canonical keeper).
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (1) every node adopts the minimum label of its closed neighborhood
+    (one equi-join + one groupBy-min shuffle — the simple map-reduce CC
+    step), then (2) relabels through its own label's label
+    (``label(x) := label(label(x))``, one more equi-join) — the
+    path-halving step of the two-phase CC family (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), which collapses
+    chains in O(log diameter) rounds instead of O(diameter).
+
+    Every round ends in an **eager ``localCheckpoint``**: iterative
+    DataFrame loops otherwise nest each round's logical plan inside the
+    next — Catalyst re-analyzes a plan that doubles per round and the
+    wall-clock blows up exponentially even on tiny graphs (measured:
+    3 s → 74 s/round by round 5 un-truncated). Checkpointing pins the
+    round's result as a fresh leaf, so per-round analysis cost is
+    constant. The driver loop carries only a converged? flag, never
+    data; each round is fully distributed, no driver-side graph.
+
+    Output: (doc, cluster) — every node appearing in any pair, labeled by
+    its component's minimum doc id.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("a").distinct()
+        .withColumn("label", F.col("a"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh = edges.alias("e").join(
+            labels.alias("l"), F.col("e.b") == F.col("l.a")
+        ).select(F.col("e.a").alias("a"), F.col("l.label").alias("label"))
+        prop = (
+            labels.select("a", "label").union(neigh)
+            .groupBy("a").agg(F.min("label").alias("label"))
+        )
+        # pointer jump: a label is always a node id in the same component,
+        # so it has its own (smaller-or-equal) label in `prop` — adopt it.
+        jump = prop.select(
+            F.col("a").alias("jl_node"), F.col("label").alias("jl_label")
+        )
+        new_labels = (
+            prop.join(jump, prop["label"] == jump["jl_node"])
+            .select("a", F.col("jl_label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("a").alias("doc"), F.col("label").alias("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -108,6 +108,27 @@ def test_candidates_prune_before_intersection(spark, docs_df):
     assert lp.find("Aggregate") < lp.find("LeftSemi")
 
 
+def test_duplicate_clusters_connected_components(spark):
+    """Min-label propagation must converge past multi-hop chains: the
+    component minimum floods one hop per round, and the keeper is the
+    min doc of each component."""
+    from sparkcdc.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11), (11, 12)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["doc"], r["cluster"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (5, 5), (6, 5),
+        (8, 8), (9, 8), (10, 8), (11, 8), (12, 8),
+    }
+
+
 @pytest.fixture()
 def emb_df(spark):
     # 3 clusters of near-identical vectors + one orthogonal-ish outlier
