@@ -197,7 +197,39 @@ class MemoryTableSink:
         self, rows: DataFrame, batch_id: int, writer: str = "default",
         summary: dict | None = None,
     ) -> dict:
-        raise ValueError("MemoryTableSink supports keyed merge tables only")
+        """insert.mode=insert for keyless tables (primary.key.mode=none),
+        mirroring :meth:`LakeTable.append`: fenced per (writer, batch_id),
+        rejected on keyed tables. Keyless rows are stored under synthetic
+        monotone row ids. Iceberg: ``INSERT INTO t SELECT ...``."""
+        m = self.manifest()
+        if m.key_cols:
+            raise ValueError(
+                "append() is insert-only for keyless tables "
+                "(primary.key.mode=none); this table has key columns "
+                f"{m.key_cols} — use merge()"
+            )
+        last = m.summary.get("last_batch", {}).get(writer)
+        if last is not None and batch_id <= last:
+            return {"version": m.version, "skipped": True, "reason": "fenced"}
+        cols = [f.name for f in m.fields]
+        batch = rows.select(
+            *[rows[c].cast(type_of(f.type)).alias(c)
+              for c, f in zip(cols, m.fields)]
+        ).collect()
+        state = dict(self._states[self._version])
+        name_to_id = {f.name: f.id for f in m.fields}
+        rid = 1 + max((k[1] for k in state), default=-1)
+        for r in batch:
+            state[("_rid", rid)] = {name_to_id[c]: r[c] for c in cols}
+            rid += 1
+        last_batch = dict(m.summary.get("last_batch", {}))
+        last_batch[writer] = batch_id
+        new = self._commit(state, {
+            **(summary or {}), "op": "append", "batch_id": batch_id,
+            "writer": writer, "last_batch": last_batch,
+        })
+        return {"version": new.version, "skipped": False,
+                "affected_buckets": m.n_buckets, "files": 0}
 
     def evolve(self, changes: list[dict]) -> dict:
         m = self.manifest()

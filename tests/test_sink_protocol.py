@@ -66,6 +66,35 @@ def test_engine_schema_evolution_through_protocol(spark, tmp_root):
     assert eng.table.manifest().epoch == 1
 
 
+def test_append_keyless_through_protocol(spark, tmp_root):
+    """insert.mode=insert on a keyless table: appended rows accumulate
+    (no key reduction), redelivered batches are fenced, and a keyed
+    table rejects append — identically on both implementations."""
+    rows = spark.createDataFrame(
+        [("r", f"p{i}", "c", "py", f"x{i}") for i in range(6)],
+        [n for n, _ in FIELDS])
+    for make in (
+        lambda: MemoryTableSink(
+            spark, "ka", FIELDS, [], meta_dir=os.path.join(tmp_root, "ka")),
+        lambda: LakeTable.create(
+            spark, os.path.join(tmp_root, "kl"), "kl", FIELDS, []),
+    ):
+        sink = make()
+        assert sink.append(rows, batch_id=1)["skipped"] is False
+        assert sink.append(rows, batch_id=2)["skipped"] is False
+        assert sink.read().count() == 12  # duplicates kept: no key semantics
+        assert sink.append(rows, batch_id=2)["skipped"] is True  # fenced
+        assert sink.read().count() == 12
+
+    keyed = MemoryTableSink(
+        spark, "kk", FIELDS, KEY, meta_dir=os.path.join(tmp_root, "kk"))
+    try:
+        keyed.append(rows, batch_id=1)
+        raise AssertionError("keyed append must be rejected")
+    except ValueError:
+        pass
+
+
 def test_engine_truncate_through_protocol(spark, tmp_root):
     eng = _mem_engine(spark, tmp_root, truncate_enabled=True)
     eng.replay(500)
