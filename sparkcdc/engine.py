@@ -520,11 +520,20 @@ class CdcEngine:
         stream_window: DataFrame | None = None,
         chunk_size: int | None = None,
         max_chunks: int | None = None,
+        additional_condition: str | None = None,
     ) -> dict:
         """Ad-hoc backfill concurrent with streaming (the execute-snapshot
         signal action): merge every source row whose key did NOT see a
         change event inside [window_lo, window_hi). Sparse by construction →
         pruned merge scope.
+
+        ``additional_condition`` is the signal's ``additional-conditions``
+        filter (AdditionalCondition.java:24, injected into the snapshot
+        query by AbstractChunkQueryBuilder): a SQL predicate over the
+        source's columns restricting WHICH rows are backfilled. Applied
+        before chunking/dedup, so Catalyst pushes it into the source scan
+        — the distributed analog of the reference appending it to the
+        chunk SELECT's WHERE clause.
 
         With ``chunk_size`` set, the backfill is CHUNKED AND RESUMABLE
         (round-2 verdict 'missing #1'; reference:
@@ -542,6 +551,8 @@ class CdcEngine:
         from .envelope import snapshot_events
 
         m = self.table.manifest()
+        if additional_condition:
+            source_df = source_df.filter(additional_condition)
         # mirror run_snapshot: a backfill source captured before an 'add' or
         # 'rename' evolution lacks the new column names — snapshot only the
         # columns it has (the reconcile/defaults path fills the rest), and
@@ -692,11 +703,30 @@ class CdcEngine:
                 if src is not None:
                     lo = int(req.get("window_lo", 0))
                     hi = int(req.get("window_hi", self.committed_offset()))
-                    self.run_incremental_snapshot(src, lo, hi)
+                    self.run_incremental_snapshot(
+                        src, lo, hi,
+                        additional_condition=self._signal_condition(req),
+                    )
                     # ack ONLY after the backfill committed: a crash
                     # before this point redelivers the signal on restart
                     self.signals.ack_request(req)
         return acted
+
+    def _signal_condition(self, req: dict) -> str | None:
+        """Resolve the execute-snapshot signal's ``additional-conditions``
+        for THIS table (ExecuteSnapshot.java:61,96-103): each entry is
+        ``{"data-collection": <regex>, "filter": <SQL predicate>}``; the
+        data-collection pattern matches case-insensitively against the
+        sink table name, and every matching filter applies (AND)."""
+        conds = req.get("additional-conditions") or []
+        filters = [
+            c["filter"] for c in conds
+            if c.get("filter")
+            and re.fullmatch(
+                c.get("data-collection", ".*"), self.table.name, re.I
+            )
+        ]
+        return " AND ".join(f"({f})" for f in filters) or None
 
     # -- schema reconciliation ---------------------------------------------------
 

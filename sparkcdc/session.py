@@ -67,6 +67,10 @@ def get_spark(
         # is the actual transaction boundary (+4% replay, measured)
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
                 "2")
+        # no _SUCCESS markers: visibility is decided by the manifest, and
+        # the marker is one more serial driver fs op per commit
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+                "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKCDC_DRIVER_MEM", "16g"))
     )

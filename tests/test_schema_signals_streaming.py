@@ -266,6 +266,48 @@ def test_streaming_available_now_with_checkpoint_restart(spark, tmp_root):
     assert streamed == batched
 
 
+def test_execute_snapshot_additional_conditions(spark, tmp_root):
+    """ExecuteSnapshot.java:61,96-103 / AdditionalCondition.java:24: the
+    signal's additional-conditions restrict WHICH source rows the ad-hoc
+    backfill reads — only filters whose data-collection regex matches
+    this table apply (case-insensitive), multiple matches AND together."""
+    sig_path = os.path.join(tmp_root, "signals.jsonl")
+    with open(sig_path, "w") as fh:
+        fh.write(json.dumps({
+            "id": "c1", "type": "execute-snapshot",
+            "data": {
+                "data-collections": ["code.source_code_repos"],
+                "window_lo": 0, "window_hi": 0,
+                "additional-conditions": [
+                    # matches (case-insensitive regex)
+                    {"data-collection": "SOURCE_CODE_.*",
+                     "filter": "lang = 'py'"},
+                    # matches: second condition ANDs in
+                    {"data-collection": ".*", "filter": "repo = 'org/a'"},
+                    # does NOT match this table -> must not apply
+                    {"data-collection": "other_table",
+                     "filter": "repo = 'nope'"},
+                ],
+            }}) + "\n")
+    sp = SignalProcessor([FileSignalChannel(sig_path)])
+    eng = default_engine(
+        spark, tmp_root, n_buckets=4,
+        config=EngineConfig(batch_size=500, n_keys=20, n_parts=2))
+    eng.signals = sp
+    src = spark.createDataFrame(
+        [("org/a", "p1", "c", "py", "keep"),
+         ("org/a", "p2", "c", "go", "drop-lang"),
+         ("org/b", "p3", "c", "py", "drop-repo")],
+        ["repo", "path", "commit", "lang", "content"])
+    eng.process_signals(source_for_snapshot=lambda req: src)
+    rows = eng.table.read().collect()
+    assert [(r["repo"], r["path"], r["content"]) for r in rows] == [
+        ("org/a", "p1", "keep")]
+    # and the condition resolver alone, for an unmatched request
+    assert eng._signal_condition({"additional-conditions": [
+        {"data-collection": "zzz", "filter": "1=1"}]}) is None
+
+
 def test_unacked_signal_redelivered_after_restart(tmp_root):
     """At-least-once signals: a deferred execute-snapshot is only durably
     acked AFTER its action ran — a crash in between redelivers it on
