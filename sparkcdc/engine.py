@@ -521,6 +521,7 @@ class CdcEngine:
         chunk_size: int | None = None,
         max_chunks: int | None = None,
         additional_condition: str | None = None,
+        surrogate_key: str | None = None,
     ) -> dict:
         """Ad-hoc backfill concurrent with streaming (the execute-snapshot
         signal action): merge every source row whose key did NOT see a
@@ -534,6 +535,14 @@ class CdcEngine:
         before chunking/dedup, so Catalyst pushes it into the source scan
         — the distributed analog of the reference appending it to the
         chunk SELECT's WHERE clause.
+
+        ``surrogate_key`` (ExecuteSnapshot.java:117 ``surrogate-key``)
+        names a single unique column to paginate chunks over INSTEAD of
+        the primary key — the reference's escape hatch for tables whose
+        PK is composite/expensive to range-scan. Dedup against the stream
+        window still uses the real key columns. A mid-backfill chunk-key
+        switch restarts the backfill (progress records which key it was
+        taken under).
 
         With ``chunk_size`` set, the backfill is CHUNKED AND RESUMABLE
         (round-2 verdict 'missing #1'; reference:
@@ -574,6 +583,7 @@ class CdcEngine:
                 source_df, stream_window, m, row_cols,
                 window_lo=window_lo, window_hi=window_hi,
                 chunk_size=chunk_size, max_chunks=max_chunks,
+                surrogate_key=surrogate_key,
             )
         deduped = snap_mod.dedup_chunk_against_window(
             source_df, stream_window, m.key_cols
@@ -603,7 +613,7 @@ class CdcEngine:
     def _run_chunked_backfill(
         self, source_df: DataFrame, stream_window: DataFrame, m, row_cols,
         *, window_lo: int, window_hi: int, chunk_size: int,
-        max_chunks: int | None,
+        max_chunks: int | None, surrogate_key: str | None = None,
     ) -> dict:
         """Keyset-paginated backfill loop with per-chunk checkpointing.
 
@@ -617,10 +627,15 @@ class CdcEngine:
         from .envelope import snapshot_events
 
         key_cols = m.key_cols
+        chunk_cols = [surrogate_key] if surrogate_key else key_cols
+        if surrogate_key and surrogate_key not in source_df.columns:
+            raise ValueError(f"surrogate key {surrogate_key!r} not in source")
         prog = self.table.manifest().summary.get("incr_snapshot") or {}
         same_window = (
             prog.get("window_lo") == window_lo
             and prog.get("window_hi") == window_hi
+            # resuming under a different chunk key would misread last_key
+            and prog.get("chunk_key", key_cols) == chunk_cols
         )
         if same_window and prog.get("done"):
             return {"done": True, "chunks": 0, "rows": 0,
@@ -638,17 +653,46 @@ class CdcEngine:
         chunks = rows_total = 0
         done = False
         while not done and (max_chunks is None or chunks < max_chunks):
+            if self.signals is not None:
+                # the chunk boundary is a poll point (the reference checks
+                # the signal channel between chunks): stop-snapshot for
+                # this table CANCELS the backfill (StopSnapshot.java:44 →
+                # requestStopSnapshot — a later same-window request starts
+                # over); pause exits resumable, exactly like max_chunks
+                self.signals.process()
+                if self._stop_snapshot_requested():
+                    progress = {
+                        "window_lo": window_lo, "window_hi": window_hi,
+                        "chunk_key": chunk_cols, "last_key": None,
+                        "done": True, "stopped": True,
+                    }
+                    empty = self.spark.createDataFrame(
+                        [], m.spark_schema().add("_op", "string")
+                    )
+                    self._merge_with_retry(
+                        empty, batch_id=self.committed_batch() + 1,
+                        summary={"incr_snapshot": progress}, mode="mor",
+                    )
+                    self.notifications.notify(
+                        "Incremental Snapshot", "ABORTED",
+                        chunks=chunks, rows=rows_total,
+                    )
+                    return {"done": True, "stopped": True, "chunks": chunks,
+                            "rows": rows_total, "resumed_from": resumed_from}
+                if self.signals.state.paused:
+                    break
             chunk = snap_mod.chunk_query(
-                source_df, key_cols, last_key, chunk_size
+                source_df, chunk_cols, last_key, chunk_size
             ).persist()
             agg = chunk.agg(
-                F.max(F.struct(*[F.col(c) for c in key_cols])).alias("mk"),
+                F.max(F.struct(*[F.col(c) for c in chunk_cols])).alias("mk"),
                 F.count(F.lit(1)).alias("n"),
             ).first()
             n = int(agg["n"])
             done = n < chunk_size  # final (possibly empty) chunk
             progress = {
                 "window_lo": window_lo, "window_hi": window_hi,
+                "chunk_key": chunk_cols,
                 "last_key": list(agg["mk"]) if n else
                             (list(last_key) if last_key else None),
                 "done": done,
@@ -701,16 +745,40 @@ class CdcEngine:
                 req = self.signals.state.snapshot_requests.pop(0)
                 src = source_for_snapshot(req)
                 if src is not None:
-                    lo = int(req.get("window_lo", 0))
-                    hi = int(req.get("window_hi", self.committed_offset()))
-                    self.run_incremental_snapshot(
-                        src, lo, hi,
-                        additional_condition=self._signal_condition(req),
-                    )
+                    cond = self._signal_condition(req)
+                    if str(req.get("type", "incremental")).lower() == "blocking":
+                        # SnapshotType.BLOCKING (ExecuteSnapshot.java:82 →
+                        # doBlockingSnapshot): a full re-snapshot that
+                        # supersedes streaming state, not a windowed merge
+                        self.run_snapshot(src.filter(cond) if cond else src)
+                    else:
+                        lo = int(req.get("window_lo", 0))
+                        hi = int(req.get("window_hi", self.committed_offset()))
+                        self.run_incremental_snapshot(
+                            src, lo, hi,
+                            additional_condition=cond,
+                            surrogate_key=req.get("surrogate-key"),
+                        )
                     # ack ONLY after the backfill committed: a crash
                     # before this point redelivers the signal on restart
                     self.signals.ack_request(req)
         return acted
+
+    def _stop_snapshot_requested(self) -> bool:
+        """Consume pending stop-snapshot requests targeting THIS table
+        (StopSnapshot.java:44-57: data-collections name the snapshots to
+        cancel; empty = cancel whatever is in progress)."""
+        if self.signals is None:
+            return False
+        hit, rest = False, []
+        for req in self.signals.state.stopped_snapshots:
+            colls = req.get("data-collections") or [".*"]
+            if any(re.fullmatch(c, self.table.name, re.I) for c in colls):
+                hit = True
+            else:
+                rest.append(req)
+        self.signals.state.stopped_snapshots = rest
+        return hit
 
     def _signal_condition(self, req: dict) -> str | None:
         """Resolve the execute-snapshot signal's ``additional-conditions``

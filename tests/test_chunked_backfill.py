@@ -98,3 +98,93 @@ def test_backfill_progress_survives_interleaved_replay(spark, tmp_root):
     assert after == before
     res = eng.run_incremental_snapshot(_src(spark), 0, 500, chunk_size=50)
     assert res["resumed_from"] == before["last_key"] and res["done"]
+
+
+def test_surrogate_key_chunking(spark, tmp_root):
+    """ExecuteSnapshot.java:117 surrogate-key: chunks paginate over the
+    named unique column instead of the PK; dedup/merge semantics are
+    unchanged, so the final state equals a PK-chunked backfill."""
+    eng = _mk(spark, tmp_root)
+    eng.replay(500)
+    src = _src(spark).withColumn(
+        "commit", F.concat(F.lit("sk-"), F.col("path")))
+    res1 = eng.run_incremental_snapshot(
+        src, 0, 500, chunk_size=50, max_chunks=2, surrogate_key="commit")
+    assert res1["chunks"] == 2
+    prog = eng.table.manifest().summary["incr_snapshot"]
+    assert prog["chunk_key"] == ["commit"]
+    assert prog["last_key"][0].startswith("sk-")  # surrogate values
+    res2 = eng.run_incremental_snapshot(
+        src, 0, 500, chunk_size=50, surrogate_key="commit")
+    assert res2["resumed_from"] == prog["last_key"] and res2["done"]
+    assert res1["rows"] + res2["rows"] == 200
+
+    twin = _mk(spark, tmp_root, name="twin")
+    twin.replay(500)
+    twin.run_incremental_snapshot(src, 0, 500, chunk_size=50)
+    assert _state(eng.table) == _state(twin.table)
+
+    # switching chunk keys mid-backfill restarts instead of misreading
+    # the checkpointed last_key under the wrong column
+    third = _mk(spark, tmp_root, name="third")
+    third.replay(500)
+    third.run_incremental_snapshot(src, 0, 500, chunk_size=50,
+                                   max_chunks=1, surrogate_key="commit")
+    r = third.run_incremental_snapshot(src, 0, 500, chunk_size=50)
+    assert r["resumed_from"] is None  # PK-keyed run starts over
+
+
+def test_stop_snapshot_signal_aborts_backfill(spark, tmp_root):
+    """StopSnapshot.java:44: a stop-snapshot signal naming this table
+    cancels the in-progress backfill at the next chunk boundary; a
+    stop for another table is ignored."""
+    import json
+    import os
+
+    from sparkcdc.signals import FileSignalChannel, SignalProcessor
+
+    eng = _mk(spark, tmp_root)
+    eng.replay(500)
+    sig_path = os.path.join(tmp_root, "sig.jsonl")
+    with open(sig_path, "w") as fh:
+        fh.write(json.dumps({"id": "other", "type": "stop-snapshot",
+                             "data": {"data-collections": ["zzz"]}}) + "\n")
+    eng.signals = SignalProcessor([FileSignalChannel(sig_path)])
+    res = eng.run_incremental_snapshot(_src(spark), 0, 500, chunk_size=50,
+                                       max_chunks=1)
+    assert res["chunks"] == 1  # non-matching stop ignored
+    with open(sig_path, "a") as fh:
+        fh.write(json.dumps({"id": "me", "type": "stop-snapshot",
+                             "data": {"data-collections": ["t"]}}) + "\n")
+    res = eng.run_incremental_snapshot(_src(spark), 0, 500, chunk_size=50)
+    assert res.get("stopped") is True and res["chunks"] == 0
+    prog = eng.table.manifest().summary["incr_snapshot"]
+    assert prog["done"] is True and prog.get("stopped") is True
+    # cancelled, not resumable: a new request starts from chunk 0
+    res = eng.run_incremental_snapshot(_src(spark), 10, 510, chunk_size=50)
+    assert res["resumed_from"] is None and res["done"] is True
+
+
+def test_blocking_snapshot_signal(spark, tmp_root):
+    """ExecuteSnapshot type=blocking -> a full run_snapshot of the
+    (condition-filtered) source instead of a windowed backfill."""
+    import json
+    import os
+
+    from sparkcdc.signals import FileSignalChannel, SignalProcessor
+
+    eng = _mk(spark, tmp_root)
+    sig_path = os.path.join(tmp_root, "sig.jsonl")
+    with open(sig_path, "w") as fh:
+        fh.write(json.dumps({"id": "b", "type": "execute-snapshot",
+                             "data": {"type": "blocking",
+                                      "additional-conditions": [
+                                          {"data-collection": ".*",
+                                           "filter": "lang = 'py'"}]}})
+                 + "\n")
+    eng.signals = SignalProcessor([FileSignalChannel(sig_path)])
+    src = _src(spark, n=20).withColumn(
+        "lang", F.when(F.col("path") < "src/f_0010", "py").otherwise("go"))
+    eng.process_signals(source_for_snapshot=lambda req: src)
+    rows = eng.table.read().collect()
+    assert len(rows) == 10 and {r["lang"] for r in rows} == {"py"}
