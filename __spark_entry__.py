@@ -540,6 +540,54 @@ def q_cdc_chunked_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_blocking_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13+S4 blocking snapshot via the signal control plane
+    (ExecuteSnapshot.java:82 type=BLOCKING + AdditionalCondition.java:24):
+    an execute-snapshot signal with ``type: blocking`` and two
+    additional-conditions (one matching this table, one for another
+    table that must NOT apply) arrives on the file channel; the engine
+    re-snapshots the condition-filtered source as a full run_snapshot.
+    Result = the customers the matching filter admits."""
+    import json as _json
+
+    from sparkcdc.engine import CdcEngine
+    from sparkcdc.signals import FileSignalChannel, SignalProcessor
+
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_blocking_")
+    t = LakeTable.create(
+        spark, root, "t",
+        fields=[("user_id", "long"), ("name", "string"),
+                ("balance_cents", "long")],
+        key_cols=["user_id"], n_buckets=8,
+    )
+    sig_path = os.path.join(root, "signals.jsonl")
+    with open(sig_path, "w") as fh:
+        fh.write(_json.dumps({
+            "id": "blk-1", "type": "execute-snapshot",
+            "data": {
+                "type": "blocking",
+                "data-collections": ["t"],
+                "additional-conditions": [
+                    {"data-collection": "t",
+                     "filter": "balance_cents >= 500000"},
+                    {"data-collection": "unrelated",
+                     "filter": "balance_cents < 0"},
+                ],
+            }}) + "\n")
+    eng = CdcEngine(spark, t, EngineConfig(n_parts=8),
+                    signal_processor=SignalProcessor(
+                        [FileSignalChannel(sig_path)]))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("name"),
+        # explicit round before the cast: Spark's long cast truncates
+        # while DuckDB's rounds — round() on both sides pins the value
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("balance_cents"),
+    )
+    eng.process_signals(source_for_snapshot=lambda req: cust)
+    return eng.table.read().select("user_id", "name", "balance_cents")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -891,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_protobuf_roundtrip": q_cdc_envelope_protobuf_roundtrip,
         "cdc_envelope_cloudevents_roundtrip": q_cdc_envelope_cloudevents_roundtrip,
         "cdc_chunked_backfill": q_cdc_chunked_backfill,
+        "cdc_blocking_snapshot": q_cdc_blocking_snapshot,
         "text_stats": q_text_stats,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1382,6 +1431,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (
               SELECT user_id FROM events
               WHERE event_id >= 5000 AND event_id < 10000)
+        """,
+        "cdc_blocking_snapshot": """
+            SELECT c_custkey AS user_id, c_name AS name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS balance_cents
+            FROM customer
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) >= 500000
         """,
         "mm_decode_meta": """
             WITH h AS (
