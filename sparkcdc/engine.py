@@ -92,6 +92,14 @@ class EngineConfig:
     #: (io.debezium.spi.snapshot.Snapshotter shouldSnapshotData/
     #: shouldStream)
     custom_snapshotter: Callable[["CdcEngine", bool], dict] | None = None
+    #: snapshot.select.statement.overrides analog
+    #: (RelationalDatabaseConnectorConfig — per-table custom snapshot
+    #: SELECT): map of sink-table name -> SQL over the snapshot source,
+    #: which is registered as the temp view ``src`` (and under the table
+    #: name). Lets the initial snapshot read a subset / projection of the
+    #: source (e.g. skip soft-deleted rows) exactly like the reference's
+    #: per-table override statement. Filters push into the source scan.
+    snapshot_select_overrides: dict[str, str] = field(default_factory=dict)
     transforms: list[Transform] = field(default_factory=list)
     writer: str = "engine"
     #: "mor" | "cow" — sink commit mode (K1/K2). ``mor`` (merge-on-read,
@@ -249,7 +257,16 @@ class CdcEngine:
 
     def run_snapshot(self, source_df: DataFrame) -> dict:
         """Initial consistent snapshot (S1): read the pinned source state,
-        wrap as op='r' envelopes, apply as batch 0."""
+        wrap as op='r' envelopes, apply as batch 0.
+
+        ``snapshot_select_overrides`` (snapshot.select.statement.overrides)
+        replaces the read for THIS table with a custom SELECT over the
+        source, registered as temp view ``src`` / the table name."""
+        override = self.cfg.snapshot_select_overrides.get(self.table.name)
+        if override:
+            source_df.createOrReplaceTempView("src")
+            source_df.createOrReplaceTempView(self.table.name)
+            source_df = self.spark.sql(override)
         m = self.table.manifest()
         # snapshot the columns the source actually has; columns added by
         # later evolution fill with their defaults in the apply path
@@ -726,6 +743,13 @@ class CdcEngine:
             last_key = tuple(agg["mk"])
             chunks += 1
             rows_total += n
+            # per-chunk progress notification (the reference's
+            # IncrementalSnapshotNotificationService IN_PROGRESS events
+            # carry the completed chunk position for dashboards)
+            self.notifications.notify(
+                "Incremental Snapshot", "IN_PROGRESS",
+                chunks=chunks, rows=rows_total, last_key=list(last_key),
+            )
         self.notifications.notify(
             "Incremental Snapshot", "COMPLETED" if done else "PAUSED",
             chunks=chunks, rows=rows_total,

@@ -188,3 +188,48 @@ def test_blocking_snapshot_signal(spark, tmp_root):
     eng.process_signals(source_for_snapshot=lambda req: src)
     rows = eng.table.read().collect()
     assert len(rows) == 10 and {r["lang"] for r in rows} == {"py"}
+
+
+def test_additional_condition_pushed_to_scan(spark, tmp_root):
+    """The backfill's additional-conditions and the keyset chunk
+    predicate must BOTH reach the parquet scan (PushedFilters) — the
+    composition (filter -> orderBy -> limit) must not break pushdown,
+    or a 10-TB source is read in full per chunk."""
+    import os
+
+    from sparkcdc.snapshot import chunk_query
+
+    path = os.path.join(tmp_root, "src_parquet")
+    _src(spark, n=100).write.parquet(path)
+    src = spark.read.parquet(path).filter("lang = 'py'")
+    q = chunk_query(src, ["path"], ("src/f_0049.py",), 20)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "EqualTo(lang,py)" in pushed
+    assert "GreaterThan(path,src/f_0049.py)" in pushed
+
+
+def test_per_chunk_progress_notifications(spark, tmp_root):
+    eng = _mk(spark, tmp_root)
+    eng.replay(500)
+    eng.run_incremental_snapshot(_src(spark, n=100), 0, 500, chunk_size=40)
+    prog = [n for n in eng.notifications.read()
+            if n["aggregate_type"] == "Incremental Snapshot"
+            and n["type"] == "IN_PROGRESS"]
+    assert [p["data"]["chunks"] for p in prog] == [1, 2, 3]
+    assert prog[-1]["data"]["rows"] == 100
+    assert prog[0]["data"]["last_key"][1] == "src/f_0039.py"
+
+
+def test_snapshot_select_overrides(spark, tmp_root):
+    """snapshot.select.statement.overrides: the initial snapshot of this
+    table reads the override SELECT (over temp view `src`), not the raw
+    source — other tables' snapshots are untouched."""
+    eng = _mk(spark, tmp_root)
+    eng.cfg.snapshot_select_overrides = {
+        "t": "SELECT * FROM src WHERE path < 'src/f_0010.py'",
+        "other": "SELECT * FROM src WHERE 1 = 0",
+    }
+    eng.run_snapshot(_src(spark, n=50))
+    assert eng.table.read().count() == 10
