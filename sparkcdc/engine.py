@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -539,6 +540,7 @@ class CdcEngine:
         max_chunks: int | None = None,
         additional_condition: str | None = None,
         surrogate_key: str | None = None,
+        chunk_mode: str = "keyset",
     ) -> dict:
         """Ad-hoc backfill concurrent with streaming (the execute-snapshot
         signal action): merge every source row whose key did NOT see a
@@ -560,6 +562,20 @@ class CdcEngine:
         window still uses the real key columns. A mid-backfill chunk-key
         switch restarts the backfill (progress records which key it was
         taken under).
+
+        ``chunk_mode`` picks the chunking strategy (the scale matrix):
+
+        - ``"keyset"`` (default, the reference's strategy): each chunk is
+          ``WHERE key > last ORDER BY key LIMIT n``. Right when the source
+          is key-clustered (Iceberg sort order / PK-indexed): the keyset
+          predicate pushes into the scan and min/max stats prune to
+          O(chunk) per chunk. On an UNSORTED source it degrades to a full
+          scan + top-K per chunk — O(N·chunks).
+        - ``"range"``: ONE ``repartitionByRange`` pass stages the backfill
+          partitioned by chunk id (snapshot.stage_range_chunks); each
+          chunk commit is then a partition-pruned read of one directory.
+          O(N) total regardless of source ordering, at the price of one
+          shuffle and 1× staged bytes on disk (deleted on completion).
 
         With ``chunk_size`` set, the backfill is CHUNKED AND RESUMABLE
         (round-2 verdict 'missing #1'; reference:
@@ -596,6 +612,13 @@ class CdcEngine:
                 content_chars=self.cfg.content_chars,
             )
         if chunk_size is not None:
+            if chunk_mode == "range":
+                return self._run_range_backfill(
+                    source_df, stream_window, m, row_cols,
+                    window_lo=window_lo, window_hi=window_hi,
+                    chunk_size=chunk_size, max_chunks=max_chunks,
+                    surrogate_key=surrogate_key,
+                )
             return self._run_chunked_backfill(
                 source_df, stream_window, m, row_cols,
                 window_lo=window_lo, window_hi=window_hi,
@@ -670,34 +693,21 @@ class CdcEngine:
         chunks = rows_total = 0
         done = False
         while not done and (max_chunks is None or chunks < max_chunks):
-            if self.signals is not None:
-                # the chunk boundary is a poll point (the reference checks
-                # the signal channel between chunks): stop-snapshot for
-                # this table CANCELS the backfill (StopSnapshot.java:44 →
-                # requestStopSnapshot — a later same-window request starts
-                # over); pause exits resumable, exactly like max_chunks
-                self.signals.process()
-                if self._stop_snapshot_requested():
-                    progress = {
-                        "window_lo": window_lo, "window_hi": window_hi,
-                        "chunk_key": chunk_cols, "last_key": None,
-                        "done": True, "stopped": True,
-                    }
-                    empty = self.spark.createDataFrame(
-                        [], m.spark_schema().add("_op", "string")
-                    )
-                    self._merge_with_retry(
-                        empty, batch_id=self.committed_batch() + 1,
-                        summary={"incr_snapshot": progress}, mode="mor",
-                    )
-                    self.notifications.notify(
-                        "Incremental Snapshot", "ABORTED",
-                        chunks=chunks, rows=rows_total,
-                    )
-                    return {"done": True, "stopped": True, "chunks": chunks,
-                            "rows": rows_total, "resumed_from": resumed_from}
-                if self.signals.state.paused:
-                    break
+            control = self._poll_backfill_control()
+            if control == "stop":
+                self._commit_backfill_marker(m, {
+                    "window_lo": window_lo, "window_hi": window_hi,
+                    "chunk_key": chunk_cols, "last_key": None,
+                    "done": True, "stopped": True,
+                })
+                self.notifications.notify(
+                    "Incremental Snapshot", "ABORTED",
+                    chunks=chunks, rows=rows_total,
+                )
+                return {"done": True, "stopped": True, "chunks": chunks,
+                        "rows": rows_total, "resumed_from": resumed_from}
+            if control == "pause":
+                break
             chunk = snap_mod.chunk_query(
                 source_df, chunk_cols, last_key, chunk_size
             ).persist()
@@ -718,13 +728,7 @@ class CdcEngine:
                 # source exhausted exactly at a chunk boundary: persist the
                 # done flag as a data-less fenced commit
                 chunk.unpersist()
-                empty = self.spark.createDataFrame(
-                    [], m.spark_schema().add("_op", "string")
-                )
-                self._merge_with_retry(
-                    empty, batch_id=self.committed_batch() + 1,
-                    summary={"incr_snapshot": progress}, mode="mor",
-                )
+                self._commit_backfill_marker(m, progress)
                 break
             deduped = snap_mod.dedup_chunk_against_window(
                 chunk, stream_window, key_cols
@@ -757,6 +761,168 @@ class CdcEngine:
         return {"done": done, "chunks": chunks, "rows": rows_total,
                 "resumed_from": resumed_from}
 
+    def _poll_backfill_control(self) -> str | None:
+        """The chunk boundary is a poll point (the reference checks the
+        signal channel between chunks): stop-snapshot for this table
+        CANCELS the backfill (StopSnapshot.java:44 → requestStopSnapshot —
+        a later same-window request starts over); pause exits resumable,
+        exactly like max_chunks."""
+        if self.signals is None:
+            return None
+        self.signals.process()
+        if self._stop_snapshot_requested():
+            return "stop"
+        if self.signals.state.paused:
+            return "pause"
+        return None
+
+    def _commit_backfill_marker(self, m, progress: dict) -> None:
+        """Persist backfill progress as a data-less fenced commit (the
+        chunk checkpoint without chunk data)."""
+        empty = self.spark.createDataFrame(
+            [], m.spark_schema().add("_op", "string")
+        )
+        self._merge_with_retry(
+            empty, batch_id=self.committed_batch() + 1,
+            summary={"incr_snapshot": progress}, mode="mor",
+        )
+
+    def _run_range_backfill(
+        self, source_df: DataFrame, stream_window: DataFrame, m, row_cols,
+        *, window_lo: int, window_hi: int, chunk_size: int,
+        max_chunks: int | None, surrogate_key: str | None = None,
+    ) -> dict:
+        """``chunk_mode='range'``: stage once with ``repartitionByRange``
+        (snapshot.stage_range_chunks — O(N) total over UNSORTED sources),
+        then commit per staged chunk dir with {chunk_idx} checkpointed
+        atomically alongside each chunk's data.
+
+        A lost/half-written stage restarts the backfill from chunk 0:
+        re-applying already-committed chunks is harmless because backfill
+        rows merge by key (op='r' of the same pinned source state) and the
+        window dedup re-drops streamed keys — idempotent by construction.
+        """
+        from . import snapshot as snap_mod
+        from .envelope import snapshot_events
+
+        key_cols = m.key_cols
+        chunk_cols = [surrogate_key] if surrogate_key else key_cols
+        if surrogate_key and surrogate_key not in source_df.columns:
+            raise ValueError(f"surrogate key {surrogate_key!r} not in source")
+        stage_dir = os.path.join(
+            self.table.meta_dir, f"backfill_stage_{window_lo}_{window_hi}"
+        )
+        prog = self.table.manifest().summary.get("incr_snapshot") or {}
+        same_window = (
+            prog.get("window_lo") == window_lo
+            and prog.get("window_hi") == window_hi
+            and prog.get("mode") == "range"
+            and prog.get("chunk_key", key_cols) == chunk_cols
+        )
+        if same_window and prog.get("done"):
+            return {"done": True, "chunks": 0, "rows": 0,
+                    "resumed_from": prog.get("chunk_idx")}
+        marker = snap_mod.load_stage_marker(stage_dir)
+        stage_ok = (
+            marker is not None
+            and marker.get("key_cols") == chunk_cols
+            and marker.get("chunk_size") == chunk_size
+        )
+        if same_window and stage_ok:
+            chunk_idx = int(prog.get("chunk_idx", 0))
+            resumed_from = chunk_idx if chunk_idx else None
+        else:
+            snap_mod.stage_range_chunks(
+                source_df, chunk_cols, chunk_size, stage_dir
+            )
+            marker = snap_mod.load_stage_marker(stage_dir)
+            chunk_idx = 0
+            resumed_from = None
+        n_chunks = int(marker["n_chunks"])
+        if marker.get("rows", 0) == 0:
+            # empty source: nothing staged to read — persist done directly
+            self._commit_backfill_marker(m, {
+                "window_lo": window_lo, "window_hi": window_hi,
+                "chunk_key": chunk_cols, "mode": "range",
+                "chunk_idx": n_chunks, "n_chunks": n_chunks, "done": True,
+            })
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            self.notifications.notify(
+                "Incremental Snapshot", "COMPLETED", chunks=0, rows=0,
+            )
+            return {"done": True, "chunks": 0, "rows": 0,
+                    "resumed_from": resumed_from}
+        self.notifications.notify(
+            "Incremental Snapshot",
+            "RESUMED" if resumed_from is not None else "STARTED",
+            window_lo=window_lo, window_hi=window_hi,
+            mode="range", n_chunks=n_chunks, chunk_idx=chunk_idx,
+        )
+        staged = self.spark.read.parquet(stage_dir)
+        chunks = rows_total = 0
+        done = False
+        while chunk_idx < n_chunks and (max_chunks is None or chunks < max_chunks):
+            control = self._poll_backfill_control()
+            if control == "stop":
+                self._commit_backfill_marker(m, {
+                    "window_lo": window_lo, "window_hi": window_hi,
+                    "chunk_key": chunk_cols, "mode": "range",
+                    "chunk_idx": chunk_idx, "done": True, "stopped": True,
+                })
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                self.notifications.notify(
+                    "Incremental Snapshot", "ABORTED",
+                    chunks=chunks, rows=rows_total,
+                )
+                return {"done": True, "stopped": True, "chunks": chunks,
+                        "rows": rows_total, "resumed_from": resumed_from}
+            if control == "pause":
+                break
+            # partition-pruned read of ONE staged chunk dir
+            chunk = staged.filter(
+                F.col("__chunk") == chunk_idx
+            ).drop("__chunk").persist()
+            n = chunk.count()
+            progress = {
+                "window_lo": window_lo, "window_hi": window_hi,
+                "chunk_key": chunk_cols, "mode": "range",
+                "chunk_idx": chunk_idx + 1, "n_chunks": n_chunks,
+                "done": chunk_idx + 1 >= n_chunks,
+            }
+            if n == 0:
+                # empty range partition: advance the checkpoint data-less
+                self._commit_backfill_marker(m, progress)
+            else:
+                deduped = snap_mod.dedup_chunk_against_window(
+                    chunk, stream_window, key_cols
+                )
+                env = snapshot_events(
+                    deduped, row_cols=row_cols, key_cols=key_cols,
+                    n_parts=self.cfg.n_parts, snapshot_marker="incremental",
+                )
+                self._apply_batch(
+                    env, batch_id=self.committed_batch() + 1,
+                    kind="incremental_snapshot", offsets=None, mode="cow",
+                    extra_summary={"incr_snapshot": progress},
+                )
+            chunk.unpersist()
+            chunk_idx += 1
+            chunks += 1
+            rows_total += n
+            done = chunk_idx >= n_chunks
+            self.notifications.notify(
+                "Incremental Snapshot", "IN_PROGRESS",
+                chunks=chunks, rows=rows_total, chunk_idx=chunk_idx,
+            )
+        if done:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        self.notifications.notify(
+            "Incremental Snapshot", "COMPLETED" if done else "PAUSED",
+            chunks=chunks, rows=rows_total,
+        )
+        return {"done": done, "chunks": chunks, "rows": rows_total,
+                "resumed_from": resumed_from}
+
     def process_signals(self, source_for_snapshot=None) -> list[dict]:
         """Drain signal channels; execute-snapshot requests run immediately
         when a ``source_for_snapshot(request) -> DataFrame`` factory is
@@ -782,6 +948,8 @@ class CdcEngine:
                             src, lo, hi,
                             additional_condition=cond,
                             surrogate_key=req.get("surrogate-key"),
+                            chunk_size=req.get("chunk-size"),
+                            chunk_mode=req.get("chunk-mode", "keyset"),
                         )
                     # ack ONLY after the backfill committed: a crash
                     # before this point redelivers the signal on restart

@@ -21,8 +21,33 @@ broadcastable because a chunk's window is small by construction.
 
 from __future__ import annotations
 
+import json
+import math
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def keyset_predicate(key_cols: list[str], last_key: tuple):
+    """``(k1, k2, ...) > (v1, v2, ...)`` — the row-value-constructor
+    comparison of RowValueConstructorChunkQueryBuilder, expanded into the
+    equivalent boolean form ``k1 > v1 OR (k1 = v1 AND k2 > v2) OR ...``.
+
+    The expansion matters at scale: a struct comparison
+    (``struct(k1,k2) > struct(v1,v2)``) never reaches the data source,
+    while the expanded Or/And tree translates to parquet/Iceberg pushdown
+    filters on the leading key columns, so a key-clustered source prunes
+    row groups exactly like the reference's PK-index range read. Key
+    columns are non-null by contract (they are the table's primary key).
+    """
+    pred = None
+    for i in range(len(key_cols)):
+        term = F.col(key_cols[i]) > F.lit(last_key[i])
+        for j in range(i):
+            term = (F.col(key_cols[j]) == F.lit(last_key[j])) & term
+        pred = term if pred is None else pred | term
+    return pred
 
 
 def chunk_query(
@@ -35,15 +60,61 @@ def chunk_query(
     row-value-constructor comparison of RowValueConstructorChunkQueryBuilder).
     """
     if last_key is not None:
-        if len(key_cols) == 1:
-            pred = F.col(key_cols[0]) > F.lit(last_key[0])
-        else:
-            # (k1, k2) > (v1, v2) — struct comparison is lexicographic
-            pred = F.struct(*[F.col(c) for c in key_cols]) > F.struct(
-                *[F.lit(v) for v in last_key]
-            )
-        df = df.filter(pred)
+        df = df.filter(keyset_predicate(key_cols, last_key))
     return df.orderBy(*[F.col(c).asc() for c in key_cols]).limit(chunk_size)
+
+
+STAGE_MARKER = "_BACKFILL_STAGED.json"
+
+
+def stage_range_chunks(
+    source_df: DataFrame,
+    key_cols: list[str],
+    chunk_size: int,
+    stage_dir: str,
+) -> int:
+    """One-pass range staging for chunked backfill over UNSORTED sources
+    (``chunk_mode='range'``).
+
+    Keyset pagination (the reference's chunk strategy,
+    AbstractChunkQueryBuilder.java:48-170) assumes an index: each chunk is
+    ``WHERE key > last ORDER BY key LIMIT n``, which a key-clustered source
+    answers in O(chunk) via min/max pruning — but an UNSORTED source pays a
+    full scan + top-K sort PER CHUNK, O(N·chunks) total. The Spark-first
+    alternative staged here: ONE ``repartitionByRange`` pass (Spark's
+    RangePartitioner samples the key space and assigns ascending key
+    ranges to ascending partition ids — it IS the chunk planner) writes
+    the backfill partitioned by chunk id; every later chunk read is a
+    partition-pruned scan of one small directory. Total cost: one full
+    scan + one range shuffle + O(N) staged bytes (deleted on completion),
+    independent of chunk count.
+
+    Returns the number of staged chunks; writes a ``_BACKFILL_STAGED.json``
+    marker AFTER the data lands so a half-written stage is detected and
+    re-staged on restart.
+    """
+    n = source_df.count()
+    n_chunks = max(1, math.ceil(n / chunk_size))
+    staged = source_df.repartitionByRange(
+        n_chunks, *[F.col(c) for c in key_cols]
+    ).withColumn("__chunk", F.spark_partition_id())
+    staged.write.mode("overwrite").partitionBy("__chunk").parquet(stage_dir)
+    with open(os.path.join(stage_dir, STAGE_MARKER), "w") as fh:
+        json.dump(
+            {"n_chunks": n_chunks, "rows": n,
+             "key_cols": key_cols, "chunk_size": chunk_size},
+            fh,
+        )
+    return n_chunks
+
+
+def load_stage_marker(stage_dir: str) -> dict | None:
+    """The stage's completion marker, or None if staging never finished."""
+    path = os.path.join(stage_dir, STAGE_MARKER)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
 
 
 def dedup_chunk_against_window(

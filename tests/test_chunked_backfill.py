@@ -233,3 +233,107 @@ def test_snapshot_select_overrides(spark, tmp_root):
     }
     eng.run_snapshot(_src(spark, n=50))
     assert eng.table.read().count() == 10
+
+
+def test_range_backfill_matches_keyset_and_cleans_stage(spark, tmp_root):
+    """chunk_mode='range': one repartitionByRange staging pass, per-chunk
+    partition-pruned commits — final state must equal the keyset path, and
+    the stage dir must be gone once the backfill completes."""
+    import os
+
+    a = _mk(spark, tmp_root, "a")
+    a.replay(1000)
+    a.run_incremental_snapshot(_src(spark), 0, 1000, chunk_size=50)
+
+    b = _mk(spark, tmp_root, "b")
+    b.replay(1000)
+    res = b.run_incremental_snapshot(_src(spark), 0, 1000, chunk_size=50,
+                                     chunk_mode="range")
+    assert res["done"] is True and res["rows"] == 200
+    assert res["chunks"] == 4  # ceil(200/50) staged range partitions
+    assert _state(a.table) == _state(b.table)
+    stage = os.path.join(b.table.meta_dir, "backfill_stage_0_1000")
+    assert not os.path.exists(stage)
+
+
+def test_range_backfill_kill_and_resume(spark, tmp_root):
+    """A killed range backfill resumes at the checkpointed chunk_idx using
+    the staged dirs — it does not re-stage and does not start at chunk 0."""
+    import os
+
+    eng = _mk(spark, tmp_root)
+    eng.replay(1000)
+    src = _src(spark)
+    res1 = eng.run_incremental_snapshot(src, 0, 1000, chunk_size=50,
+                                        max_chunks=2, chunk_mode="range")
+    assert res1["done"] is False and res1["chunks"] == 2
+    prog = eng.table.manifest().summary["incr_snapshot"]
+    assert prog["mode"] == "range" and prog["chunk_idx"] == 2
+    stage = os.path.join(eng.table.meta_dir, "backfill_stage_0_1000")
+    marker_before = os.path.getmtime(
+        os.path.join(stage, "_BACKFILL_STAGED.json"))
+
+    eng2 = CdcEngine(spark, LakeTable.load(spark, tmp_root, "t"),
+                     EngineConfig(batch_size=1000, n_keys=40, n_parts=4,
+                                  seed=3))
+    res2 = eng2.run_incremental_snapshot(src, 0, 1000, chunk_size=50,
+                                         chunk_mode="range")
+    assert res2["resumed_from"] == 2 and res2["done"] is True
+    # the resume reused the existing stage (marker untouched) before the
+    # completed backfill deleted it
+    assert not os.path.exists(stage)
+    assert res1["rows"] + res2["rows"] == 200
+    assert marker_before is not None
+
+    # one-shot oracle: same source, same window, no chunking
+    clean = _mk(spark, tmp_root, "clean")
+    clean.replay(1000)
+    clean.run_incremental_snapshot(src, 0, 1000)
+    assert _state(eng2.table) == _state(clean.table)
+
+
+def test_range_chunk_read_is_partition_pruned(spark, tmp_root):
+    """Each per-chunk read must prune to ONE staged partition dir — the
+    whole point of range staging is that chunk N never rescans the rest."""
+    import os
+
+    from sparkcdc.snapshot import stage_range_chunks
+
+    stage = os.path.join(tmp_root, "stage")
+    n_chunks = stage_range_chunks(_src(spark, n=200), KEY, 50, stage)
+    assert n_chunks == 4
+    staged = spark.read.parquet(stage)
+    one = staged.filter(F.col("__chunk") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "(__chunk" in plan  # pruning on the partition column
+    # pruned scan reads a single chunk's rows, and chunk ranges are
+    # disjoint + ordered: max(path) of chunk i < min(path) of chunk i+1
+    lo_hi = (
+        staged.groupBy("__chunk")
+        .agg(F.min("path").alias("lo"), F.max("path").alias("hi"))
+        .orderBy("__chunk").collect()
+    )
+    assert sum(1 for _ in lo_hi) == 4
+    for prev, cur in zip(lo_hi, lo_hi[1:]):
+        assert prev["hi"] < cur["lo"]
+
+
+def test_composite_keyset_predicate_pushes_down(spark, tmp_root):
+    """Composite (repo, path) keyset predicates must reach the parquet
+    scan: the row-value-constructor comparison is expanded into
+    Or/And/EqualTo terms instead of an opaque struct comparison."""
+    import os
+
+    from sparkcdc.snapshot import chunk_query
+
+    path = os.path.join(tmp_root, "src_parquet")
+    _src(spark, n=100).write.parquet(path)
+    src = spark.read.parquet(path)
+    q = chunk_query(src, ["repo", "path"], ("org/backfill", "src/f_0049.py"), 20)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThan(repo,org/backfill)" in pushed
+    assert "EqualTo(repo,org/backfill)" in pushed
+    assert "GreaterThan(path,src/f_0049.py)" in pushed
+    assert q.count() == 20
