@@ -120,6 +120,35 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_cdc_lww_reduce(spark, sf_dir).filter(F.col("_op") != "d").drop("_op")
 
 
+def q_cdc_wal2json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 Postgres WAL wire format: events → deterministic wal2json v2
+    lines (the synthetic WAL-decoder output) → pure-Catalyst parse back
+    into envelopes (from_json + map_from_entries, zero UDFs) → per-key
+    LWW reduce. Offsets are pg LSNs ((hi<<32)|lo decoded from 'X/Y'
+    text), so last_lsn proves the lsn codec roundtrips through the JSON
+    wire. Must equal the LWW oracle computed straight from events."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.sources.wal2json import (
+        events_to_wal2json_lines,
+        wal2json_to_envelopes,
+    )
+
+    lines = events_to_wal2json_lines(_t(spark, sf_dir, "events"))
+    env = wal2json_to_envelopes(
+        lines, EVENT_ROW_FIELDS, ["user_id"], table="events"
+    )
+    ch = apply_mod.envelopes_to_changes(env, EVENT_ROW_COLS)
+    red = apply_mod.reduce_last_write_wins(ch, ["user_id"])
+    return red.select(
+        "user_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        "props",
+        "_op",
+        F.col("offset").alias("last_lsn"),
+    )
+
+
 def q_cdc_extract_new_record_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 ExtractNewRecordState, rewrite mode + add.fields."""
     env = _env(spark, sf_dir)
@@ -540,6 +569,54 @@ def q_cdc_chunked_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_range_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 chunked backfill, ``chunk_mode='range'``: the Spark-first chunk
+    planner for UNSORTED sources — ONE repartitionByRange staging pass
+    (Spark's RangePartitioner IS the chunk planner), then per-chunk
+    partition-pruned commits, vs the reference's keyset pagination
+    (AbstractChunkQueryBuilder.java:48-170) which assumes a key-clustered
+    source. Same kill-after-2-chunks + fresh-engine resume protocol as
+    cdc_chunked_backfill, dedup window [2000, 8000); the resume must reuse
+    the staged dirs (resumed_from = the checkpointed chunk_idx) and the
+    final state must equal the one-shot backfill semantics."""
+    from sparkcdc.engine import CdcEngine
+    from sparkcdc.lake import LakeTable as LT
+
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_rangebf_")
+    t = LakeTable.create(
+        spark, root, "t",
+        fields=[("user_id", "long"), ("name", "string")],
+        key_cols=["user_id"], n_buckets=8,
+    )
+    cfg = EngineConfig(n_parts=8)
+    eng = CdcEngine(spark, t, cfg)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("name")
+    )
+    window = _env(spark, sf_dir).filter(
+        (F.col("offset") >= 2000) & (F.col("offset") < 8000)
+    )
+    # 5 chunks at ANY sf so the max_chunks=2 kill always lands mid-backfill
+    chunk = max(1, cust.count() // 5)
+    partial = eng.run_incremental_snapshot(
+        cust, 2000, 8000, stream_window=window,
+        chunk_size=chunk, max_chunks=2, chunk_mode="range",
+    )
+    eng2 = CdcEngine(spark, LT.load(spark, root, "t"), cfg)
+    finish = eng2.run_incremental_snapshot(
+        cust, 2000, 8000, stream_window=window, chunk_size=chunk,
+        chunk_mode="range",
+    )
+    resumed_mid = (
+        not partial["done"] and finish["resumed_from"] is not None
+    )
+    return eng2.table.read().select(
+        "user_id", "name",
+        F.lit(bool(resumed_mid)).alias("resumed_mid_backfill"),
+        F.lit(bool(finish["done"])).alias("backfill_completed"),
+    )
+
+
 def q_cdc_blocking_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13+S4 blocking snapshot via the signal control plane
     (ExecuteSnapshot.java:82 type=BLOCKING + AdditionalCondition.java:24):
@@ -905,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_read": q_cdc_snapshot_read,
         "cdc_lww_reduce": q_cdc_lww_reduce,
         "cdc_final_state": q_cdc_final_state,
+        "cdc_wal2json_replay": q_cdc_wal2json_replay,
         "cdc_extract_new_record_state": q_cdc_extract_new_record_state,
         "cdc_extract_changed_state": q_cdc_extract_changed_state,
         "cdc_tombstones": q_cdc_tombstones,
@@ -939,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_protobuf_roundtrip": q_cdc_envelope_protobuf_roundtrip,
         "cdc_envelope_cloudevents_roundtrip": q_cdc_envelope_cloudevents_roundtrip,
         "cdc_chunked_backfill": q_cdc_chunked_backfill,
+        "cdc_range_backfill": q_cdc_range_backfill,
         "cdc_blocking_snapshot": q_cdc_blocking_snapshot,
         "text_stats": q_text_stats,
         "mm_decode_meta": q_mm_decode_meta,
@@ -1042,6 +1121,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents,
                    CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
                    CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op
+            FROM last WHERE rn = 1
+        """,
+        "cdc_wal2json_replay": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id,
+                   CASE WHEN event_type='error' THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents,
+                   CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
+                   CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op,
+                   event_id AS last_lsn
             FROM last WHERE rn = 1
         """,
         "cdc_final_state": """
@@ -1431,6 +1524,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (
               SELECT user_id FROM events
               WHERE event_id >= 5000 AND event_id < 10000)
+        """,
+        "cdc_range_backfill": """
+            SELECT c_custkey AS user_id, c_name AS name,
+                   true AS resumed_mid_backfill,
+                   true AS backfill_completed
+            FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT user_id FROM events
+              WHERE event_id >= 2000 AND event_id < 8000)
         """,
         "cdc_blocking_snapshot": """
             SELECT c_custkey AS user_id, c_name AS name,
