@@ -142,6 +142,15 @@ class EngineConfig:
     #: retries flushes with backoff). 0 = fail fast.
     commit_retries: int = 3
     commit_retry_backoff_sec: float = 0.05
+    #: skipped.operations analog (CommonConnectorConfig — comma list of
+    #: envelope ops to drop before transforms: any of c,u,d,t; "none"
+    #: disables). The reference DEFAULTS to "t" (truncates not emitted);
+    #: here the default is "none" because the sink implements truncate
+    #: replay (K4) and dropping truncates silently would change existing
+    #: pipelines' semantics — opt in with "t" to match the reference's
+    #: default posture. Ops are dropped pre-transform, exactly where the
+    #: connector-side filter sits (before SMTs see the stream).
+    skipped_operations: str = "none"
     #: "auto" | "on" — AQE policy while executing the merge. The fat and
     #: refetch replay plans contain NO join (partial agg → one exchange →
     #: write), so AQE's per-stage materialization + driver re-planning is
@@ -1094,6 +1103,15 @@ class CdcEngine:
                 "version": self.table.current_version(),
                 "skipped": True, "reason": "fenced", "wall_sec": 0.0,
             }
+        skips = [
+            s.strip() for s in self.cfg.skipped_operations.split(",")
+            if s.strip() and s.strip() != "none"
+        ]
+        if skips:
+            bad = set(skips) - {"c", "u", "d", "t"}
+            if bad:
+                raise ValueError(f"skipped_operations: unknown ops {bad}")
+            env = env.filter(~F.col("op").isin(skips))
         for tf in self.cfg.transforms:
             env = tf(env)
         # the DLQ/truncate/tx probes below would each re-evaluate the whole

@@ -135,3 +135,32 @@ def test_replayed_batch_is_noop(spark, tmp_root):
     res = eng._apply_batch(env, batch_id=2, kind="replay", offsets={"lo": 1000, "next": 2000})
     assert res["skipped"] is True
     assert eng.table.current_version() == v
+
+
+def test_skipped_operations_drops_ops_pre_transform(spark, tmp_root):
+    """skipped.operations analog: ops in the list never reach the sink —
+    skipping 'd' leaves deleted keys' last upsert state in place (the
+    pandas oracle replayed over the d-filtered stream agrees)."""
+    cfg = EngineConfig(
+        batch_size=2500, n_keys=150, seed=7, skipped_operations="d"
+    )
+    eng = default_engine(spark, tmp_root, config=cfg, n_buckets=8)
+    eng.replay(5000)
+    final = eng.table.read().toPandas()
+
+    env_pdf = cdc_events(
+        spark, 5000, n_keys=cfg.n_keys, n_parts=cfg.n_parts, seed=cfg.seed
+    ).toPandas()
+    oracle = pandas_oracle(env_pdf[env_pdf["op"] != "d"])
+    assert state_hashes(final) == state_hashes(oracle)
+    # with deletes skipped, strictly more keys survive than with them applied
+    assert len(final) >= len(pandas_oracle(env_pdf))
+
+
+def test_skipped_operations_rejects_unknown(spark, tmp_root):
+    import pytest
+
+    cfg = EngineConfig(batch_size=1000, n_keys=20, skipped_operations="d,x")
+    eng = default_engine(spark, tmp_root, config=cfg, n_buckets=8)
+    with pytest.raises(ValueError, match="unknown ops"):
+        eng.replay(1000)
