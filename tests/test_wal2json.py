@@ -145,3 +145,50 @@ def test_parse_plan_is_single_stage_no_shuffle(spark, events_df):
     plan = env._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_wal2json_file_stream_matches_batch_apply(spark, tmp_path, events_df):
+    """S6 end-to-end streaming: wal2json lines on disk → readStream.text →
+    pure-Catalyst parse → the engine's streaming reduce→MERGE path. Final
+    lake state must equal a one-shot batch apply of the same envelopes.
+    (The replication-slot swap is the readStream source line only.)"""
+    import os
+
+    from sparkcdc.engine import CdcEngine, EngineConfig
+    from sparkcdc.lake import LakeTable
+    from sparkcdc.streaming import start_stream
+
+    fields = [
+        ("user_id", "long"), ("event_type", "string"),
+        ("value", "double"), ("props", "string"),
+    ]
+    wire_dir = os.path.join(str(tmp_path), "wal")
+    events_to_wal2json_lines(events_df).write.mode("overwrite").text(wire_dir)
+
+    def mk(name):
+        t = LakeTable.create(
+            spark, os.path.join(str(tmp_path), name), "t",
+            fields=fields, key_cols=["user_id"], n_buckets=4,
+        )
+        return CdcEngine(spark, t, EngineConfig(n_parts=4))
+
+    eng = mk("lake_stream")
+    raw = spark.readStream.text(wire_dir)
+    env_stream = wal2json_to_envelopes(
+        raw, EVENT_ROW_FIELDS, ["user_id"], table="events"
+    )
+    q = start_stream(eng, env_stream, available_now=True)
+    q.awaitTermination(120)
+
+    eng2 = mk("lake_batch")
+    env = wal2json_to_envelopes(
+        events_to_wal2json_lines(events_df),
+        EVENT_ROW_FIELDS, ["user_id"], table="events",
+    )
+    eng2._apply_batch(env, batch_id=1, kind="replay", offsets=None, mode="mor")
+
+    def state(t):
+        return sorted(tuple(r) for r in t.read().collect())
+
+    assert state(eng.table) == state(eng2.table)
+    assert len(state(eng.table)) > 0
