@@ -291,3 +291,45 @@ def apply_ddl(table, sql: str) -> list[TableChange]:
         if tc.type == "ALTER" and tc.changes:
             table.evolve(tc.changes)
     return parsed
+
+
+def raw_column_types(sql: str, table: str | None = None) -> dict[str, dict]:
+    """Extract each column's ORIGINAL database type (name, length, scale)
+    from a CREATE TABLE statement, for ``column.propagate.source.type``
+    propagation (the reference reads these off JDBC/parsed-DDL column
+    metadata — Column.typeName()/length()/scale() — before they are
+    normalized to connect types; here :func:`map_type` is the normalizer,
+    so the raw spelling must be captured separately).
+
+    Returns ``{column: {"type": "VARCHAR", "length": 255, "scale": None}}``
+    for the first CREATE addressing ``table`` (any CREATE when ``table`` is
+    None). Statements that are not CREATEs are skipped; an absent table
+    yields ``{}``.
+    """
+    for stmt in _split_top_level(sql, ";"):
+        stmt = re.sub(r"\s+", " ", stmt.strip())
+        m = re.match(
+            r"create\s+table\s+(if\s+not\s+exists\s+)?([`\"\w.]+)\s*\((.*)\)[^)]*$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            continue
+        name = _ident(m.group(2))
+        if table is not None and name.split(".")[-1] != table.split(".")[-1]:
+            continue
+        out: dict[str, dict] = {}
+        for item in _split_top_level(m.group(3)):
+            item = item.strip()
+            if item.lower().startswith("primary key") or _CONSTRAINT_ITEM.match(item):
+                continue
+            cm = re.match(r"[`\"]?(\w+)[`\"]?\s+(\w+)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?", item)
+            if not cm:
+                continue
+            col, typ, length, scale = cm.groups()
+            out[col] = {
+                "type": typ.upper(),
+                "length": int(length) if length is not None else None,
+                "scale": int(scale) if scale is not None else None,
+            }
+        return out
+    return {}

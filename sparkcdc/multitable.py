@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .engine import CdcEngine, EngineConfig
 from .lake import LakeTable
+from .sinkconfig import resolve_message_key
 
 
 class MultiTableEngine:
@@ -42,10 +43,30 @@ class MultiTableEngine:
         config: EngineConfig | None = None,
         include: list[str] | None = None,
         exclude: list[str] | None = None,
+        message_key_columns: str | None = None,
     ):
         self.spark = spark
         self.include = include
         self.exclude = exclude
+        if message_key_columns is not None:
+            # message.key.columns (Key.java CustomKeyMapper): the record key
+            # IS the sink table's merge key here, so an override must agree
+            # with the key the table was created with — validated fail-fast
+            # like the reference's Field validators, instead of silently
+            # merging on a different key than the one the user configured.
+            for name, t in tables.items():
+                if not self.captures(name):
+                    continue
+                want = resolve_message_key(
+                    name, message_key_columns, t.manifest().key_cols
+                )
+                have = t.manifest().key_cols
+                if want != have:
+                    raise ValueError(
+                        f"message.key.columns resolves {name!r} to key {want} "
+                        f"but its sink table is keyed {have}; create the "
+                        f"table with key_cols={want} (see resolve_message_key)"
+                    )
         self.engines: dict[str, CdcEngine] = {
             name: CdcEngine(spark, t, self._cfg_for(name, config))
             for name, t in tables.items()

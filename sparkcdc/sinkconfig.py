@@ -71,3 +71,50 @@ def validate_insert_mode(insert_mode: str, key_cols: list[str]) -> None:
             f"insert.mode={insert_mode} requires key columns "
             "(primary.key.mode=none is insert-only)"
         )
+
+
+# -- message.key.columns: per-table record-key override -----------------------
+
+def message_key_overrides(spec: str) -> list[tuple["re.Pattern", list[str]]]:
+    """Parse the ``message.key.columns`` spec
+    (core/relational/Key.java CustomKeyMapper, configured at
+    RelationalDatabaseConnectorConfig.MSG_KEY_COLUMNS):
+    ``"<table-regex>:<col>,<col>;<table-regex>:<col>"`` — each regex is
+    matched (entire identifier) against the fully-qualified table name; the
+    FIRST matching entry supplies the record-key columns for that table,
+    overriding the table's primary key."""
+    import re
+
+    out: list[tuple[re.Pattern, list[str]]] = []
+    for entry in spec.split(";"):
+        entry = entry.strip()
+        if not entry:
+            continue
+        pattern, sep, cols = entry.rpartition(":")
+        if not sep or not pattern:
+            raise ValueError(
+                f"message.key.columns entry {entry!r} is not <regex>:<columns>"
+            )
+        col_list = [c.strip() for c in cols.split(",") if c.strip()]
+        if not col_list:
+            raise ValueError(f"message.key.columns entry {entry!r} has no columns")
+        out.append((re.compile(pattern), col_list))
+    return out
+
+
+def resolve_message_key(
+    qualified_table: str,
+    overrides: "str | list[tuple[re.Pattern, list[str]]] | None",
+    default: list[str],
+) -> list[str]:
+    """The effective record-key columns for one captured table: the first
+    matching ``message.key.columns`` entry, else the table's own key
+    (CustomKeyMapper.getKeyMapper falls back to the PK-based mapper)."""
+    if overrides is None:
+        return list(default)
+    if isinstance(overrides, str):
+        overrides = message_key_overrides(overrides)
+    for pattern, cols in overrides:
+        if pattern.fullmatch(qualified_table):
+            return list(cols)
+    return list(default)

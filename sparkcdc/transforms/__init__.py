@@ -33,6 +33,7 @@ from .routing import (
 from .columns import (
     header_to_value,
     mask_strings,
+    propagate_source_column_type,
     timezone_converter,
     truncate_columns,
 )
@@ -73,6 +74,7 @@ TRANSFORMS = {
     "IncludeExcludeColumns": include_exclude_columns,
     "DropTombstones": drop_tombstones,
     "ReselectColumns": reselect_columns,
+    "PropagateSourceColumnType": propagate_source_column_type,
 }
 
 def build_chain(specs: list[dict]):

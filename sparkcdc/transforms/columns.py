@@ -130,3 +130,79 @@ def truncate_columns(columns: dict[str, int]):
         return out
 
     return _apply
+
+
+#: schema-parameter keys the reference attaches when
+#: ``column.propagate.source.type`` matches a column
+#: (core/relational/TableSchemaBuilder.java: PropagateSourceTypeToSchemaParameter —
+#: "__debezium.source.column.type" / ".length" / ".scale")
+TYPE_PARAM = "__debezium.source.column.type"
+LENGTH_PARAM = "__debezium.source.column.length"
+SCALE_PARAM = "__debezium.source.column.scale"
+
+
+def propagate_source_column_type(
+    patterns: list[str],
+    catalog: dict[str, dict],
+    table: str = "",
+):
+    """``column.propagate.source.type`` (RelationalDatabaseConnectorConfig:
+    propagate the captured column's ORIGINAL database type name, length and
+    scale into the emitted schema, as ``__debezium.source.column.*``
+    parameters, for columns whose fully-qualified name matches a regex).
+
+    Kafka-Connect schema parameters map 1:1 onto Spark ``StructField``
+    metadata, so the propagation is plan-free: matched columns are
+    re-aliased with ``alias(name, metadata=...)`` — zero row work, and the
+    metadata survives parquet/DataFrame round-trips (verified in tests).
+
+    ``catalog``: column name → ``{"type": "VARCHAR", "length": 255,
+    "scale": None}`` (see :func:`sparkcdc.ddl.raw_column_types` for building
+    one from captured CREATE statements). ``patterns`` are regexes matched
+    (entire-identifier, Predicates.java semantics) against
+    ``<table>.<column>`` when ``table`` is given, else the bare column name.
+    """
+    import re
+
+    def _metadata(col_name: str) -> dict | None:
+        qualified = f"{table}.{col_name}" if table else col_name
+        if not any(re.fullmatch(p, qualified) for p in patterns):
+            return None
+        info = catalog.get(col_name)
+        if info is None:
+            return None
+        md = {TYPE_PARAM: str(info["type"]).upper()}
+        if info.get("length") is not None:
+            md[LENGTH_PARAM] = int(info["length"])
+        if info.get("scale") is not None:
+            md[SCALE_PARAM] = int(info["scale"])
+        return md
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df
+        for c in df.columns:
+            if c in ("before", "after"):
+                continue
+            md = _metadata(c)
+            if md is not None:
+                out = out.withColumn(c, F.col(c).alias(c, metadata=md))
+        if "after" in df.columns and hasattr(df.schema["after"].dataType, "fields"):
+            st = df.schema["after"].dataType
+            per_field = {f.name: _metadata(f.name) for f in st.fields}
+            if any(md is not None for md in per_field.values()):
+                for side in ("before", "after"):
+                    cols = [
+                        F.col(f"{side}.{f.name}").alias(
+                            f.name, metadata=per_field[f.name] or {}
+                        )
+                        for f in st.fields
+                    ]
+                    out = out.withColumn(
+                        side,
+                        F.when(F.col(side).isNotNull(), F.struct(*cols)).alias(
+                            side
+                        ),
+                    )
+        return out
+
+    return _apply

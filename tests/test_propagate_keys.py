@@ -1,0 +1,127 @@
+"""Tests: column.propagate.source.type (schema-parameter propagation as
+StructField metadata) and message.key.columns (per-table record-key
+override, Key.java CustomKeyMapper semantics)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from sparkcdc.ddl import raw_column_types
+from sparkcdc.lake import LakeTable
+from sparkcdc.multitable import MultiTableEngine
+from sparkcdc.sinkconfig import message_key_overrides, resolve_message_key
+from sparkcdc.transforms import propagate_source_column_type
+from sparkcdc.transforms.columns import LENGTH_PARAM, SCALE_PARAM, TYPE_PARAM
+
+ROW = T.StructType([
+    T.StructField("id", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+])
+ENV = T.StructType([
+    T.StructField("op", T.StringType()),
+    T.StructField("before", ROW),
+    T.StructField("after", ROW),
+    T.StructField("offset", T.LongType()),
+])
+
+CREATE = (
+    "SET foreign_key_checks=0; "
+    "CREATE TABLE db.customers ("
+    "  id bigint primary key, name varchar(255) not null,"
+    "  amt decimal(10,2), checksum text, KEY idx_name (name))"
+)
+
+
+# ---- raw_column_types ------------------------------------------------------
+
+def test_raw_column_types_parses_name_length_scale():
+    cat = raw_column_types(CREATE, "customers")
+    assert cat["id"] == {"type": "BIGINT", "length": None, "scale": None}
+    assert cat["name"] == {"type": "VARCHAR", "length": 255, "scale": None}
+    assert cat["amt"] == {"type": "DECIMAL", "length": 10, "scale": 2}
+    assert cat["checksum"]["type"] == "TEXT"  # keyword-prefixed name kept
+    assert "idx_name" not in cat  # index item skipped
+
+
+def test_raw_column_types_other_table_yields_empty():
+    assert raw_column_types(CREATE, "orders") == {}
+
+
+# ---- column.propagate.source.type -----------------------------------------
+
+def test_propagate_source_type_sets_struct_metadata(spark):
+    df = spark.createDataFrame(
+        [("c", None, (1, "alice"), 1), ("u", (1, "alice"), (1, "bob"), 2)], ENV
+    )
+    cat = raw_column_types(CREATE, "customers")
+    t = propagate_source_column_type(
+        [r"db\.customers\.name"], cat, table="db.customers"
+    )
+    out = t(df)
+    meta = out.schema["after"].dataType["name"].metadata
+    assert meta[TYPE_PARAM] == "VARCHAR"
+    assert meta[LENGTH_PARAM] == 255
+    assert SCALE_PARAM not in meta
+    # before side carries the same parameters; unmatched columns none
+    assert out.schema["before"].dataType["name"].metadata[TYPE_PARAM] == "VARCHAR"
+    assert out.schema["after"].dataType["id"].metadata == {}
+    # row values untouched (null before preserved)
+    rows = {r.offset: r for r in out.collect()}
+    assert rows[1].before is None and rows[1].after.name == "alice"
+    assert rows[2].after.name == "bob"
+
+
+def test_propagate_source_type_flat_frame_and_parquet_roundtrip(spark, tmp_path):
+    flat = spark.createDataFrame([(1, "a", 2.5)], "id int, name string, amt double")
+    cat = raw_column_types(CREATE, "customers")
+    out = propagate_source_column_type([r"name", r"amt"], cat)(flat)
+    assert out.schema["name"].metadata[TYPE_PARAM] == "VARCHAR"
+    assert out.schema["amt"].metadata[SCALE_PARAM] == 2
+    assert out.schema["id"].metadata == {}
+    p = str(tmp_path / "prop")
+    out.write.parquet(p)
+    back = spark.read.parquet(p)
+    assert back.schema["name"].metadata[TYPE_PARAM] == "VARCHAR"
+
+
+def test_propagate_no_match_is_identity_plan(spark):
+    df = spark.createDataFrame([("c", None, (1, "a"), 1)], ENV)
+    out = propagate_source_column_type([r"nothing\.matches"], {}, table="db.t")(df)
+    assert out.schema == df.schema
+
+
+# ---- message.key.columns ---------------------------------------------------
+
+def test_message_key_overrides_first_match_wins():
+    spec = r"(.*)\.purchaseorders:order_id,po;inventory\.customers:cid"
+    assert resolve_message_key("inventory.purchaseorders", spec, ["pk"]) == [
+        "order_id", "po",
+    ]
+    assert resolve_message_key("inventory.customers", spec, ["pk"]) == ["cid"]
+    assert resolve_message_key("inventory.other", spec, ["pk"]) == ["pk"]
+    assert resolve_message_key("inventory.other", None, ["pk"]) == ["pk"]
+
+
+def test_message_key_overrides_rejects_malformed():
+    with pytest.raises(ValueError):
+        message_key_overrides("no-colon-entry")
+    with pytest.raises(ValueError):
+        message_key_overrides("tbl:")
+
+
+def test_multitable_validates_message_key_against_sink(spark, tmp_root):
+    fields = [("repo", "string"), ("path", "string"), ("content", "string")]
+    tables = {
+        "code.repos_a": LakeTable.create(
+            spark, tmp_root, "repos_a", fields=fields,
+            key_cols=["repo", "path"], n_buckets=2,
+        )
+    }
+    # agreeing override: accepted
+    MultiTableEngine(
+        spark, tables, message_key_columns=r"code\.repos_a:repo,path"
+    )
+    # conflicting override: fail-fast, names both keys
+    with pytest.raises(ValueError, match="repo"):
+        MultiTableEngine(
+            spark, tables, message_key_columns=r"code\.repos_a:content"
+        )
