@@ -110,9 +110,42 @@ def _avro_field_type(spark_type: T.DataType) -> str:
     }[spark_type]
 
 
-def envelope_avro_schema(row_fields: list[tuple[str, T.DataType]]) -> str:
+def adjust_avro_name(name: str, mode: str = "avro") -> str:
+    """``schema.name.adjustment.mode`` (schema/SchemaNameAdjuster.java):
+    Avro names must match ``[A-Za-z_][A-Za-z0-9_]*``, but captured table
+    and column identifiers may not (dots, dashes, unicode). ``avro``
+    replaces each invalid character with ``_``; ``avro_unicode`` replaces
+    it with the reversible ``_uXXXX`` escape (and escapes literal ``_`` so
+    the mapping stays injective); ``none`` passes through unchanged."""
+    if mode == "none":
+        return name
+    if mode not in ("avro", "avro_unicode"):
+        raise ValueError(f"unknown schema.name.adjustment.mode {mode!r}")
+    out = []
+    for i, ch in enumerate(name):
+        valid = ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ch == "_" or (
+            i > 0 and "0" <= ch <= "9"
+        )
+        if ch == "_" and mode == "avro_unicode":
+            out.append("_u005f")
+        elif valid:
+            out.append(ch)
+        elif mode == "avro":
+            out.append("_")
+        else:
+            out.append(f"_u{ord(ch):04x}")
+    adjusted = "".join(out)
+    return adjusted or "_"
+
+
+def envelope_avro_schema(
+    row_fields: list[tuple[str, T.DataType]],
+    name_adjustment_mode: str = "none",
+) -> str:
     """The writer schema as standard Avro schema JSON (what a schema
-    registry would hold for this subject)."""
+    registry would hold for this subject). ``name_adjustment_mode``
+    sanitizes row-field names per :func:`adjust_avro_name` (the envelope's
+    own field names are already valid)."""
     def rec(name, fields):
         return {
             "type": "record", "name": name,
@@ -122,7 +155,10 @@ def envelope_avro_schema(row_fields: list[tuple[str, T.DataType]]) -> str:
             ],
         }
 
-    row = [(n, _avro_field_type(t)) for n, t in row_fields]
+    row = [
+        (adjust_avro_name(n, name_adjustment_mode), _avro_field_type(t))
+        for n, t in row_fields
+    ]
     src = rec("Source", _SOURCE_FIELDS)
     schema = {
         "type": "record", "name": "Envelope",

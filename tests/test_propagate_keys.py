@@ -125,3 +125,37 @@ def test_multitable_validates_message_key_against_sink(spark, tmp_root):
         MultiTableEngine(
             spark, tables, message_key_columns=r"code\.repos_a:content"
         )
+
+
+# ---- schema.name.adjustment.mode ------------------------------------------
+
+def test_adjust_avro_name_modes():
+    from sparkcdc.transforms.avro import adjust_avro_name
+
+    assert adjust_avro_name("valid_name1", "avro") == "valid_name1"
+    assert adjust_avro_name("order-total.usd", "avro") == "order_total_usd"
+    assert adjust_avro_name("1starts_digit", "avro") == "_starts_digit"
+    assert adjust_avro_name("a-b", "avro_unicode") == "a_u002db"
+    # underscore escaped in unicode mode so the mapping is injective
+    assert adjust_avro_name("a_b", "avro_unicode") == "a_u005fb"
+    assert adjust_avro_name("a-b", "none") == "a-b"
+    with pytest.raises(ValueError):
+        adjust_avro_name("x", "bogus")
+
+
+def test_avro_schema_name_adjustment():
+    import json
+
+    from pyspark.sql import types as T
+
+    from sparkcdc.transforms.avro import envelope_avro_schema
+
+    fields = [("total-usd", T.DoubleType()), ("name", T.StringType())]
+    s = json.loads(envelope_avro_schema(fields, name_adjustment_mode="avro"))
+    before = next(f for f in s["fields"] if f["name"] == "before")
+    names = [f["name"] for f in before["type"][1]["fields"]]
+    assert names == ["total_usd", "name"]
+    # default stays byte-identical to the historical export
+    s2 = json.loads(envelope_avro_schema(fields))
+    before2 = next(f for f in s2["fields"] if f["name"] == "before")
+    assert [f["name"] for f in before2["type"][1]["fields"]] == ["total-usd", "name"]
