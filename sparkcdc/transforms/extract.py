@@ -31,6 +31,7 @@ def extract_new_record_state(
     add_fields: list[str] | None = None,
     drop_fields: list[str] | None = None,
     route_by_field: str | None = None,
+    add_headers: list[str] | None = None,
 ):
     """Envelope -> flat row (``after.*``).
 
@@ -43,10 +44,14 @@ def extract_new_record_state(
       - ``rewrite-with-tombstone``: rewrite rows AND keep tombstones
     add_fields: envelope metadata copied in as ``__``-prefixed columns
       (e.g. ``["op", "ts_ms", "source.file", "source.pos"]``).
+    add_headers: same metadata specs emitted as HEADER columns
+      (``__header_``-prefixed — headers are top-level columns in the
+      DataFrame model, see HeaderToValue), the ``add.headers`` config.
     drop_fields: row fields removed from the output (drop.fields.* configs).
     route_by_field: copies that row field into ``__route`` (route.by.field).
     """
     add_fields = add_fields or []
+    add_headers = add_headers or []
     drop_fields = drop_fields or []
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -88,6 +93,10 @@ def extract_new_record_state(
         extra = [
             _meta_col(df, s).alias(FIELD_PREFIX + s.replace(".", "_"))
             for s in add_fields
+        ]
+        extra += [
+            _meta_col(df, s).alias(FIELD_PREFIX + "header_" + s.replace(".", "_"))
+            for s in add_headers
         ]
         if deleted is not None:
             extra.append(deleted)

@@ -251,3 +251,14 @@ def test_extract_schema_to_new_record(spark):
     assert {f["field"] for f in schema} == {
         "repo", "path", "commit", "lang", "content"}
     assert all(f["type"] == "string" for f in schema)
+
+
+def test_unwrap_add_headers(fixture):
+    t = extract_new_record_state(
+        add_fields=["op"], add_headers=["op", "source.table"]
+    )
+    out = t(fixture)
+    assert "__op" in out.columns
+    assert "__header_op" in out.columns and "__header_source_table" in out.columns
+    r = out.filter(F.col("id") == 1).orderBy("__header_op").first()
+    assert r["__header_source_table"] == "customers"
