@@ -55,7 +55,8 @@ def rate_envelope_stream(
 
 
 def json_envelope_stream(
-    engine: CdcEngine, path: str, row_fields=None
+    engine: CdcEngine, path: str, row_fields=None,
+    failure_handling: str = "keep",
 ) -> DataFrame:
     """Serialized-envelope ingestion: a JSON-lines file stream → vectorized
     ``from_json`` parse → typed envelopes. This is the sandbox stand-in for
@@ -67,7 +68,7 @@ def json_envelope_stream(
     from .transforms.serialize import parse_envelope_json
 
     raw = engine.spark.readStream.text(path)
-    return parse_envelope_json(raw, row_fields)
+    return parse_envelope_json(raw, row_fields, failure_handling=failure_handling)
 
 
 def default_checkpoint_dir(engine: CdcEngine) -> str:

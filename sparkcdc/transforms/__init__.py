@@ -39,6 +39,7 @@ from .columns import (
 )
 from .reselect import reselect_columns
 from .serialize import (
+    corrupt_json_records,
     envelope_to_cloudevents,
     envelope_to_json,
     parse_cloudevents,
@@ -109,6 +110,7 @@ __all__ = list(TRANSFORMS) + [
     "envelope_to_json",
     "envelope_to_cloudevents",
     "parse_cloudevents",
+    "corrupt_json_records",
     "parse_envelope_json",
     "parse_envelope_json_arrow",
     "envelope_avro_schema",

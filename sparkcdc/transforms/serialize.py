@@ -128,11 +128,77 @@ def parse_envelope_json(
     df: DataFrame,
     row_fields: list[tuple[str, T.DataType]] | None = None,
     json_col: str = "value",
+    failure_handling: str = "keep",
 ) -> DataFrame:
     """JSON strings → typed envelope structs via ``from_json`` — fully
-    vectorized JVM parse, the hot ingestion path."""
+    vectorized JVM parse, the hot ingestion path.
+
+    ``failure_handling`` is ``event.processing.failure.handling.mode``
+    (CommonConnectorConfig.EVENT_PROCESSING_FAILURE_HANDLING_MODE) applied
+    at the deserialization boundary — a line ``from_json`` cannot parse is
+    the Kafka-consumer deserialization error of the reference:
+
+    - ``fail``: raise on the first malformed line (reference default) —
+      FAILFAST parse mode, so the batch aborts executor-side with the
+      offending payload in the exception, no driver-side scan;
+    - ``skip``: drop malformed lines (the reference logs-and-skips);
+      pair with :func:`corrupt_json_records` to quarantine them (K8 DLQ);
+    - ``keep``: pass the all-null parse through (caller-side handling —
+      the engine's ``dlq_enabled`` path picks these up as key-less events).
+    """
     schema = envelope_schema(row_fields)
-    return df.select(F.from_json(F.col(json_col), schema).alias("e")).select("e.*")
+    raw = F.col(json_col)
+    if failure_handling == "keep":
+        # PERMISSIVE parse: malformed lines become all-null envelopes
+        parsed = df.select(F.from_json(raw, schema).alias("e"))
+    elif failure_handling == "fail":
+        # FAILFAST aborts the task on the first malformed line, with the
+        # offending payload in the SparkException — no driver-side scan
+        parsed = df.select(
+            F.from_json(raw, schema, {"mode": "FAILFAST"}).alias("e")
+        )
+    elif failure_handling == "skip":
+        tagged = _tagged_corrupt_parse(df, schema, raw)
+        parsed = tagged.filter(F.col("e.__corrupt_record").isNull()).select(
+            F.col("e").dropFields("__corrupt_record").alias("e")
+        )
+    else:
+        raise ValueError(
+            f"unknown event.processing.failure.handling.mode {failure_handling!r}"
+        )
+    return parsed.select("e.*")
+
+
+def _tagged_corrupt_parse(df: DataFrame, schema: T.StructType, raw):
+    """PERMISSIVE parse with ``columnNameOfCorruptRecord`` — malformed lines
+    carry their raw payload in ``e.__corrupt_record``, well-formed lines
+    leave it null (Spark's JSON corrupt-record convention; ``from_json``
+    returns an all-null struct otherwise, so null-field checks can't
+    distinguish corruption from a genuinely null-heavy record)."""
+    tag_schema = T.StructType(
+        list(schema.fields) + [T.StructField("__corrupt_record", T.StringType())]
+    )
+    return df.select(
+        F.from_json(
+            raw, tag_schema, {"columnNameOfCorruptRecord": "__corrupt_record"}
+        ).alias("e")
+    )
+
+
+def corrupt_json_records(
+    df: DataFrame,
+    row_fields: list[tuple[str, T.DataType]] | None = None,
+    json_col: str = "value",
+) -> DataFrame:
+    """The raw lines :func:`parse_envelope_json` cannot parse — the DLQ
+    feed for ``failure_handling='skip'`` pipelines (K8: quarantine carries
+    the original payload, ErrorReporter.report semantics)."""
+    schema = envelope_schema(row_fields)
+    raw = F.col(json_col)
+    tagged = _tagged_corrupt_parse(df, schema, raw)
+    return tagged.filter(F.col("e.__corrupt_record").isNotNull()).select(
+        F.col("e.__corrupt_record").alias("raw")
+    )
 
 
 def parse_envelope_json_arrow(

@@ -204,3 +204,39 @@ def test_engine_reselect_unavailable_columns(spark, tmp_root):
     row = t.read().first()
     assert row["commit"] == "c2"           # updated field applied
     assert row["content"] == "BIG_VALUE"   # marker refilled from state
+
+
+def test_parse_failure_handling_modes(spark):
+    """event.processing.failure.handling.mode at the deserialization
+    boundary: fail raises executor-side, skip drops the line, keep passes
+    the null parse through; corrupt_json_records feeds the DLQ."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from sparkcdc.transforms import corrupt_json_records, parse_envelope_json
+
+    env = cdc_events(spark, 20, n_keys=5)
+    good = envelope_to_json(env)
+    bad = spark.createDataFrame([("{not valid json",)], ["value"])
+    mixed = good.unionByName(bad)
+
+    kept = parse_envelope_json(mixed, failure_handling="keep")
+    assert kept.count() == 21
+    assert kept.filter(F.col("op").isNull() & F.col("offset").isNull()).count() == 1
+
+    skipped = parse_envelope_json(mixed, failure_handling="skip")
+    assert skipped.count() == 20
+    assert skipped.filter(F.col("op").isNull()).count() == 0
+
+    # .collect(), not .count(): count() prunes the parse projection away
+    with pytest.raises(Exception) as ei:
+        parse_envelope_json(mixed, failure_handling="fail").collect()
+    assert "alformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+    # clean input sails through fail mode
+    assert len(parse_envelope_json(good, failure_handling="fail").collect()) == 20
+
+    quarantined = corrupt_json_records(mixed)
+    assert [r.raw for r in quarantined.collect()] == ["{not valid json"]
+
+    with pytest.raises(ValueError):
+        parse_envelope_json(mixed, failure_handling="bogus")
