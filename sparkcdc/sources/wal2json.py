@@ -104,6 +104,7 @@ def wal2json_to_envelopes(
     n_parts: int = 8,
     line_col: str = "value",
     source_name: str = "sparkcdc",
+    failure_handling: str = "skip",
 ) -> DataFrame:
     """Parse wal2json v2 lines into the engine's envelope schema.
 
@@ -116,8 +117,19 @@ def wal2json_to_envelopes(
 
     Works unmodified on a streaming DataFrame (all expressions are
     stateless projections).
+
+    ``failure_handling`` (event.processing.failure.handling.mode at this
+    deserialization boundary): ``skip`` (default) lets unparseable lines
+    fall out with the non-DML actions the ``action`` filter drops; ``fail``
+    parses FAILFAST so the first malformed line aborts the batch —
+    well-formed non-DML lines (B/C/M markers) still pass and are filtered.
     """
-    j = F.from_json(F.col(line_col), WAL2JSON_LINE_SCHEMA).alias("j")
+    if failure_handling not in ("skip", "fail"):
+        raise ValueError(
+            f"unknown event.processing.failure.handling.mode {failure_handling!r}"
+        )
+    opts = {"mode": "FAILFAST"} if failure_handling == "fail" else {}
+    j = F.from_json(F.col(line_col), WAL2JSON_LINE_SCHEMA, opts).alias("j")
     parsed = lines.select(j).select("j.*")
     work = parsed.filter(F.col("action").isin(*_OP))
     if table is not None:

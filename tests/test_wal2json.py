@@ -192,3 +192,30 @@ def test_wal2json_file_stream_matches_batch_apply(spark, tmp_path, events_df):
 
     assert state(eng.table) == state(eng2.table)
     assert len(state(eng.table)) > 0
+
+
+def test_wal2json_failure_handling(spark):
+    mixed = spark.createDataFrame(
+        [(l,) for l in FIXTURES] + [("{truncated wal2json li",)], ["value"]
+    )
+    fields = [("user_id", "long"), ("event_type", "string")]
+    # skip (default): malformed line falls out with the non-DML actions
+    n_default = wal2json_to_envelopes(mixed, fields, ["user_id"]).count()
+    n_clean = wal2json_to_envelopes(
+        spark.createDataFrame([(l,) for l in FIXTURES], ["value"]),
+        fields, ["user_id"],
+    ).count()
+    assert n_default == n_clean
+    # fail: FAILFAST aborts on the malformed line...
+    with pytest.raises(Exception) as ei:
+        wal2json_to_envelopes(
+            mixed, fields, ["user_id"], failure_handling="fail"
+        ).collect()
+    assert "alformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+    # ...but well-formed non-DML lines (B/C markers) pass FAILFAST fine
+    wal2json_to_envelopes(
+        spark.createDataFrame([(l,) for l in FIXTURES], ["value"]),
+        fields, ["user_id"], failure_handling="fail",
+    ).collect()
+    with pytest.raises(ValueError):
+        wal2json_to_envelopes(mixed, fields, ["user_id"], failure_handling="x")
