@@ -809,6 +809,50 @@ def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII audit + redaction: deterministic PII is injected per doc
+    (the synthetic corpus has none), then counted and redacted with chained
+    builtin regexes — pure whole-stage-codegen map stage, no shuffle. The
+    oracle re-runs the same chain in DuckDB's RE2, so a match proves the
+    patterns behave identically across engines."""
+    from sparkcdc.functions.text import pii_counts, pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.lit(" from 10.0."), F.pmod(F.col("doc_id"), F.lit(256)), F.lit(".17"),
+            F.lit(" tel +1555"), (F.pmod(F.col("doc_id"), F.lit(10000)) + 1000000),
+        ).alias("text"),
+    )
+    return salted.select(
+        "doc_id",
+        *pii_counts("text"),
+        F.sha2(pii_redact("text"), 256).alias("redacted_sha"),
+    )
+
+
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents laid end-to-end per shard and cut every
+    2048 tokens (the concatenate-then-chunk step of LLM data prep). One
+    shuffle on the derived shard, a prefix-sum window per shard, exact
+    integer layout arithmetic — the full layout is verified by a SQL
+    window-function oracle."""
+    from sparkcdc.functions.text import bpe_ish_token_count
+    from sparkcdc.pipeline.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_tok")
+    )
+    return pack_sequences(
+        with_tokens, max_tokens=2048, tokens_col="n_tok",
+        id_col="doc_id", n_shards=16,
+    )
+
+
 def q_cdc_envelope_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 serialization: envelope → JSON → vectorized from_json parse; the
     oracle recomputes the projected fields from the raw events, so a match
@@ -1020,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_range_backfill": q_cdc_range_backfill,
         "cdc_blocking_snapshot": q_cdc_blocking_snapshot,
         "text_stats": q_text_stats,
+        "text_pii_redact": q_text_pii_redact,
+        "text_pack_sequences": q_text_pack_sequences,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_frame_sample": q_mm_frame_sample,
     }
@@ -1469,6 +1515,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "text_pii_redact": """
+            WITH salted AS (
+              SELECT doc_id,
+                     concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com', ' from 10.0.',
+                            CAST(doc_id % 256 AS VARCHAR), '.17', ' tel +1555',
+                            CAST(doc_id % 10000 + 1000000 AS VARCHAR)) AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS email_n,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS ipv4_n,
+                   CAST(len(regexp_extract_all(text, '\\+\\d{7,15}')) AS INTEGER) AS phone_n,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
+                     '\\+\\d{7,15}', '[PHONE]', 'g')) AS redacted_sha
+            FROM salted
+        """,
+        "text_pack_sequences": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+                     CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS INTEGER) AS shard
+              FROM documents),
+            lay AS (
+              SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+              FROM tok)
+            SELECT doc_id, shard, n_tokens, tok_offset,
+                   tok_offset // 2048 AS seq_start,
+                   greatest(tok_offset + n_tokens - 1, tok_offset) // 2048 AS seq_end,
+                   tok_offset % 2048 AS off_in_seq
+            FROM lay
         """,
         "cdc_envelope_json_roundtrip": """
             SELECT CASE WHEN event_type='signup' THEN 'c'

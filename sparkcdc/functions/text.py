@@ -142,3 +142,35 @@ def doc_fingerprint(col: Column | str) -> Column:
     """Content fingerprint: sha256 of the normalized text — whitespace/case/
     punctuation-insensitive exact-dup key."""
     return F.sha2(normalized(col), 256)
+
+
+#: PII patterns, ordered — redaction applies them in this order, so a
+#: string matched by an earlier pattern is gone before later ones run
+#: (an email's domain can't then match as a hostname-ish token). Patterns
+#: stay in the RE2-compatible subset (no backrefs/lookaround) and are
+#: alternation-free, so Java-regex (Spark) and RE2 (DuckDB/Go oracles)
+#: produce identical matches.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{7,15}"),  # E.164-ish international form
+]
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace each PII match with its ``[TYPE]`` placeholder — chained
+    builtin ``regexp_replace``, whole-stage codegen, zero Python. The
+    masking-transform idea (MaskStrings, T12) applied corpus-side: a
+    training-data pipeline redacts before the text ever reaches a model."""
+    out = _c(col)
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-type match counts (``<name>_n`` columns), for corpus PII audits."""
+    return [
+        F.regexp_count(_c(col), F.lit(pat)).alias(f"{name}_n")
+        for name, pat in PII_PATTERNS
+    ]

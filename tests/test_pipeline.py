@@ -215,3 +215,53 @@ def test_ivf_refined_recall_on_testdata(spark):
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0 - 0.2  # refinement must not collapse recall
     assert r1 > 0.3
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Packing layout: offsets are a contiguous prefix-sum within each
+    shard, sequences never straddle documents except across max_tokens
+    boundaries, and the whole job shuffles once (the shard exchange)."""
+    from sparkcdc.pipeline.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 900) for i in range(200)] + [(200, 0)],
+        ["doc_id", "n_tok"],
+    )
+    out = pack_sequences(docs, max_tokens=512, tokens_col="n_tok", n_shards=4)
+    rows = sorted(out.collect(), key=lambda r: (r.shard, r.doc_id))
+    # contiguity: each doc starts where the previous one ended
+    by_shard = {}
+    for r in rows:
+        expect = by_shard.get(r.shard, 0)
+        assert r.tok_offset == expect, (r.doc_id, r.tok_offset, expect)
+        by_shard[r.shard] = expect + r.n_tokens
+        assert r.seq_start == r.tok_offset // 512
+        last_tok = max(r.tok_offset + r.n_tokens - 1, r.tok_offset)
+        assert r.seq_end == last_tok // 512
+        assert r.off_in_seq == r.tok_offset % 512
+    # empty doc occupies exactly its start boundary
+    empty = next(r for r in rows if r.doc_id == 200)
+    assert empty.seq_end == empty.seq_start
+    # plan: exactly one Exchange (the shard repartition for the window);
+    # AQE's toString repeats the plan under "== Initial Plan ==", so count
+    # only the final section
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+
+
+def test_pii_redact_and_counts(spark):
+    from sparkcdc.functions.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-1.org or x@y.io from 192.168.0.1 tel +4915512345678"),
+         (2, "clean text, no pii; version 1.2 is not an ip")],
+        ["id", "text"],
+    )
+    out = df.select("id", pii_redact("text").alias("r"), *pii_counts("text"))
+    r1 = next(r for r in out.collect() if r.id == 1)
+    assert r1.r == "mail [EMAIL] or [EMAIL] from [IPV4] tel [PHONE]"
+    assert (r1.email_n, r1.ipv4_n, r1.phone_n) == (2, 1, 1)
+    r2 = next(r for r in out.collect() if r.id == 2)
+    assert r2.r == "clean text, no pii; version 1.2 is not an ip"
+    assert (r2.email_n, r2.ipv4_n, r2.phone_n) == (0, 0, 0)
