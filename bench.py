@@ -109,6 +109,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_simhash",
         "ann_cosine_topk",
         "text_stats",
+        "text_pack_sequences",
+        "text_pii_redact",
         "mm_decode_meta",
     ]
     qs = em.queries()
