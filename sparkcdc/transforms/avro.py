@@ -225,7 +225,8 @@ def _read_record(mv: memoryview, pos: int, fields) -> tuple[dict, int]:
 
 
 def envelope_to_avro(
-    df: DataFrame, row_fields: list[tuple[str, T.DataType]] | None = None
+    df: DataFrame, row_fields: list[tuple[str, T.DataType]] | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Envelope DataFrame → single binary ``value`` column in Avro binary
     encoding (plus passthrough part_id/offset as the Kafka coords would
@@ -236,7 +237,12 @@ def envelope_to_avro(
     explicit null flags distinguish a NULL before/after image from a
     record of NULL fields — the two encode differently (union branch 0 vs
     branch 1 of nulls) and the distinction is semantic (op='c' has no
-    before image at all)."""
+    before image at all).
+
+    ``passthrough``: names of additional STRING columns on ``df`` carried
+    through beside the encoded value (for header/attribute wrappers that
+    need envelope metadata after encoding, e.g. CloudEvents extension
+    attributes)."""
     from ..envelope import REPO_ROW_FIELDS
 
     row_fields = row_fields or REPO_ROW_FIELDS
@@ -284,10 +290,11 @@ def envelope_to_avro(
                 _write_opt(buf, bool(tv) if tv is not None and not pd.isna(tv) else None,
                            _PRIM_WRITERS["boolean"])
                 out.append(bytes(buf))
-            res = pdf[["part_id", "offset"]].copy()
+            res = pdf[["part_id", "offset", *extra]].copy()
             res["value"] = out
             yield res
 
+    extra = list(passthrough or [])
     flat = df.select(
         "op", "ts_ms",
         F.col("before").isNull().alias("b_isnull"),
@@ -296,11 +303,14 @@ def envelope_to_avro(
         *[F.col(f"after.{n}").alias(f"a_{n}") for n, _ in row_fields],
         F.col("source").isNull().alias("s_isnull"),
         *[F.col(f"source.{n}").alias(f"s_{n}") for n, _ in _SOURCE_FIELDS],
-        "part_id", "offset", "tombstone",
+        "part_id", "offset", "tombstone", *extra,
     )
-    return flat.mapInPandas(
-        enc_iter, "part_id int, offset long, value binary"
+    out_schema = ", ".join(
+        ["part_id int", "offset long"]
+        + [f"{n} string" for n in extra]
+        + ["value binary"]
     )
+    return flat.mapInPandas(enc_iter, out_schema)
 
 
 def parse_envelope_avro(

@@ -39,6 +39,22 @@ def envelope_to_json(df: DataFrame, out_col: str = "value") -> DataFrame:
 
 CE_TYPE = "io.debezium.connector.spark.DataChangeEvent"
 
+#: CloudEvents extension attributes (CloudEventsConverter: envelope
+#: metadata re-emitted as ``iodebezium``-prefixed extension attributes;
+#: CE extension values are strings)
+def _ce_extension_cols(df: DataFrame) -> list[tuple[str, F.Column]]:
+    exts = [
+        ("iodebeziumop", F.col("op")),
+        ("iodebeziumtsms", F.col("ts_ms").cast("string")),
+        ("iodebeziumname", F.col("source.name")),
+        ("iodebeziumdb", F.col("source.db")),
+        ("iodebeziumtable", F.col("source.table")),
+        ("iodebeziumsnapshot", F.col("source.snapshot")),
+    ]
+    if "transaction" in df.columns:
+        exts.append(("iodebeziumtxid", F.col("transaction.id")))
+    return exts
+
 
 def envelope_to_cloudevents(
     df: DataFrame,
@@ -57,6 +73,7 @@ def envelope_to_cloudevents(
       ``datacontenttype='application/avro'`` (CloudEvents 1.0 JSON-format
       binary-data rule) — the CloudEvents-with-Avro-payload composition of
       CloudEventsConverter.java:89."""
+    exts = _ce_extension_cols(df)
     if data_format == "json":
         ce = F.struct(
             F.concat_ws(":", F.col("part_id"), F.col("offset")).alias("id"),
@@ -67,19 +84,26 @@ def envelope_to_cloudevents(
                 (F.col("ts_ms") / 1000).cast("timestamp"),
                 "yyyy-MM-dd'T'HH:mm:ss'Z'",
             ).alias("time"),
+            *[c.alias(n) for n, c in exts],
             F.struct(*[F.col(c) for c in df.columns]).alias("data"),
         )
         return df.select(F.to_json(ce).alias(out_col))
     if data_format == "avro":
         from .avro import envelope_to_avro
 
-        wire = envelope_to_avro(df, row_fields)
+        work = df
+        for n, c in exts:
+            work = work.withColumn(n, c)
+        wire = envelope_to_avro(
+            work, row_fields, passthrough=[n for n, _ in exts]
+        )
         ce = F.struct(
             F.concat_ws(":", F.col("part_id"), F.col("offset")).alias("id"),
             F.lit(source_uri).alias("source"),
             F.lit("1.0").alias("specversion"),
             F.lit(CE_TYPE).alias("type"),
             F.lit("application/avro").alias("datacontenttype"),
+            *[F.col(n).alias(n) for n, _ in exts],
             F.base64(F.col("value")).alias("data_base64"),
         )
         return wire.select(F.to_json(ce).alias(out_col))

@@ -240,3 +240,17 @@ def test_parse_failure_handling_modes(spark):
 
     with pytest.raises(ValueError):
         parse_envelope_json(mixed, failure_handling="bogus")
+
+
+def test_cloudevents_extension_attributes(spark):
+    """iodebezium* extension attributes (CloudEventsConverter re-emits
+    envelope metadata as CE extension attributes) on BOTH payload formats."""
+    env = cdc_events(spark, 20, n_keys=5)
+    for fmt in ("json", "avro"):
+        one = json.loads(
+            envelope_to_cloudevents(env, data_format=fmt).first()["value"]
+        )
+        assert one["iodebeziumop"] in ("c", "u", "d")
+        assert one["iodebeziumtable"] == "source_code_repos"
+        assert one["iodebeziumtsms"] == str(one.get("iodebeziumtsms") and int(one["iodebeziumtsms"]))
+        assert "iodebeziumsnapshot" in one
