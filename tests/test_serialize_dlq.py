@@ -254,3 +254,29 @@ def test_cloudevents_extension_attributes(spark):
         assert one["iodebeziumtable"] == "source_code_repos"
         assert one["iodebeziumtsms"] == str(one.get("iodebeziumtsms") and int(one["iodebeziumtsms"]))
         assert "iodebeziumsnapshot" in one
+
+
+def test_table_notification_channel(spark, tmp_root):
+    """Outbound mirror of the table signal channel: lifecycle notifications
+    land in a keyless lake table and read back in order."""
+    from sparkcdc.envelope import cdc_events
+    from sparkcdc.lake import LakeTable
+    from sparkcdc.notifications import TableNotificationChannel
+
+    ntable = LakeTable.create(
+        spark, tmp_root, "_notifications",
+        fields=TableNotificationChannel.FIELDS, key_cols=[], n_buckets=2,
+    )
+    eng = default_engine(
+        spark, os.path.join(tmp_root, "lake"), n_buckets=4,
+        config=EngineConfig(batch_size=500, n_keys=50, snapshot_mode="initial"),
+    )
+    eng.notifications = TableNotificationChannel(spark, ntable)
+    src = cdc_events(spark, 300, n_keys=50).filter("op != 'd'").select(
+        "after.*").dropDuplicates(["repo", "path"])
+    eng.run(500, source_df=src)
+    kinds = [(n["aggregate_type"], n["type"]) for n in eng.notifications.read()]
+    assert ("Initial Snapshot", "STARTED") in kinds
+    assert ("Initial Snapshot", "COMPLETED") in kinds
+    # notifications are plain queryable lake state
+    assert ntable.read().filter(F.col("type") == "COMPLETED").count() >= 1
