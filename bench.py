@@ -206,8 +206,17 @@ def main() -> None:
         import subprocess
 
         strategy = os.environ.get("SPARKCDC_REDUCE_STRATEGY", "fat")
+        # settle time between runs: this VM returns freed pages to the
+        # host, so a JVM started right after the previous one exits spends
+        # its pre-touch INSIDE the host's reclaim window and its heap
+        # faults serially mid-benchmark — measured as the second
+        # back-to-back run at a level running 25-35% slower. Applied
+        # identically before every level, so the comparison stays fair.
+        cooldown = int(os.environ.get("SPARKCDC_BENCH_COOLDOWN", "60"))
         runs: dict[int, list[float]] = {8: [], 32: []}
-        for cores in (8, 32, 32, 8):
+        for i, cores in enumerate((8, 32, 32, 8)):
+            if i and cooldown:
+                time.sleep(cooldown)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-worker", str(cores)],
