@@ -206,13 +206,13 @@ def main() -> None:
         import subprocess
 
         strategy = os.environ.get("SPARKCDC_REDUCE_STRATEGY", "fat")
-        # settle time between runs: this VM returns freed pages to the
-        # host, so a JVM started right after the previous one exits spends
-        # its pre-touch INSIDE the host's reclaim window and its heap
-        # faults serially mid-benchmark — measured as the second
-        # back-to-back run at a level running 25-35% slower. Applied
-        # identically before every level, so the comparison stays fair.
-        cooldown = int(os.environ.get("SPARKCDC_BENCH_COOLDOWN", "60"))
+        # optional settle time between runs (off by default). Hypothesis
+        # tested in r3-10: a 60 s cooldown evened the two same-level runs
+        # (4.40M vs 4.27M at 32c, was 25-35% apart) but did NOT raise the
+        # level's best — the 32c peak tracks external host state, not the
+        # previous JVM's page reclaim — so the default stays 0 and the
+        # best-of-2 keeps sampling variance instead.
+        cooldown = int(os.environ.get("SPARKCDC_BENCH_COOLDOWN", "0"))
         runs: dict[int, list[float]] = {8: [], 32: []}
         for i, cores in enumerate((8, 32, 32, 8)):
             if i and cooldown:

@@ -120,17 +120,34 @@ _CONSTRAINT_ITEM = re.compile(
 )
 
 
-def _parse_create(body: str, table: str) -> TableChange:
-    fields, keys = [], []
+#: one CREATE TABLE matcher, shared by every consumer (parse_ddl and
+#: raw_column_types must accept the same statements or the type catalog
+#: silently diverges from the evolution path)
+_CREATE_RE = re.compile(
+    r"create\s+table\s+(if\s+not\s+exists\s+)?([`\"\w.]+)\s*\((.*)\)[^)]*$",
+    re.I | re.S,
+)
+
+
+def _create_items(body: str):
+    """Yield ``(kind, item)`` per top-level CREATE item: ``'pk'`` for the
+    table-level PRIMARY KEY clause, ``'col'`` for a column definition;
+    index/constraint noise a lake sink ignores is skipped."""
     for item in _split_top_level(body):
         item = item.strip()
-        low = item.lower()
-        if low.startswith("primary key"):
+        if item.lower().startswith("primary key"):
+            yield "pk", item
+        elif not _CONSTRAINT_ITEM.match(item):
+            yield "col", item
+
+
+def _parse_create(body: str, table: str) -> TableChange:
+    fields, keys = [], []
+    for kind, item in _create_items(body):
+        if kind == "pk":
             inner = item[item.find("(") + 1 : item.rfind(")")]
             keys = [_ident(c) for c in inner.split(",")]
             continue
-        if _CONSTRAINT_ITEM.match(item):
-            continue  # index/constraint noise a lake sink ignores
         m = re.match(r"[`\"]?(\w+)[`\"]?\s+(.+)", item, re.S)
         if not m:
             raise UnsupportedDdl(f"unparsable column def: {item!r}")
@@ -202,7 +219,7 @@ def parse_ddl(
         if not stmt:
             continue
         low = stmt.lower()
-        if m := re.match(r"create\s+table\s+(if\s+not\s+exists\s+)?([`\"\w.]+)\s*\((.*)\)[^)]*$", stmt, re.I | re.S):
+        if m := _CREATE_RE.match(stmt):
             out.append(_parse_create(m.group(3), _ident(m.group(2))))
         elif m := re.match(r"alter\s+table\s+([`\"\w.]+)\s+(.*)$", stmt, re.I | re.S):
             table, rest = _ident(m.group(1)), m.group(2)
@@ -308,19 +325,15 @@ def raw_column_types(sql: str, table: str | None = None) -> dict[str, dict]:
     """
     for stmt in _split_top_level(sql, ";"):
         stmt = re.sub(r"\s+", " ", stmt.strip())
-        m = re.match(
-            r"create\s+table\s+(if\s+not\s+exists\s+)?([`\"\w.]+)\s*\((.*)\)[^)]*$",
-            stmt, re.I | re.S,
-        )
+        m = _CREATE_RE.match(stmt)
         if not m:
             continue
         name = _ident(m.group(2))
         if table is not None and name.split(".")[-1] != table.split(".")[-1]:
             continue
         out: dict[str, dict] = {}
-        for item in _split_top_level(m.group(3)):
-            item = item.strip()
-            if item.lower().startswith("primary key") or _CONSTRAINT_ITEM.match(item):
+        for kind, item in _create_items(m.group(3)):
+            if kind != "col":
                 continue
             cm = re.match(r"[`\"]?(\w+)[`\"]?\s+(\w+)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?", item)
             if not cm:

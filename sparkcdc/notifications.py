@@ -15,6 +15,17 @@ import time
 import uuid
 
 
+def _event(aggregate_type: str, type: str, data: dict) -> dict:
+    """The notification payload shape, shared by every channel."""
+    return {
+        "id": uuid.uuid4().hex,
+        "aggregate_type": aggregate_type,
+        "type": type,
+        "data": data,
+        "ts_ms": int(time.time() * 1000),
+    }
+
+
 class NotificationLog:
     def __init__(self, path: str):
         self.path = path
@@ -22,13 +33,7 @@ class NotificationLog:
 
     def notify(self, aggregate_type: str, type: str, **data) -> dict:
         """e.g. notify("Initial Snapshot", "COMPLETED", total_rows=...)."""
-        event = {
-            "id": uuid.uuid4().hex,
-            "aggregate_type": aggregate_type,
-            "type": type,
-            "data": data,
-            "ts_ms": int(time.time() * 1000),
-        }
+        event = _event(aggregate_type, type, data)
         with open(self.path, "a") as fh:
             fh.write(json.dumps(event) + "\n")
         return event
@@ -55,8 +60,8 @@ class TableNotificationChannel:
     """
 
     FIELDS = [
-        ("id", "string"), ("aggregate_type", "string"), ("type", "string"),
-        ("data", "string"), ("ts_ms", "long"),
+        ("seq", "long"), ("id", "string"), ("aggregate_type", "string"),
+        ("type", "string"), ("data", "string"), ("ts_ms", "long"),
     ]
 
     def __init__(self, spark, table):
@@ -64,27 +69,24 @@ class TableNotificationChannel:
         self.table = table
 
     def notify(self, aggregate_type: str, type: str, **data) -> dict:
-        event = {
-            "id": uuid.uuid4().hex,
-            "aggregate_type": aggregate_type,
-            "type": type,
-            "data": data,
-            "ts_ms": int(time.time() * 1000),
-        }
-        row = (event["id"], aggregate_type, type, json.dumps(data),
-               event["ts_ms"])
+        event = _event(aggregate_type, type, data)
         # appends are fenced per (writer, batch_id); the manifest version
         # is strictly increasing per commit, so version+1 is a fresh fence
-        # token even across restarts
+        # token even across restarts — and, stored as ``seq``, the
+        # deterministic emission-order key (ts_ms alone ties within a
+        # millisecond and the random id would shuffle such neighbors)
+        seq = self.table.manifest().version + 1
+        row = (seq, event["id"], event["aggregate_type"], event["type"],
+               json.dumps(event["data"]), event["ts_ms"])
         self.table.append(
             self.spark.createDataFrame([row], [n for n, _ in self.FIELDS]),
-            batch_id=self.table.manifest().version + 1,
+            batch_id=seq,
             writer="notifications",
         )
         return event
 
     def read(self) -> list[dict]:
-        rows = self.table.read().orderBy("ts_ms", "id").collect()
+        rows = self.table.read().orderBy("seq").collect()
         return [
             {
                 "id": r["id"],

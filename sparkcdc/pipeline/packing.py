@@ -48,8 +48,18 @@ def pack_sequences(
         raise ValueError("max_tokens must be positive")
     if shard_col is None:
         shard = F.pmod(stable_hash64(id_col), F.lit(n_shards))
+    elif isinstance(shard_col, str):
+        # a silent cast('int') would turn a non-numeric shard column into
+        # all-NULL shards — the whole corpus in ONE window partition
+        kind = df.schema[shard_col].dataType.typeName()
+        if kind not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"shard_col {shard_col!r} must be an integral column, got "
+                f"{kind}; hash it first (e.g. pmod(xxhash64(col), n))"
+            )
+        shard = F.col(shard_col)
     else:
-        shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+        shard = shard_col
     work = df.withColumn("shard", shard.cast("int"))
     prev = (
         Window.partitionBy("shard")

@@ -132,6 +132,14 @@ def adjust_avro_name(name: str, mode: str = "avro") -> str:
             out.append(ch)
         elif mode == "avro":
             out.append("_")
+        elif ord(ch) > 0xFFFF:
+            # supplementary plane: escape the UTF-16 surrogate pair as two
+            # fixed-width _uXXXX units (surrogate codepoints cannot appear
+            # as real characters, so the mapping stays injective — a
+            # single 5-hex escape would collide with BMP-escape + digit)
+            cp = ord(ch) - 0x10000
+            out.append(f"_u{0xD800 + (cp >> 10):04x}")
+            out.append(f"_u{0xDC00 + (cp & 0x3FF):04x}")
         else:
             out.append(f"_u{ord(ch):04x}")
     adjusted = "".join(out)

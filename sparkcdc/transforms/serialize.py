@@ -182,7 +182,10 @@ def parse_envelope_json(
             F.from_json(raw, schema, {"mode": "FAILFAST"}).alias("e")
         )
     elif failure_handling == "skip":
-        tagged = _tagged_corrupt_parse(df, schema, raw)
+        # NULL wire values (Kafka tombstone values) carry no envelope and
+        # are not tagged corrupt by the parser — drop them here too so
+        # skip mode emits only well-formed envelopes
+        tagged = _tagged_corrupt_parse(df.filter(raw.isNotNull()), schema, raw)
         parsed = tagged.filter(F.col("e.__corrupt_record").isNull()).select(
             F.col("e").dropFields("__corrupt_record").alias("e")
         )

@@ -265,3 +265,12 @@ def test_pii_redact_and_counts(spark):
     r2 = next(r for r in out.collect() if r.id == 2)
     assert r2.r == "clean text, no pii; version 1.2 is not an ip"
     assert (r2.email_n, r2.ipv4_n, r2.phone_n) == (0, 0, 0)
+
+
+def test_pack_sequences_rejects_non_integral_shard(spark):
+    from sparkcdc.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 10, "a")], ["doc_id", "n_tok", "repo"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="integral"):
+        pack_sequences(df, 512, tokens_col="n_tok", shard_col="repo")

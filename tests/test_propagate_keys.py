@@ -159,3 +159,16 @@ def test_avro_schema_name_adjustment():
     s2 = json.loads(envelope_avro_schema(fields))
     before2 = next(f for f in s2["fields"] if f["name"] == "before")
     assert [f["name"] for f in before2["type"][1]["fields"]] == ["total-usd", "name"]
+
+
+def test_adjust_avro_name_supplementary_plane_injective():
+    """Review fix: supplementary-plane chars escape as a UTF-16 surrogate
+    pair of fixed-width _uXXXX units, so BMP-escape+digit and an astral
+    escape can never collide."""
+    from sparkcdc.transforms.avro import adjust_avro_name
+
+    astral = adjust_avro_name("\U0001F600", "avro_unicode")
+    bmp_plus_digit = adjust_avro_name("ὠ" + "0", "avro_unicode")
+    assert astral == "_ud83d_ude00"
+    assert bmp_plus_digit == "_u1f600"
+    assert astral != bmp_plus_digit

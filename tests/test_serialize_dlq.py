@@ -280,3 +280,15 @@ def test_table_notification_channel(spark, tmp_root):
     assert ("Initial Snapshot", "COMPLETED") in kinds
     # notifications are plain queryable lake state
     assert ntable.read().filter(F.col("type") == "COMPLETED").count() >= 1
+
+
+def test_parse_skip_drops_null_wire_values(spark):
+    """Review fix: NULL wire values (Kafka tombstone values) are dropped
+    in skip mode instead of passing through as all-null envelopes."""
+    env = cdc_events(spark, 5, n_keys=3)
+    mixed = envelope_to_json(env).unionByName(
+        spark.createDataFrame([(None,)], "value string")
+    )
+    assert parse_envelope_json(mixed, failure_handling="skip").count() == 5
+    kept = parse_envelope_json(mixed, failure_handling="keep")
+    assert kept.count() == 6  # keep mode preserves the null row
