@@ -118,3 +118,37 @@ def resolve_message_key(
         if pattern.fullmatch(qualified_table):
             return list(cols)
     return list(default)
+
+
+# -- collection.name.format: sink table naming strategy -----------------------
+
+def resolve_collection_name(
+    name_format: str, topic: str, source: dict | None = None
+) -> str | None:
+    """``collection.name.format`` (DefaultCollectionNamingStrategy): render
+    the sink table name from a format string. ``${topic}`` substitutes the
+    topic with dots replaced by underscores; ``${source.<field>}``
+    placeholders read the Debezium envelope's source block — a record
+    without one cannot be resolved and returns None (the reference logs
+    and skips such records).
+
+    >>> resolve_collection_name("${topic}", "app.public.orders")
+    'app_public_orders'
+    >>> resolve_collection_name("${source.db}_${source.table}", "t",
+    ...                         {"db": "app", "table": "orders"})
+    'app_orders'
+    """
+    import re
+
+    out = name_format.replace("${topic}", topic.replace(".", "_"))
+    if "${source." in out:
+        if source is None:
+            return None
+        for m in re.findall(r"\$\{source\.(.*?)\}", out):
+            if m not in source:
+                raise KeyError(
+                    f"collection.name.format references source.{m} "
+                    f"absent from the envelope source block"
+                )
+            out = out.replace("${source." + m + "}", str(source[m]))
+    return out

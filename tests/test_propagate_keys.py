@@ -172,3 +172,21 @@ def test_adjust_avro_name_supplementary_plane_injective():
     assert astral == "_ud83d_ude00"
     assert bmp_plus_digit == "_u1f600"
     assert astral != bmp_plus_digit
+
+
+# ---- collection.name.format ------------------------------------------------
+
+def test_resolve_collection_name():
+    from sparkcdc.sinkconfig import resolve_collection_name
+
+    assert resolve_collection_name("${topic}", "app.public.orders") == (
+        "app_public_orders"
+    )
+    assert resolve_collection_name(
+        "sink_${source.db}_${source.table}", "t",
+        {"db": "app", "table": "orders"},
+    ) == "sink_app_orders"
+    # non-Debezium record (no source block): unresolvable → None
+    assert resolve_collection_name("${source.table}", "t", None) is None
+    with pytest.raises(KeyError):
+        resolve_collection_name("${source.nope}", "t", {"db": "x"})
