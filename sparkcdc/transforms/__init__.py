@@ -83,18 +83,39 @@ def build_chain(specs: list[dict]):
     (embedded/Transformations.java: ``transforms=a,b`` +
     ``transforms.a.type=...`` + per-transform params). Each spec is
     ``{"type": <TRANSFORMS name>, ...kwargs}``; returns one
-    DataFrame -> DataFrame function applying them in order."""
+    DataFrame -> DataFrame function applying them in order.
+
+    A spec may carry ``"predicate": {"type": <PREDICATES name>, ...}``
+    and ``"negate": bool`` — the Kafka Connect
+    ``transforms.X.predicate``/``.negate`` contract: the transform then
+    applies only to matching records, the rest pass through unchanged
+    (schema-preserving transforms only, see :func:`predicates.guard`)."""
+    from .predicates import PREDICATES, guard
+
     fns = []
     for spec in specs:
         spec = dict(spec)
         name = spec.pop("type")
+        pred_spec = spec.pop("predicate", None)
+        negate = spec.pop("negate", False)
         try:
             factory = TRANSFORMS[name]
         except KeyError:
             raise ValueError(
                 f"unknown transform {name!r}; known: {sorted(TRANSFORMS)}"
             ) from None
-        fns.append(factory(**spec))
+        fn = factory(**spec)
+        if pred_spec is not None:
+            pred_spec = dict(pred_spec)
+            pname = pred_spec.pop("type")
+            try:
+                pfactory = PREDICATES[pname]
+            except KeyError:
+                raise ValueError(
+                    f"unknown predicate {pname!r}; known: {sorted(PREDICATES)}"
+                ) from None
+            fn = guard(fn, pfactory(**pred_spec), negate=negate)
+        fns.append(fn)
 
     def _apply(df):
         for fn in fns:

@@ -262,3 +262,65 @@ def test_unwrap_add_headers(fixture):
     assert "__header_op" in out.columns and "__header_source_table" in out.columns
     r = out.filter(F.col("id") == 1).orderBy("__header_op").first()
     assert r["__header_source_table"] == "customers"
+
+
+def test_predicate_guarded_transform(fixture):
+    """Kafka-Connect predicates: transforms.X.predicate gates per record —
+    masked only where the predicate matches, pass-through elsewhere."""
+    from sparkcdc.transforms import build_chain
+
+    chain = build_chain([
+        {
+            "type": "MaskStrings", "columns": ["name"],
+            "predicate": {
+                "type": "TopicNameMatches", "pattern": r"db\.customers",
+            },
+        },
+    ])
+    out = chain(fixture)
+    assert out.count() == fixture.count()
+    rows = out.filter("after is not null").select(
+        F.col("source.table").alias("t"), F.col("after.name").alias("n")
+    ).collect()
+    for r in rows:
+        if r.t == "customers":
+            assert r.n in (None, "**********")
+        else:
+            assert r.n == "carol"  # shard-2 row untouched
+
+
+def test_predicate_negate_and_tombstone(fixture):
+    from sparkcdc.transforms import build_chain
+    from sparkcdc.transforms.predicates import guard, record_is_tombstone
+
+    # negate: mask everything EXCEPT db.customers
+    chain = build_chain([
+        {
+            "type": "MaskStrings", "columns": ["name"],
+            "predicate": {"type": "TopicNameMatches", "pattern": r"db\.customers"},
+            "negate": True,
+        },
+    ])
+    touched = chain(fixture).filter(
+        "source.table = 'customers_shard_2' and after is not null"
+    ).select(F.col("after.name").alias("n")).collect()
+    assert all(r.n == "**********" for r in touched)
+
+    # RecordIsTombstone predicate selects exactly the tombstone row
+    n_tomb = fixture.filter("tombstone").count()
+    ident = lambda df: df  # noqa: E731
+    kept = guard(ident, record_is_tombstone())(fixture)
+    assert kept.count() == fixture.count() and n_tomb == 1
+
+
+def test_predicate_rejects_schema_changing_transform(fixture):
+    from sparkcdc.transforms import build_chain
+
+    chain = build_chain([
+        {
+            "type": "ExtractNewRecordState",
+            "predicate": {"type": "RecordIsTombstone"},
+        },
+    ])
+    with pytest.raises(ValueError, match="preserve the schema"):
+        chain(fixture)
