@@ -183,6 +183,11 @@ class CdcEngine:
             os.path.join(table.meta_dir, "notifications.jsonl")
         )
         self.signals = signal_processor
+        #: optional FileSchemaRegistry: when set, every schema epoch's
+        #: envelope Avro schema is registered (and compatibility-gated)
+        #: under subject "<table>-value" — the registry leg of the
+        #: Avro-converter deployment (see sparkcdc.schema_registry)
+        self.schema_registry = None
 
     # -- checkpoint state -----------------------------------------------------
 
@@ -405,6 +410,7 @@ class CdcEngine:
                             base_epoch=self.table.manifest().epoch,
                         )
                         self.table.evolve(changes)
+                        self._register_schema()
                 if sub_hi <= sub_lo:
                     continue
                 env = envelopes_for(sub_lo, sub_hi)
@@ -477,6 +483,24 @@ class CdcEngine:
             if base is not None and base >= epoch:
                 self.table.evolve(e["changes"])
                 epoch = self.table.manifest().epoch
+
+    def _register_schema(self) -> None:
+        """Register the current epoch's envelope Avro schema under
+        ``<table>-value`` when a schema registry is attached — the
+        registry's compatibility gate then fails the replay BEFORE an
+        incompatible epoch's events are applied, the Avro-converter
+        deployment's behavior."""
+        if self.schema_registry is None:
+            return
+        from .transforms.avro import envelope_avro_schema
+
+        m = self.table.manifest()
+        row_fields = [(f.name, f_type) for f, f_type in (
+            (f, m.spark_schema()[f.name].dataType) for f in m.fields
+        )]
+        self.schema_registry.register(
+            f"{self.table.name}-value", envelope_avro_schema(row_fields)
+        )
 
     def _writer_tag(self) -> str:
         """Filesystem-safe writer name for side-table paths."""
