@@ -853,6 +853,49 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_predicate_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-Connect predicate gating end-to-end: a two-shard envelope
+    stream with MaskStrings applied ONLY where TopicNameMatches one shard
+    (transforms.X.predicate contract); rows of the other shard pass
+    through unchanged. The oracle recomputes the salted mask with a SQL
+    CASE over the same shard rule."""
+    from sparkcdc.transforms import build_chain
+
+    env = _env(spark, sf_dir).withColumn(
+        "source",
+        F.col("source").withField(
+            "table",
+            F.concat(
+                F.lit("events_"),
+                F.pmod(
+                    F.coalesce(
+                        F.col("after.user_id"), F.col("before.user_id")
+                    ),
+                    F.lit(2),
+                ),
+            ),
+        ),
+    )
+    chain = build_chain([
+        {
+            "type": "MaskStrings", "columns": ["props"], "salt": "s3",
+            "predicate": {
+                "type": "TopicNameMatches", "pattern": r"app\.events_0",
+            },
+        },
+    ])
+    out = chain(env)
+    return out.select(
+        F.col("source.table").alias("shard"),
+        "op",
+        "offset",
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias(
+            "user_id"
+        ),
+        F.col("after.props").alias("props"),
+    )
+
+
 def q_cdc_envelope_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 serialization: envelope → JSON → vectorized from_json parse; the
     oracle recomputes the projected fields from the raw events, so a match
@@ -1064,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_range_backfill": q_cdc_range_backfill,
         "cdc_blocking_snapshot": q_cdc_blocking_snapshot,
         "text_stats": q_text_stats,
+        "cdc_predicate_gating": q_cdc_predicate_gating,
         "text_pii_redact": q_text_pii_redact,
         "text_pack_sequences": q_text_pack_sequences,
         "mm_decode_meta": q_mm_decode_meta,
@@ -1551,6 +1595,19 @@ def oracle_sql() -> dict[str, str]:
                    greatest(tok_offset + n_tokens - 1, tok_offset) // 2048 AS seq_end,
                    tok_offset % 2048 AS off_in_seq
             FROM lay
+        """,
+
+        "cdc_predicate_gating": """
+            SELECT concat('events_', CAST(user_id % 2 AS VARCHAR)) AS shard,
+                   CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                   event_id AS offset,
+                   user_id,
+                   CASE WHEN event_type='error' THEN NULL
+                        WHEN user_id % 2 = 0 AND props IS NOT NULL
+                          THEN sha256(concat('s3', props))
+                        ELSE props END AS props
+            FROM events
         """,
         "cdc_envelope_json_roundtrip": """
             SELECT CASE WHEN event_type='signup' THEN 'c'
