@@ -296,6 +296,7 @@ class CdcEngine:
         )
         # committed_batch()+1 so an `always`-mode re-snapshot isn't fenced
         self.notifications.notify("Initial Snapshot", "STARTED")
+        self._register_schema()  # baseline (v1) subject registration
         res = self._apply_batch(
             env, batch_id=self.committed_batch() + 1, kind="snapshot"
         )

@@ -78,6 +78,7 @@ def test_engine_registers_schema_epochs(spark, tmp_root):
     import os
 
     from sparkcdc.engine import CdcEngine, EngineConfig
+    from sparkcdc.envelope import cdc_events
     from sparkcdc.lake import LakeTable
 
     t = LakeTable.create(
@@ -88,7 +89,9 @@ def test_engine_registers_schema_epochs(spark, tmp_root):
     )
     eng = CdcEngine(spark, t, EngineConfig(batch_size=400, n_keys=30, n_parts=4))
     eng.schema_registry = FileSchemaRegistry(os.path.join(tmp_root, "registry"))
-    eng._register_schema()  # epoch 0 baseline
+    src = cdc_events(spark, 100, n_keys=30).filter("op != 'd'").select(
+        "after.*").dropDuplicates(["repo", "path"])
+    eng.run_snapshot(src)  # registers the baseline (v1) automatically
     eng.replay(
         800,
         schema_changes=[(200, "ALTER TABLE t ADD stars BIGINT")],
