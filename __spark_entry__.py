@@ -1587,13 +1587,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             lay AS (
               SELECT doc_id, shard, n_tokens,
-                     COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+                     CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
               FROM tok)
             SELECT doc_id, shard, n_tokens, tok_offset,
-                   tok_offset // 2048 AS seq_start,
-                   greatest(tok_offset + n_tokens - 1, tok_offset) // 2048 AS seq_end,
-                   tok_offset % 2048 AS off_in_seq
+                   CAST(tok_offset // 2048 AS BIGINT) AS seq_start,
+                   CAST(greatest(tok_offset + n_tokens - 1, tok_offset) // 2048 AS BIGINT) AS seq_end,
+                   CAST(tok_offset % 2048 AS BIGINT) AS off_in_seq
             FROM lay
         """,
 
