@@ -401,17 +401,31 @@ class CdcEngine:
                             for c in tc.changes
                         ]
                     if changes:
-                        # journal FIRST (write-ahead): a crash between the
-                        # two steps is repaired by _catch_up_schema_journal
-                        # on the next replay; the reverse order would
-                        # re-apply the evolve and corrupt the schema
-                        # (duplicate column)
+                        # registry gate FIRST, on the PROSPECTIVE schema:
+                        # a compatibility rejection must leave no durable
+                        # state (no journal entry, no evolved epoch) —
+                        # otherwise the rejected epoch is already live on
+                        # restart and the replay skips the boundary,
+                        # applying events under a schema the registry
+                        # never admitted (the reference's converter
+                        # rejects before any sink-side change)
+                        from .lake import apply_schema_changes
+
+                        m = self.table.manifest()
+                        prospective, _ = apply_schema_changes(
+                            m.fields, m.key_cols, changes
+                        )
+                        self._register_schema(fields=prospective)
+                        # then journal (write-ahead): a crash between the
+                        # two remaining steps is repaired by
+                        # _catch_up_schema_journal on the next replay; the
+                        # reverse order would re-apply the evolve and
+                        # corrupt the schema (duplicate column)
                         self.schema_history.record(
                             sub_lo, changes,
-                            base_epoch=self.table.manifest().epoch,
+                            base_epoch=m.epoch,
                         )
                         self.table.evolve(changes)
-                        self._register_schema()
                 if sub_hi <= sub_lo:
                     continue
                 env = envelopes_for(sub_lo, sub_hi)
@@ -485,20 +499,22 @@ class CdcEngine:
                 self.table.evolve(e["changes"])
                 epoch = self.table.manifest().epoch
 
-    def _register_schema(self) -> None:
-        """Register the current epoch's envelope Avro schema under
+    def _register_schema(self, fields=None) -> None:
+        """Register an epoch's envelope Avro schema under
         ``<table>-value`` when a schema registry is attached — the
         registry's compatibility gate then fails the replay BEFORE an
         incompatible epoch's events are applied, the Avro-converter
-        deployment's behavior."""
+        deployment's behavior. ``fields`` overrides the manifest's
+        current epoch with a PROSPECTIVE field list so the gate runs
+        before any durable state (journal entry / evolved manifest)
+        exists; a rejection then leaves nothing to repair on restart."""
         if self.schema_registry is None:
             return
+        from .lake import type_of
         from .transforms.avro import envelope_avro_schema
 
-        m = self.table.manifest()
-        row_fields = [(f.name, f_type) for f, f_type in (
-            (f, m.spark_schema()[f.name].dataType) for f in m.fields
-        )]
+        flds = fields if fields is not None else self.table.manifest().fields
+        row_fields = [(f.name, type_of(f.type)) for f in flds]
         self.schema_registry.register(
             f"{self.table.name}-value", envelope_avro_schema(row_fields)
         )

@@ -69,21 +69,39 @@ class TableNotificationChannel:
         self.table = table
 
     def notify(self, aggregate_type: str, type: str, **data) -> dict:
+        from .lake import CommitConflict
+
         event = _event(aggregate_type, type, data)
         # appends are fenced per (writer, batch_id); the manifest version
         # is strictly increasing per commit, so version+1 is a fresh fence
         # token even across restarts — and, stored as ``seq``, the
         # deterministic emission-order key (ts_ms alone ties within a
-        # millisecond and the random id would shuffle such neighbors)
-        seq = self.table.manifest().version + 1
-        row = (seq, event["id"], event["aggregate_type"], event["type"],
-               json.dumps(event["data"]), event["ts_ms"])
-        self.table.append(
-            self.spark.createDataFrame([row], [n for n, _ in self.FIELDS]),
-            batch_id=seq,
-            writer="notifications",
+        # millisecond and the random id would shuffle such neighbors).
+        # Two notifiers sharing the sink can read the same version: the
+        # loser's append is fenced (skipped) or conflicts — surface that
+        # and retry with a fresh version instead of silently dropping the
+        # notification.
+        for _ in range(8):
+            seq = self.table.manifest().version + 1
+            row = (seq, event["id"], event["aggregate_type"], event["type"],
+                   json.dumps(event["data"]), event["ts_ms"])
+            try:
+                res = self.table.append(
+                    self.spark.createDataFrame(
+                        [row], [n for n, _ in self.FIELDS]
+                    ),
+                    batch_id=seq,
+                    writer="notifications",
+                )
+            except CommitConflict:
+                continue
+            if not res.get("skipped"):
+                event["seq"] = seq
+                return event
+        raise RuntimeError(
+            "notification append lost the commit race 8 times "
+            f"({aggregate_type}/{type}); sink table is contended"
         )
-        return event
 
     def read(self) -> list[dict]:
         rows = self.table.read().orderBy("seq").collect()

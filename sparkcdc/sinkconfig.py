@@ -146,9 +146,9 @@ def resolve_collection_name(
             return None
         for m in re.findall(r"\$\{source\.(.*?)\}", out):
             if m not in source:
-                raise KeyError(
-                    f"collection.name.format references source.{m} "
-                    f"absent from the envelope source block"
-                )
+                # one skip contract for both unresolvable flavors: no
+                # source block and missing referenced field both return
+                # None (the reference logs and skips such records)
+                return None
             out = out.replace("${source." + m + "}", str(source[m]))
     return out

@@ -131,7 +131,15 @@ def adjust_avro_name(name: str, mode: str = "avro") -> str:
         elif valid:
             out.append(ch)
         elif mode == "avro":
-            out.append("_")
+            if "0" <= ch <= "9":
+                # leading digit: keep the digit after the replacement
+                # ('1col' -> '_1col'), else '1col' and '2col' would both
+                # collapse to '_col' — duplicate field names in one record
+                # (SchemaNameAdjuster does exactly this)
+                out.append("_")
+                out.append(ch)
+            else:
+                out.append("_")
         elif ord(ch) > 0xFFFF:
             # supplementary plane: escape the UTF-16 surrogate pair as two
             # fixed-width _uXXXX units (surrogate codepoints cannot appear

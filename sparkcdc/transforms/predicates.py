@@ -80,7 +80,11 @@ def guard(transform, predicate, negate: bool = False):
             cond = ~cond
         cond = F.coalesce(cond, F.lit(False))
         hit = transform(df.filter(cond))
-        if hit.schema != df.schema:
+        # compare names+types only: schema-preserving transforms may flip
+        # nullability or field metadata (e.g. when() without otherwise()
+        # makes a column nullable) and unionByName still succeeds
+        shape = lambda s: [(f.name, f.dataType) for f in s.fields]  # noqa: E731
+        if shape(hit.schema) != shape(df.schema):
             raise ValueError(
                 "predicate-guarded transforms must preserve the schema; "
                 f"got {[f.name for f in hit.schema.fields]} from "
