@@ -1,0 +1,417 @@
+"""IcebergTableSink — the production :class:`~sparkcdc.sink.TableSink`
+adapter over a real Iceberg catalog.
+
+This module is the "Iceberg swap" the protocol promises, made concrete:
+every protocol method executes exactly the SQL the protocol table in
+``sink.py`` documents (``MERGE INTO``, field-id ``ALTER TABLE``,
+``rewrite_data_files``, ``expire_snapshots``). The SQL builders are pure
+functions so the statements themselves are snapshot-tested without any
+Iceberg jars present; the adapter's control flow (fencing, skip paths,
+statement ordering, manifest synthesis) is tested against a recording
+fake, and the end-to-end conformance tests auto-skip unless a Spark
+session with an Iceberg catalog is configured (none ships in this
+sandbox).
+
+Reference parity: the sink dispatch/fence/upsert split mirrors
+``jdbc-sink/JdbcChangeEventSink.java:72-158`` (batch fencing + per-batch
+flush) and the per-dialect upsert statement builders
+(``dialect/postgres/PostgresDatabaseDialect.java:100-108``,
+``dialect/sqlserver/SqlServerDatabaseDialect.java:128-130``) — here the
+"dialect" is Iceberg Spark SQL and the upsert is one MERGE.
+
+Exactly-once contract
+---------------------
+LakeTable commits the (writer, batch_id) fence and the offset vector in
+the same atomic manifest flip as the data. Iceberg's analog is a
+snapshot-summary property written by the committing transaction
+(``org.apache.iceberg.spark.CommitMetadata.withCommitProperties`` — a
+JVM-side shim, not reachable from pure SQL). This adapter instead
+records the fence in TABLE properties (``ALTER TABLE .. SET
+TBLPROPERTIES``) immediately after each data statement. The window
+between the two commits is crash-exposed, and that is safe BY
+CONSTRUCTION of the engine's batches: a reduced per-key LWW batch
+re-applied over its own post-state is a row-level no-op (same rows
+upserted to identical values; deletes match nothing), so a crash in the
+window replays one batch idempotently — Debezium's documented
+effectively-exactly-once story for non-transactional sinks. Installing
+the CommitMetadata shim upgrades this to the strict single-commit fence
+without changing this adapter's interface.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+
+from .lake import Field, Manifest, apply_schema_changes, type_of
+
+#: manifest type name -> Iceberg Spark SQL type
+_SQL_TYPE = {
+    "string": "string",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def sql_type(name: str) -> str:
+    if name.startswith("decimal"):
+        return name
+    return _SQL_TYPE[name]
+
+
+# -- pure statement builders (snapshot-tested in tests/test_iceberg_sink.py) --
+
+
+def create_table_sql(
+    ident: str, fields: list[tuple[str, str]], key_cols: list[str],
+    n_buckets: int,
+) -> str:
+    """CREATE TABLE with bucket partitioning on the (first) key column and
+    merge-on-read write modes — the Iceberg rendering of LakeTable's
+    bucket-partitioned MOR layout."""
+    cols = ",\n  ".join(f"{n} {sql_type(t)}" for n, t in fields)
+    part = (
+        f"\nPARTITIONED BY (bucket({n_buckets}, {key_cols[0]}))"
+        if key_cols else ""
+    )
+    return (
+        f"CREATE TABLE {ident} (\n  {cols}\n)\nUSING iceberg{part}\n"
+        "TBLPROPERTIES (\n"
+        "  'format-version' = '2',\n"
+        "  'write.delete.mode' = 'merge-on-read',\n"
+        "  'write.update.mode' = 'merge-on-read',\n"
+        "  'write.merge.mode' = 'merge-on-read'\n)"
+    )
+
+
+def merge_sql(ident: str, src_view: str, cols: list[str],
+              key_cols: list[str]) -> str:
+    """The protocol's documented MERGE: one reduced row per key with a
+    trailing ``_op`` column ('u' upsert / 'd' delete)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
+    ins_cols = ", ".join(cols)
+    ins_vals = ", ".join(f"s.{c}" for c in cols)
+    return (
+        f"MERGE INTO {ident} t\nUSING {src_view} s\nON {on}\n"
+        "WHEN MATCHED AND s._op = 'd' THEN DELETE\n"
+        f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+        "WHEN NOT MATCHED AND s._op != 'd' THEN "
+        f"INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def insert_sql(ident: str, src_view: str, cols: list[str]) -> str:
+    names = ", ".join(cols)
+    return f"INSERT INTO {ident} ({names})\nSELECT {names} FROM {src_view}"
+
+
+def evolve_sql(ident: str, changes: list[dict]) -> list[str]:
+    """Field-id schema evolution as Iceberg ALTERs (identical semantics:
+    Iceberg tracks columns by id, so RENAME keeps old files readable and
+    ALTER TYPE only admits safe promotions — the same rules
+    apply_schema_changes enforces on the manifest mirror)."""
+    out = []
+    for ch in changes:
+        a = ch["action"]
+        if a == "add":
+            out.append(
+                f"ALTER TABLE {ident} ADD COLUMN "
+                f"{ch['name']} {sql_type(ch['type'])}"
+            )
+        elif a == "rename":
+            out.append(
+                f"ALTER TABLE {ident} RENAME COLUMN "
+                f"{ch['from']} TO {ch['to']}"
+            )
+        elif a == "widen":
+            out.append(
+                f"ALTER TABLE {ident} ALTER COLUMN "
+                f"{ch['name']} TYPE {sql_type(ch['type'])}"
+            )
+        elif a == "drop":
+            out.append(f"ALTER TABLE {ident} DROP COLUMN {ch['name']}")
+        else:
+            raise ValueError(f"unknown action {a}")
+    return out
+
+
+def delete_where_sql(ident: str, predicate: str) -> str:
+    return f"DELETE FROM {ident} WHERE {predicate}"
+
+
+def compact_sql(catalog: str, table: str, where: str | None = None) -> str:
+    w = f",\n  where => '{where}'" if where else ""
+    return (
+        f"CALL {catalog}.system.rewrite_data_files(\n"
+        f"  table => '{table}'{w}\n)"
+    )
+
+
+def expire_sql(catalog: str, table: str, keep_last: int) -> str:
+    return (
+        f"CALL {catalog}.system.expire_snapshots(\n"
+        f"  table => '{table}', retain_last => {keep_last}\n)"
+    )
+
+
+def set_properties_sql(ident: str, props: dict[str, str]) -> str:
+    kv = ", ".join(f"'{k}' = '{_q(v)}'" for k, v in sorted(props.items()))
+    return f"ALTER TABLE {ident} SET TBLPROPERTIES ({kv})"
+
+
+def _q(v: str) -> str:
+    return str(v).replace("'", "''")
+
+
+class IcebergTableSink:
+    """TableSink over ``<catalog>.<namespace>.<table>``.
+
+    The manifest mirror (field ids, defaults, epoch history, fence map,
+    offset vector) lives in table properties under ``sparkcdc.*`` —
+    Iceberg's own metadata stays the source of truth for data/schema; the
+    mirror only carries what the engine's checkpoint contract needs and
+    is rewritten transactionally-after each data statement (see module
+    docstring for the crash-window argument)."""
+
+    PROPS = "sparkcdc.state"  # one JSON property: fields/epochs/fences/offsets
+
+    def __init__(self, spark, identifier: str, meta_dir: str):
+        parts = identifier.split(".")
+        if len(parts) < 3:
+            raise ValueError(
+                f"identifier must be catalog.namespace.table, got {identifier!r}"
+            )
+        self.spark = spark
+        self.identifier = identifier
+        self.catalog = parts[0]
+        self.table_ref = ".".join(parts[1:])  # namespace.table, for CALLs
+        self.name = parts[-1]
+        self.meta_dir = meta_dir
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls, spark, identifier: str, fields: list[tuple[str, str]],
+        key_cols: list[str], meta_dir: str, n_buckets: int = 16,
+    ) -> "IcebergTableSink":
+        sink = cls(spark, identifier, meta_dir)
+        spark.sql(create_table_sql(identifier, fields, key_cols, n_buckets))
+        flds = [Field(i + 1, n, t) for i, (n, t) in enumerate(fields)]
+        sink._write_state({
+            "version": 0,
+            "n_buckets": n_buckets,
+            "key_cols": key_cols,
+            "epoch": 0,
+            "epochs": {"0": [f.to_json() for f in flds]},
+            "last_batch": {},
+            "offsets": {},
+            "summary_extra": {"created_ms": int(time.time() * 1000)},
+        })
+        return sink
+
+    # -- state mirror ---------------------------------------------------------
+
+    def _read_state(self) -> dict:
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.identifier} ('{self.PROPS}')"
+        ).collect()
+        for r in rows:
+            if r["key"] == self.PROPS and r["value"]:
+                return json.loads(r["value"])
+        raise ValueError(
+            f"{self.identifier} carries no {self.PROPS} property — not a "
+            "sparkcdc-managed table (create() it, or adopt it by writing "
+            "the state property)"
+        )
+
+    def _write_state(self, state: dict) -> None:
+        self.spark.sql(set_properties_sql(
+            self.identifier, {self.PROPS: json.dumps(state, sort_keys=True)}
+        ))
+
+    # -- protocol -------------------------------------------------------------
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        s = self._read_state()
+        if version is not None and version != s["version"]:
+            raise ValueError(
+                "time-travel by sparkcdc version is not mapped; use Iceberg "
+                "snapshot ids via read(version=...)"
+            )
+        epochs = {
+            k: [Field.from_json(f) for f in v] for k, v in s["epochs"].items()
+        }
+        return Manifest(
+            version=s["version"], parent=max(s["version"] - 1, 0) or None,
+            n_buckets=s["n_buckets"], key_cols=s["key_cols"],
+            epoch=s["epoch"], epochs=epochs, files=[],
+            summary={
+                "last_batch": s["last_batch"], "offsets": s["offsets"],
+                **s.get("summary_extra", {}),
+            },
+        )
+
+    def current_version(self) -> int:
+        return self._read_state()["version"]
+
+    def read(
+        self, version: int | None = None, buckets: set[int] | None = None
+    ) -> DataFrame:
+        m = self.manifest()
+        travel = f" VERSION AS OF {version}" if version is not None else ""
+        q = f"SELECT * FROM {self.identifier}{travel}"
+        if buckets is not None and len(m.key_cols) == 1:
+            # partition pruning through the same transform the table is
+            # partitioned by; multi-column keys read unpruned (the engine
+            # treats bucket scoping as an optimization, never semantics)
+            ids = ", ".join(str(b) for b in sorted(buckets))
+            q += (
+                f" WHERE {self.catalog}.system.bucket"
+                f"({m.n_buckets}, {m.key_cols[0]}) IN ({ids})"
+            )
+        return self.spark.sql(q)
+
+    def _fenced(self, s: dict, writer: str, batch_id: int) -> bool:
+        last = s["last_batch"].get(writer)
+        return last is not None and batch_id <= int(last)
+
+    def _commit_state(self, s: dict, writer: str, batch_id: int | None,
+                      summary: dict | None) -> int:
+        s["version"] += 1
+        if writer is not None and batch_id is not None:
+            s["last_batch"][writer] = batch_id
+        for k, v in (summary or {}).items():
+            if k == "offsets":
+                s["offsets"] = v
+            else:
+                s.setdefault("summary_extra", {})[k] = v
+        self._write_state(s)
+        return s["version"]
+
+    def merge(
+        self, changes: DataFrame, batch_id: int, writer: str = "default",
+        summary: dict | None = None, mode: str = "cow",
+        scope: str | None = None,
+    ) -> dict:
+        s = self._read_state()
+        if not s["key_cols"]:
+            raise ValueError("keyless table is insert-only — use append()")
+        if self._fenced(s, writer, batch_id):
+            return {"version": s["version"], "skipped": True,
+                    "reason": "fenced"}
+        m = self.manifest()
+        cols = [f.name for f in m.fields]
+        view = f"sparkcdc_batch_{uuid.uuid4().hex[:12]}"
+        src = changes.select(
+            *[changes[c].cast(type_of(f.type)).alias(c)
+              for c, f in zip(cols, m.fields)], "_op"
+        )
+        src.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(merge_sql(self.identifier, view, cols,
+                                     s["key_cols"]))
+        finally:
+            self.spark.catalog.dropTempView(view)
+        v = self._commit_state(s, writer, batch_id, summary)
+        return {"version": v, "skipped": False, "files": -1,
+                "affected_buckets": s["n_buckets"]}
+
+    def append(
+        self, rows: DataFrame, batch_id: int, writer: str = "default",
+        summary: dict | None = None,
+    ) -> dict:
+        s = self._read_state()
+        if s["key_cols"]:
+            raise ValueError(
+                "append() is insert-only for keyless tables "
+                "(primary.key.mode=none); this table has key columns "
+                f"{s['key_cols']} — use merge()"
+            )
+        if self._fenced(s, writer, batch_id):
+            return {"version": s["version"], "skipped": True,
+                    "reason": "fenced"}
+        m = self.manifest()
+        cols = [f.name for f in m.fields]
+        view = f"sparkcdc_batch_{uuid.uuid4().hex[:12]}"
+        rows.select(
+            *[rows[c].cast(type_of(f.type)).alias(c)
+              for c, f in zip(cols, m.fields)]
+        ).createOrReplaceTempView(view)
+        try:
+            self.spark.sql(insert_sql(self.identifier, view, cols))
+        finally:
+            self.spark.catalog.dropTempView(view)
+        v = self._commit_state(s, writer, batch_id, summary)
+        return {"version": v, "skipped": False, "files": -1,
+                "affected_buckets": s["n_buckets"]}
+
+    def evolve(self, changes: list[dict]) -> dict:
+        s = self._read_state()
+        m = self.manifest()
+        # validate against the SAME rules as every other sink (key-column
+        # widen/drop rejection, legal promotions) before any ALTER runs
+        flds, key_cols = apply_schema_changes(m.fields, m.key_cols, changes)
+        for stmt in evolve_sql(self.identifier, changes):
+            self.spark.sql(stmt)
+        s["epoch"] += 1
+        s["epochs"][str(s["epoch"])] = [f.to_json() for f in flds]
+        s["key_cols"] = key_cols
+        v = self._commit_state(s, None, None, None)
+        return {"version": v, "epoch": s["epoch"]}
+
+    def delete_where(
+        self, predicate: str, batch_id: int | None = None
+    ) -> dict:
+        s = self._read_state()
+        self.spark.sql(delete_where_sql(self.identifier, predicate))
+        v = self._commit_state(s, None, None, None)
+        return {"version": v, "rewritten_buckets": s["n_buckets"]}
+
+    def delta_counts(self, m: Manifest | None = None) -> dict[int, int]:
+        """Per-bucket delete-file counts from the ``files`` metadata table
+        (content != 0 = position/equality deletes, the MOR debt that
+        rewrite_data_files folds down)."""
+        s = self._read_state()
+        if not s["key_cols"]:
+            return {}
+        part = f"{s['key_cols'][0]}_bucket"
+        rows = self.spark.sql(
+            f"SELECT partition.{part} AS bucket, count(*) AS n "
+            f"FROM {self.identifier}.files WHERE content != 0 "
+            f"GROUP BY partition.{part}"
+        ).collect()
+        return {int(r["bucket"]): int(r["n"]) for r in rows}
+
+    def compact(self, buckets: set[int] | None = None) -> dict:
+        s = self._read_state()
+        where = None
+        if buckets is not None and s["key_cols"]:
+            ids = ", ".join(str(b) for b in sorted(buckets))
+            where = (
+                f"{self.catalog}.system.bucket"
+                f"({s['n_buckets']}, {s['key_cols'][0]}) IN ({ids})"
+            )
+        self.spark.sql(compact_sql(self.catalog, self.table_ref, where))
+        return {
+            "version": s["version"],
+            "compacted_buckets": len(buckets) if buckets else s["n_buckets"],
+        }
+
+    def expire_versions(self, keep_last: int = 2) -> int:
+        rows = self.spark.sql(
+            expire_sql(self.catalog, self.table_ref, keep_last)
+        ).collect()
+        if rows and "deleted_data_files_count" in rows[0]:
+            return int(rows[0]["deleted_data_files_count"])
+        return 0
