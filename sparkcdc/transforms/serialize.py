@@ -153,6 +153,7 @@ def parse_envelope_json(
     row_fields: list[tuple[str, T.DataType]] | None = None,
     json_col: str = "value",
     failure_handling: str = "keep",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """JSON strings → typed envelope structs via ``from_json`` — fully
     vectorized JVM parse, the hot ingestion path.
@@ -169,34 +170,41 @@ def parse_envelope_json(
       pair with :func:`corrupt_json_records` to quarantine them (K8 DLQ);
     - ``keep``: pass the all-null parse through (caller-side handling —
       the engine's ``dlq_enabled`` path picks these up as key-less events).
+
+    ``extra_cols``: input column names carried through alongside the
+    parsed envelope (transport metadata — e.g. Kafka topic/partition/
+    offset — that the payload does not repeat).
     """
     schema = envelope_schema(row_fields)
     raw = F.col(json_col)
     if failure_handling == "keep":
         # PERMISSIVE parse: malformed lines become all-null envelopes
-        parsed = df.select(F.from_json(raw, schema).alias("e"))
+        parsed = df.select(F.from_json(raw, schema).alias("e"), *extra_cols)
     elif failure_handling == "fail":
         # FAILFAST aborts the task on the first malformed line, with the
         # offending payload in the SparkException — no driver-side scan
         parsed = df.select(
-            F.from_json(raw, schema, {"mode": "FAILFAST"}).alias("e")
+            F.from_json(raw, schema, {"mode": "FAILFAST"}).alias("e"),
+            *extra_cols,
         )
     elif failure_handling == "skip":
         # NULL wire values (Kafka tombstone values) carry no envelope and
         # are not tagged corrupt by the parser — drop them here too so
         # skip mode emits only well-formed envelopes
-        tagged = _tagged_corrupt_parse(df.filter(raw.isNotNull()), schema, raw)
+        tagged = _tagged_corrupt_parse(df.filter(raw.isNotNull()), schema,
+                                       raw, extra_cols)
         parsed = tagged.filter(F.col("e.__corrupt_record").isNull()).select(
-            F.col("e").dropFields("__corrupt_record").alias("e")
+            F.col("e").dropFields("__corrupt_record").alias("e"), *extra_cols
         )
     else:
         raise ValueError(
             f"unknown event.processing.failure.handling.mode {failure_handling!r}"
         )
-    return parsed.select("e.*")
+    return parsed.select("e.*", *extra_cols)
 
 
-def _tagged_corrupt_parse(df: DataFrame, schema: T.StructType, raw):
+def _tagged_corrupt_parse(df: DataFrame, schema: T.StructType, raw,
+                          extra_cols: tuple[str, ...] = ()):
     """PERMISSIVE parse with ``columnNameOfCorruptRecord`` — malformed lines
     carry their raw payload in ``e.__corrupt_record``, well-formed lines
     leave it null (Spark's JSON corrupt-record convention; ``from_json``
@@ -208,7 +216,8 @@ def _tagged_corrupt_parse(df: DataFrame, schema: T.StructType, raw):
     return df.select(
         F.from_json(
             raw, tag_schema, {"columnNameOfCorruptRecord": "__corrupt_record"}
-        ).alias("e")
+        ).alias("e"),
+        *extra_cols,
     )
 
 

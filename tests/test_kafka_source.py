@@ -1,0 +1,142 @@
+"""Kafka-shaped source adapter: (topic, partition, offset) ⇄ OffsetVector
+codec, envelope plumbing over a Kafka-record-shaped frame, and the
+restart test — a new engine resumes from Kafka-style per-partition
+offsets held in TABLE state alone."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcdc.engine import default_engine, EngineConfig
+from sparkcdc.envelope import cdc_events
+from sparkcdc.offsets import OffsetVector
+from sparkcdc.sources.kafka import (
+    TopicPartitionCodec,
+    envelopes_from_kafka,
+    kafka_offsets_to_vector,
+    starting_offsets_json,
+)
+
+
+def test_codec_round_trip():
+    c = TopicPartitionCodec(("app.orders", "app.users"), stride=100)
+    assert c.part_id("app.orders", 3) == 3
+    assert c.part_id("app.users", 7) == 107
+    assert c.topic_partition(107) == ("app.users", 7)
+    assert c.topic_partition(3) == ("app.orders", 3)
+    with pytest.raises(ValueError, match="stride"):
+        c.part_id("app.orders", 100)
+    with pytest.raises(ValueError, match="duplicate"):
+        TopicPartitionCodec(("t", "t"))
+
+
+def test_offsets_translation_round_trip():
+    c = TopicPartitionCodec(("a", "b"), stride=100)
+    vec = kafka_offsets_to_vector({"a": {0: 10, 1: 20}, "b": {"0": 5}}, c)
+    assert vec == OffsetVector({0: 10, 1: 20, 100: 5})
+    j = json.loads(starting_offsets_json(vec, c))
+    assert j == {"a": {"0": 10, "1": 20}, "b": {"0": 5}}
+    # empty vector -> earliest on every topic (the cold-start contract)
+    assert json.loads(starting_offsets_json(OffsetVector(), c)) == {
+        "a": {"0": -2}, "b": {"0": -2}}
+
+
+def _kafka_frame(spark, env_df, topic, n_parts):
+    """Envelope rows -> a Kafka-record-shaped frame: value is the JSON
+    payload, (partition, offset) is the transport position (keyed by the
+    envelope's own part routing, offsets dense per partition)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part_id").orderBy("offset")
+    return (
+        env_df.withColumn(
+            "__v", F.to_json(F.struct(*[F.col(c) for c in env_df.columns]))
+        )
+        .select(
+            F.col("__v").cast("binary").alias("value"),
+            F.lit(None).cast("binary").alias("key"),
+            F.lit(topic).alias("topic"),
+            F.col("part_id").cast("int").alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        )
+    )
+
+
+def test_envelopes_from_kafka_transport_position(spark):
+    c = TopicPartitionCodec(("app.repos",), stride=100)
+    env = cdc_events(spark, 40, n_keys=10, n_parts=2)
+    raw = _kafka_frame(spark, env, "app.repos", 2)
+    out = envelopes_from_kafka(raw, c)
+    assert set(out.columns) == {
+        "op", "ts_ms", "before", "after", "source", "transaction",
+        "part_id", "offset", "tombstone"}
+    rows = out.select("part_id", "offset").collect()
+    # transport position overrode the payload's: part ids are codec-mapped
+    # and offsets are the dense per-partition Kafka offsets
+    assert {r["part_id"] for r in rows} <= {0, 1}
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r["part_id"], []).append(r["offset"])
+    for offs in per_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+    # payload content survived the parse
+    assert out.filter("op = 'c' AND after IS NULL").count() == 0
+
+
+def test_engine_resumes_from_kafka_offsets(spark, tmp_root):
+    """Kill-and-resume over a Kafka-shaped source: engine 1 applies a
+    prefix, a NEW engine derives startingOffsets from the committed
+    per-partition vector, consumes only the remainder, and reaches the
+    same state as one uninterrupted run."""
+    import os
+
+    c = TopicPartitionCodec(("app.repos",), stride=100)
+    env = cdc_events(spark, 300, n_keys=25, n_parts=2)
+    raw = _kafka_frame(spark, env, "app.repos", 2).persist()
+    kafka_env = envelopes_from_kafka(raw, c).persist()
+
+    def apply_frame(eng, frame, batch_id):
+        from sparkcdc.offsets import partition_bounds
+
+        parts = partition_bounds(frame)
+        eng._apply_batch(
+            frame, batch_id=batch_id, kind="stream",
+            offsets={"lo": 0, "next": max(parts.parts.values(), default=0),
+                     "parts": parts.to_summary()},
+        )
+
+    cfg = EngineConfig(batch_size=1000, n_keys=25, n_parts=2)
+    # engine 1: the first ~half by transport offset, then "crash"
+    eng1 = default_engine(spark, os.path.join(tmp_root, "k"), n_buckets=4,
+                          config=cfg)
+    first = kafka_env.filter("offset < 80")
+    apply_frame(eng1, first, batch_id=0)
+
+    # engine 2 (fresh process): resume position comes from TABLE state
+    eng2 = default_engine(spark, os.path.join(tmp_root, "k"), n_buckets=4,
+                          config=cfg)
+    vec = eng2.committed_partition_offsets()
+    start = json.loads(starting_offsets_json(vec, c))
+    assert set(start["app.repos"]) == {"0", "1"}
+    conds = [
+        f"(part_id = {c.part_id('app.repos', int(p))} AND offset >= {o})"
+        for p, o in start["app.repos"].items()
+    ]
+    rest = kafka_env.filter(" OR ".join(conds))
+    # the resume split is exact: prefix + remainder = everything
+    assert first.count() + rest.count() == kafka_env.count()
+    apply_frame(eng2, rest, batch_id=1)
+
+    # uninterrupted control run
+    ctrl = default_engine(spark, os.path.join(tmp_root, "ctrl"), n_buckets=4,
+                          config=cfg)
+    apply_frame(ctrl, kafka_env, batch_id=0)
+
+    proj = lambda t: sorted(  # noqa: E731
+        tuple(r) for r in t.read().select(
+            "repo", "path", F.sha2("content", 256)).collect())
+    assert proj(eng2.table) == proj(ctrl.table)
+    assert len(proj(eng2.table)) > 0
+    raw.unpersist()
+    kafka_env.unpersist()
