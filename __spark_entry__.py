@@ -1024,6 +1024,32 @@ def q_cdc_envelope_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def q_cdc_envelope_cloudevents_proto_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T16 CloudEvents with proto3-binary payload — the converter's third
+    data format (CloudEventsConverter.java:89 Json/Avro/Protobuf):
+    envelope → proto3 bytes → base64 data_base64 inside a CloudEvents 1.0
+    JSON envelope → parse both layers back. Oracle recomputes the
+    projection from raw events, proving the two-layer composition is
+    lossless."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.transforms import envelope_to_cloudevents, parse_cloudevents
+
+    env = _env(spark, sf_dir)
+    wire = envelope_to_cloudevents(
+        env, data_format="protobuf", row_fields=EVENT_ROW_FIELDS
+    )
+    back = parse_cloudevents(wire, EVENT_ROW_FIELDS, data_format="protobuf")
+    return back.select(
+        F.col("op"),
+        F.col("ts_ms"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.col("source.pos").alias("pos"),
+        F.col("offset"),
+    )
+
+
 def q_cdc_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 initial consistent snapshot: pinned table read → op='r' envelopes
     → flatten through the standard apply path."""
@@ -1103,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_avro_roundtrip": q_cdc_envelope_avro_roundtrip,
         "cdc_envelope_protobuf_roundtrip": q_cdc_envelope_protobuf_roundtrip,
         "cdc_envelope_cloudevents_roundtrip": q_cdc_envelope_cloudevents_roundtrip,
+        "cdc_envelope_cloudevents_proto_roundtrip":
+            q_cdc_envelope_cloudevents_proto_roundtrip,
         "cdc_chunked_backfill": q_cdc_chunked_backfill,
         "cdc_range_backfill": q_cdc_range_backfill,
         "cdc_blocking_snapshot": q_cdc_blocking_snapshot,
@@ -1647,6 +1675,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "cdc_envelope_cloudevents_roundtrip": """
+            SELECT CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                   epoch_us(ts) // 1000 AS ts_ms,
+                   user_id,
+                   event_id AS pos,
+                   event_id AS offset
+            FROM events
+        """,
+        "cdc_envelope_cloudevents_proto_roundtrip": """
             SELECT CASE WHEN event_type='signup' THEN 'c'
                         WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
                    epoch_us(ts) // 1000 AS ts_ms,

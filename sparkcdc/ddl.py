@@ -23,19 +23,25 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-#: MySQL type name → lake manifest type
+#: MySQL type name → lake manifest type (suffix attribute noise —
+#: unsigned/zerofill — folded into the patterns so ``int unsigned``
+#: still widens while ``float unsigned zerofill`` maps cleanly)
 _TYPE_MAP = [
     (r"tinyint\s*\(\s*1\s*\)|bool(ean)?", "boolean"),
-    (r"(tiny|small|medium)?int(eger)?(\s*\(\d+\))?(\s+unsigned)?", None),  # int-ish, see below
-    (r"bigint(\s*\(\d+\))?(\s+unsigned)?", "long"),
-    (r"float(\s*\(\d+(,\s*\d+)?\))?", "float"),
-    (r"(double|real)(\s+precision)?(\s*\(\d+(,\s*\d+)?\))?", "double"),
-    (r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)|numeric\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", "decimal"),
-    (r"(var)?char(acter)?(\s*\(\d+\))?|(tiny|medium|long)?text|enum\s*\(.*?\)|set\s*\(.*?\)|json|uuid", "string"),
-    (r"(var)?binary(\s*\(\d+\))?|(tiny|medium|long)?blob", "binary"),
+    (r"(tiny|small|medium|middle)?int(eger)?[1-48]?(\s*\(\d+\))?(\s+unsigned)?(\s+zerofill)?", None),  # int-ish, see below
+    (r"bigint(\s*\(\d+\))?(\s+unsigned)?(\s+zerofill)?|serial", "long"),
+    (r"float(\s*\(\d+(,\s*\d+)?\))?(\s+unsigned)?(\s+zerofill)?", "float"),
+    (r"(double|real)(\s+precision)?(\s*\(\d+(,\s*\d+)?\))?(\s+unsigned)?(\s+zerofill)?", "double"),
+    (r"(decimal|numeric|dec|fixed)(\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?(\s+unsigned)?(\s+zerofill)?", "decimal"),
+    (r"(national\s+)?(var)?char(acter)?(\s+varying)?(\s*\(\d+\))?"
+     r"|n(var)?char(\s+varying)?(\s*\(\d+\))?"
+     r"|(tiny|medium|long)?text(\s*\(\d+\))?|enum\s*\(.*?\)|set\s*\(.*?\)|json|uuid|inet[46]", "string"),
+    (r"(var)?binary(\s*\(\d+\))?|(tiny|medium|long)?blob(\s*\(\d+\))?|vector(\s*\(\d+\))?"
+     r"|point|geometry|linestring|polygon|multipoint|multilinestring"
+     r"|multipolygon|geometrycollection|geomcollection", "binary"),
     (r"datetime(\s*\(\d+\))?|timestamp(\s*\(\d+\))?", "timestamp"),
     (r"date", "date"),
-    (r"time(\s*\(\d+\))?|year", "long"),
+    (r"time(\s*\(\d+\))?|year(\s*\(\d+\))?|bit(\s*\(\d+\))?", "long"),
 ]
 
 
@@ -50,7 +56,9 @@ def map_type(sql_type: str) -> str:
         if m:
             if t == "decimal":
                 nums = [g for g in m.groups() if g and g.isdigit()]
-                return f"decimal({nums[0]},{nums[1]})"
+                p = nums[0] if nums else "10"  # MySQL defaults: (10,0)
+                sc = nums[1] if len(nums) > 1 else "0"
+                return f"decimal({p},{sc})"
             if t is None:  # int family: unsigned ints widen (SURVEY §2.7)
                 if "bigint" in s:
                     return "long"
@@ -103,9 +111,25 @@ def _split_top_level(s: str, delim: str = ",") -> list[str]:
 
 
 _COL_STOPWORDS = re.compile(
-    r"\s+(not\s+null|null|default\s+('[^']*'|\S+)|auto_increment"
+    # DEFAULT takes a quoted literal, a (possibly nested-once) call or
+    # parenthesized expression — CAST(NOW() AS DATE), (a * b) — or a token
+    r"\s+(not\s+null|null"
+    r"|default\s+(\w+\s*)?\((?:[^()]|\([^()]*\))*\)"
+    r"|default\s+('[^']*'|\S+)|auto_increment"
     r"|comment\s+'[^']*'"
-    r"|primary\s+key|unique|collate\s+\S+|character\s+set\s+\S+)",
+    r"|primary\s+key|unique|collate\s+\S+|character\s+set\s+\S+"
+    r"|charset\s+\S+"
+    # attribute/position noise a lake schema ignores: column placement,
+    # generated columns (the STORED/VIRTUAL expression is source-side;
+    # the sink sees materialized values), inline FK/CHECK, visibility,
+    # storage hints, ON UPDATE actions, charset BINARY attribute
+    r"|first$|after\s+[`\"]?\w+[`\"]?"
+    r"|(generated\s+always\s+)?as\s+\(.*\)\s*(stored|virtual|persistent)?"
+    r"|references\s+.*$|check\s*\(.*\)(\s+(not\s+)?enforced)?"
+    r"|on\s+update\s+\S+(\s*\(\d*\))?"
+    r"|invisible|visible|srid\s+\d+|zerofill"
+    r"|column_format\s+(fixed|dynamic|default)|storage\s+(disk|memory)"
+    r"|binary(?!\s*\())",
     re.I,
 )
 
@@ -115,6 +139,7 @@ _COL_STOPWORDS = re.compile(
 _CONSTRAINT_ITEM = re.compile(
     r"(primary\s+key|foreign\s+key|unique(\s+key|\s+index)?"
     r"|fulltext(\s+key|\s+index)?|spatial(\s+key|\s+index)?"
+    r"|clustering\s+key"
     r"|key|index|constraint|check)\s*[\s(]",
     re.I,
 )
@@ -159,31 +184,71 @@ def _parse_create(body: str, table: str) -> TableChange:
     return TableChange(type="CREATE", table=table, fields=fields, key_cols=keys)
 
 
+#: ALTER clauses that change nothing a lake sink stores — indexes,
+#: constraints, partitions, table options, charsets, visibility,
+#: default tweaks. The reference's grammar parses all of these and its
+#: sink ignores them (JdbcChangeEventSink reacts only to column-shape
+#: changes); recognizing them as explicit no-ops keeps a captured
+#: table's REAL ALTERs out of the journal-and-skip path.
+_NOOP_ALTER = re.compile(
+    r"""(?ix)^(
+      add \s+ ( constraint\b | (unique|fulltext|spatial) (\s+(key|index))? \b
+              | primary\s+key\b | foreign\s+key\b | (key|index)\b | check\b
+              | partition\b )
+    | drop \s+ ( (index|key|constraint|check|partition)\b | primary\s+key\b
+               | foreign\s+key\b )
+    | alter \s+ (index|check)\b
+    | alter \s+ (column\s+)? [`"]?\w+[`"]? \s+
+        ( set\s+(default|visible|invisible)\b | drop\s+default\b )
+    | rename \s+ (index|key)\b
+    | (default\s+)? (character\s+set|charset|collate)\b
+    | convert \s+ to \s+ (character\s+set|charset)\b
+    | collate\s*=
+    | ( engine | auto_increment | avg_row_length | checksum | comment
+      | compression | connection | delay_key_write | encryption
+      | insert_method | key_block_size | max_rows | min_rows | pack_keys
+      | password | row_format | stats_auto_recalc | stats_persistent
+      | stats_sample_pages | tablespace | union | algorithm | lock
+      | storage ) \s* =?
+    | (enable|disable)\s+keys\b
+    | force\b
+    | order\s+by\b
+    | (discard|import)\s+tablespace\b
+    | (coalesce|analyze|check|optimize|rebuild|repair|truncate|exchange
+      |reorganize|remove)\s+partition(ing)?\b
+    | partition\s+by\b
+    | with(out)?\s+validation\b
+    )""",
+)
+
+
 def _parse_alter_item(item: str, current_types: dict[str, str] | None) -> list[dict]:
     item = item.strip()
     low = item.lower()
-    if m := re.match(r"add\s+(column\s+)?[`\"]?(\w+)[`\"]?\s+(.+)", item, re.I | re.S):
-        rest = m.group(3)
-        dm = re.search(r"default\s+('([^']*)'|\S+)", rest, re.I)
-        default = None
-        if dm:
-            default = dm.group(2) if dm.group(2) is not None else dm.group(1)
-            if isinstance(default, str) and default.lower() in ("null",):
-                default = None
-        rest = _COL_STOPWORDS.sub("", rest).strip()
-        out = {"action": "add", "name": m.group(2), "type": map_type(rest)}
-        if default is not None:
-            ty = out["type"]
-            out["default"] = (
-                int(default) if ty in ("int", "long")
-                else float(default) if ty in ("float", "double")
-                else default
-            )
-        return [out]
+    if _NOOP_ALTER.match(item):
+        return []  # schema-irrelevant clause: parsed, nothing to evolve
+    # parenthesized multi-column add: ADD [COLUMN] (c1 t1, c2 t2, ...)
+    if m := re.match(
+        r"add\s+(column\s+)?(if\s+not\s+exists\s+)?\((.*)\)$", item, re.I | re.S
+    ):
+        out = []
+        for sub in _split_top_level(m.group(3)):
+            out.extend(_parse_alter_item(f"add column {sub.strip()}",
+                                         current_types))
+        return out
+    if m := re.match(
+        r"add\s+(column\s+)?(if\s+not\s+exists\s+)?[`\"]?(\w+)[`\"]?\s+(.+)",
+        item, re.I | re.S,
+    ):
+        return _parse_add_column(m.group(3), m.group(4))
     if m := re.match(r"rename\s+column\s+[`\"]?(\w+)[`\"]?\s+to\s+[`\"]?(\w+)[`\"]?", item, re.I):
         return [{"action": "rename", "from": m.group(1), "to": m.group(2)}]
-    if m := re.match(r"change\s+(column\s+)?[`\"]?(\w+)[`\"]?\s+[`\"]?(\w+)[`\"]?\s+(.+)", item, re.I | re.S):
-        old, new, rest = m.group(2), m.group(3), m.group(4)
+    if m := re.match(
+        r"change\s+(column\s+)?(if\s+exists\s+)?"
+        r"[`\"]?(\w+)[`\"]?\s+[`\"]?(\w+)[`\"]?\s+(.+)",
+        item, re.I | re.S,
+    ):
+        old, new, rest = m.group(3), m.group(4), m.group(5)
         rest = _COL_STOPWORDS.sub("", rest).strip()
         new_type = map_type(rest)
         out = []
@@ -192,16 +257,40 @@ def _parse_alter_item(item: str, current_types: dict[str, str] | None) -> list[d
         if current_types is not None and current_types.get(old) not in (None, new_type):
             out.append({"action": "widen", "name": new, "type": new_type})
         return out
-    if m := re.match(r"modify\s+(column\s+)?[`\"]?(\w+)[`\"]?\s+(.+)", item, re.I | re.S):
-        rest = _COL_STOPWORDS.sub("", rest if (rest := m.group(3)) else "")
+    if m := re.match(
+        r"modify\s+(column\s+)?(if\s+exists\s+)?[`\"]?(\w+)[`\"]?\s+(.+)",
+        item, re.I | re.S,
+    ):
+        rest = _COL_STOPWORDS.sub("", m.group(4) or "")
         new_type = map_type(rest.strip())
-        name = m.group(2)
+        name = m.group(3)
         if current_types is not None and current_types.get(name) == new_type:
             return []  # nullability/default tweak only
         return [{"action": "widen", "name": name, "type": new_type}]
-    if m := re.match(r"drop\s+(column\s+)?[`\"]?(\w+)[`\"]?$", item, re.I):
-        return [{"action": "drop", "name": m.group(2)}]
+    if m := re.match(
+        r"drop\s+(column\s+)?(if\s+exists\s+)?[`\"]?(\w+)[`\"]?$", item, re.I
+    ):
+        return [{"action": "drop", "name": m.group(3)}]
     raise UnsupportedDdl(f"unsupported ALTER clause: {item!r}")
+
+
+def _parse_add_column(name: str, rest: str) -> list[dict]:
+    dm = re.search(r"default\s+('([^']*)'|\S+)", rest, re.I)
+    default = None
+    if dm:
+        default = dm.group(2) if dm.group(2) is not None else dm.group(1)
+        if isinstance(default, str) and default.lower() in ("null",):
+            default = None
+    rest = _COL_STOPWORDS.sub("", rest).strip()
+    out = {"action": "add", "name": name, "type": map_type(rest)}
+    if default is not None:
+        ty = out["type"]
+        out["default"] = (
+            int(default) if ty in ("int", "long")
+            else float(default) if ty in ("float", "double")
+            else default
+        )
+    return [out]
 
 
 def parse_ddl(
@@ -219,10 +308,21 @@ def parse_ddl(
         if not stmt:
             continue
         low = stmt.lower()
-        if m := _CREATE_RE.match(stmt):
+        # strip a trailing PARTITION BY layout spec before the body match:
+        # _CREATE_RE's greedy body capture would otherwise swallow the
+        # partition clause's parens into the column list (partitioning is
+        # source-side storage layout; the sink has its own bucketing)
+        create_stmt = re.sub(
+            r"(?is)\s+partition\s+by\s+.*$", "", stmt
+        ) if low.startswith("create") else stmt
+        if m := _CREATE_RE.match(create_stmt):
             out.append(_parse_create(m.group(3), _ident(m.group(2))))
-        elif m := re.match(r"alter\s+table\s+([`\"\w.]+)\s+(.*)$", stmt, re.I | re.S):
-            table, rest = _ident(m.group(1)), m.group(2)
+        elif m := re.match(
+            r"alter\s+(ignore\s+)?(online\s+|offline\s+)?table\s+"
+            r"(if\s+exists\s+)?([`\"\w.]+)\s+(?:(?:no)?wait(\s+\d+)?\s+)?(.*)$",
+            stmt, re.I | re.S,
+        ):
+            table, rest = _ident(m.group(4)), m.group(6)
             if rm := re.match(r"rename\s+(to\s+)?[`\"]?([\w.]+)[`\"]?$", rest, re.I):
                 out.append(TableChange(type="RENAME", table=_ident(rm.group(2)),
                                        previous_table=table))
@@ -246,7 +346,9 @@ def parse_ddl(
 #: best-effort table identifier of a statement, for pre-parse filtering
 _STMT_TABLE = re.compile(
     r"(?:create\s+table\s+(?:if\s+not\s+exists\s+)?"
-    r"|alter\s+table\s+|drop\s+table\s+(?:if\s+exists\s+)?"
+    r"|alter\s+(?:ignore\s+)?(?:online\s+|offline\s+)?table\s+"
+    r"(?:if\s+exists\s+)?"
+    r"|drop\s+table\s+(?:if\s+exists\s+)?"
     r"|truncate\s+(?:table\s+)?|rename\s+table\s+)([`\"\w.]+)",
     re.I,
 )

@@ -195,8 +195,14 @@ def envelope_proto_schema(row_fields=None) -> str:
     ])
 
 
-def envelope_to_protobuf(df: DataFrame, row_fields=None) -> DataFrame:
-    """Envelope DataFrame → proto3-encoded binary ``value`` column."""
+def envelope_to_protobuf(
+    df: DataFrame, row_fields=None, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Envelope DataFrame → proto3-encoded binary ``value`` column.
+
+    ``passthrough``: existing STRING columns carried through beside the
+    wire bytes (the CloudEvents composition hangs its extension
+    attributes here, exactly like envelope_to_avro's passthrough)."""
     from ..envelope import REPO_ROW_FIELDS
 
     row_fields = row_fields or REPO_ROW_FIELDS
@@ -228,7 +234,7 @@ def envelope_to_protobuf(df: DataFrame, row_fields=None) -> DataFrame:
                 if r["tombstone"] is not None and not pd.isna(r["tombstone"]):
                     _put_scalar(buf, 8, "boolean", r["tombstone"])
                 out.append(bytes(buf))
-            res = pdf[["part_id", "offset"]].copy()
+            res = pdf[["part_id", "offset", *passthrough]].copy()
             res["value"] = out
             yield res
 
@@ -241,8 +247,12 @@ def envelope_to_protobuf(df: DataFrame, row_fields=None) -> DataFrame:
         F.col("source").isNull().alias("s_isnull"),
         *[F.col(f"source.{n}").alias(f"s_{n}") for n, _ in _SOURCE_FIELDS],
         "part_id", "offset", "tombstone",
+        *passthrough,
     )
-    return flat.mapInPandas(enc_iter, "part_id int, offset long, value binary")
+    out_schema = "part_id int, offset long, value binary" + "".join(
+        f", {n} string" for n in passthrough
+    )
+    return flat.mapInPandas(enc_iter, out_schema)
 
 
 def parse_envelope_protobuf(

@@ -72,7 +72,11 @@ def envelope_to_cloudevents(
       (transforms/avro.py) carried as ``data_base64`` with
       ``datacontenttype='application/avro'`` (CloudEvents 1.0 JSON-format
       binary-data rule) — the CloudEvents-with-Avro-payload composition of
-      CloudEventsConverter.java:89."""
+      CloudEventsConverter.java:89;
+    - ``'protobuf'``: same binary-data rule with the proto3 wire record
+      (transforms/protobuf.py) and
+      ``datacontenttype='application/protobuf'`` — the converter's third
+      data format (CloudEventsConverter.java:89 Json/Avro/Protobuf)."""
     exts = _ce_extension_cols(df)
     if data_format == "json":
         ce = F.struct(
@@ -88,21 +92,29 @@ def envelope_to_cloudevents(
             F.struct(*[F.col(c) for c in df.columns]).alias("data"),
         )
         return df.select(F.to_json(ce).alias(out_col))
-    if data_format == "avro":
-        from .avro import envelope_to_avro
-
+    if data_format in ("avro", "protobuf"):
         work = df
         for n, c in exts:
             work = work.withColumn(n, c)
-        wire = envelope_to_avro(
-            work, row_fields, passthrough=[n for n, _ in exts]
-        )
+        names = [n for n, _ in exts]
+        if data_format == "avro":
+            from .avro import envelope_to_avro
+
+            wire = envelope_to_avro(work, row_fields, passthrough=names)
+            content_type = "application/avro"
+        else:
+            from .protobuf import envelope_to_protobuf
+
+            wire = envelope_to_protobuf(
+                work, row_fields, passthrough=tuple(names)
+            )
+            content_type = "application/protobuf"
         ce = F.struct(
             F.concat_ws(":", F.col("part_id"), F.col("offset")).alias("id"),
             F.lit(source_uri).alias("source"),
             F.lit("1.0").alias("specversion"),
             F.lit(CE_TYPE).alias("type"),
-            F.lit("application/avro").alias("datacontenttype"),
+            F.lit(content_type).alias("datacontenttype"),
             *[F.col(n).alias(n) for n, _ in exts],
             F.base64(F.col("value")).alias("data_base64"),
         )
@@ -132,9 +144,7 @@ def parse_cloudevents(
             df.select(F.from_json(F.col(json_col), schema).alias("e"))
             .select("e.data.*")
         )
-    if data_format == "avro":
-        from .avro import parse_envelope_avro
-
+    if data_format in ("avro", "protobuf"):
         ce_schema = (
             "id string, source string, specversion string, type string, "
             "datacontenttype string, data_base64 string"
@@ -144,7 +154,13 @@ def parse_cloudevents(
                 F.from_json(F.col(json_col), ce_schema)["data_base64"]
             ).alias("value")
         )
-        return parse_envelope_avro(wire, row_fields)
+        if data_format == "avro":
+            from .avro import parse_envelope_avro
+
+            return parse_envelope_avro(wire, row_fields)
+        from .protobuf import parse_envelope_protobuf
+
+        return parse_envelope_protobuf(wire, row_fields)
     raise ValueError(f"unknown CloudEvents data_format {data_format!r}")
 
 
