@@ -458,6 +458,26 @@ class LakeTable:
         rec = [f for f in files if f["bucket"] in delta_buckets]
         return plain, rec
 
+    def read_appended(
+        self, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """Rows appended AFTER ``since_version`` (append-mode tables only):
+        a file-level incremental read — only files whose commit ``seq``
+        exceeds the watermark are scanned, so a poller pays O(new rows)
+        per poll instead of O(table). Iceberg analog: incremental read
+        between snapshot ids. Keyed tables are rejected: their state is
+        reconciled (MOR), so 'new rows' is not a file-level notion there."""
+        m = self.manifest(version)
+        if m.key_cols:
+            raise ValueError(
+                "read_appended() is for append-mode (keyless) tables; "
+                f"this table has key columns {m.key_cols}"
+            )
+        files = [f for f in m.files if f.get("seq", 0) > since_version]
+        if not files:
+            return self.spark.createDataFrame([], m.spark_schema())
+        return self._read_mapped(m, files, with_mor_cols=False)
+
     def _read_mapped(
         self, m: Manifest, files: list[dict], *, with_mor_cols: bool
     ) -> DataFrame:

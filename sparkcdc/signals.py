@@ -103,6 +103,13 @@ class TableSignalChannel(_AckStateChannel):
     def __init__(self, table, state_path: str | None = None):
         self.table = table
         self._init_ack_state(state_path)
+        #: highest table version already delivered THIS process — polls
+        #: after the first scan only new commit files (read_appended), so
+        #: a months-old signal table costs O(new signals) per poll, not
+        #: O(history). Deliberately in-memory: a restart rescans once so
+        #: unacked signals redeliver (at-least-once), acked ids are
+        #: filtered BEFORE the collect.
+        self._scan_version = -1
 
     @staticmethod
     def create_signal_table(spark, root: str, name: str = "signals"):
@@ -129,8 +136,17 @@ class TableSignalChannel(_AckStateChannel):
         self.table.append(df, batch_id=last + 1, writer=writer)
 
     def read_new(self) -> list[dict]:
-        # signal tables are tiny by contract (control plane, not data)
-        rows = self.table.read().collect()
+        from pyspark.sql import functions as F
+
+        m = self.table.manifest()
+        if m.version <= self._scan_version:
+            return []  # no new commits since the last poll: no Spark job
+        new = self.table.read_appended(self._scan_version)
+        self._scan_version = m.version
+        if self._acked:
+            # acked-watermark filter: handled ids never reach the driver
+            new = new.filter(~F.col("id").isin(sorted(self._acked)))
+        rows = new.collect()
         out = []
         for r in sorted(rows, key=lambda r: str(r["id"])):
             if r["id"] in self._seen:

@@ -31,33 +31,114 @@ def header_to_value(headers: list[str], fields: list[str], operation: str = "cop
     return _apply
 
 
-def _convert_struct_ts(df: DataFrame, side: str, fields: list[str], target_tz: str):
+def _convert_struct_ts(df: DataFrame, side: str, fields: list[str],
+                       target_tz: str, gate=None):
     st = df.schema[side].dataType
     cols = []
     for f in st.fields:
         c = F.col(f"{side}.{f.name}")
         if f.name in fields:
-            c = F.convert_timezone(F.lit("UTC"), F.lit(target_tz), c)
+            conv = F.convert_timezone(F.lit("UTC"), F.lit(target_tz), c)
+            if gate is not None:
+                g = gate(f.name)
+                conv = F.when(g, conv).otherwise(c)
+            c = conv
         cols.append(c.alias(f.name))
     return F.when(F.col(side).isNotNull(), F.struct(*cols))
 
 
-def timezone_converter(target_tz: str, ts_fields: list[str] | None = None):
+def _tz_rule_gate(rules: list[str], topic_col):
+    """Compile TimezoneConverter include/exclude rules into a per-field
+    row predicate builder (core/transforms/TimezoneConverter.java:67-91):
+
+    - ``source:<table>[:<field>]`` — match on the envelope's
+      ``source.table``;
+    - ``topic:<topic>[:<field>]`` — match on the routing topic column;
+    - ``<name>:<field>`` — heuristic: source.table when a source block
+      exists, else the topic (the reference's <matchname> form).
+
+    Returns ``gate(field) -> Column`` true where a rule matches that
+    row+field. Rules without a field part match every time-based field."""
+    parsed = []
+    for r in rules:
+        parts = [p.strip() for p in r.split(":")]
+        if parts[0] in ("source", "topic"):
+            kind, name = parts[0], parts[1]
+            fld = parts[2] if len(parts) > 2 else None
+        else:  # heuristic <matchname>[:<field>]
+            kind, name = "auto", parts[0]
+            fld = parts[1] if len(parts) > 1 else None
+        parsed.append((kind, name, fld))
+
+    def gate(field: str):
+        conds = []
+        for kind, name, fld in parsed:
+            if fld is not None and fld != field:
+                continue
+            src = F.col("source.table") == name
+            top = (topic_col == name) if topic_col is not None else F.lit(False)
+            if kind == "source":
+                conds.append(src)
+            elif kind == "topic":
+                conds.append(top)
+            else:  # auto: source block if present, else topic
+                conds.append(
+                    F.when(F.col("source").isNotNull(), src).otherwise(top)
+                )
+        out = F.lit(False)
+        for c in conds:
+            out = out | c
+        return out
+
+    return gate
+
+
+def timezone_converter(
+    target_tz: str,
+    ts_fields: list[str] | None = None,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    topic_col: str | None = None,
+):
     """Convert temporal fields to a target timezone. Converts envelope
-    ``ts_ms`` companions and any named row fields inside before/after."""
+    ``ts_ms`` companions and any named row fields inside before/after.
+
+    ``include`` / ``exclude`` are the reference's rule lists
+    (``source:<table>[:<field>]``, ``topic:<topic>[:<field>]``,
+    ``<matchname>:<field>``) — mutually exclusive, as in
+    TimezoneConverter.java's config validation. With ``include`` only
+    matching rows/fields convert; with ``exclude`` matching rows/fields
+    are left alone and everything else converts. ``topic_col`` names the
+    routing-topic column for topic rules (e.g. after ByLogicalTableRouter
+    added one); absent, topic rules never match."""
     ts_fields = ts_fields or []
+    if include and exclude:
+        raise ValueError(
+            "include.list and exclude.list are mutually exclusive"
+        )
 
     def _apply(df: DataFrame) -> DataFrame:
+        tcol = F.col(topic_col) if topic_col and topic_col in df.columns else None
+        gate = None
+        if include:
+            gate = _tz_rule_gate(include, tcol)
+        elif exclude:
+            ex = _tz_rule_gate(exclude, tcol)
+            gate = lambda f: ~ex(f)  # noqa: E731
         out = df
         if ts_fields and "after" in df.columns:
-            out = out.withColumn("before", _convert_struct_ts(out, "before", ts_fields, target_tz))
-            out = out.withColumn("after", _convert_struct_ts(out, "after", ts_fields, target_tz))
+            out = out.withColumn("before", _convert_struct_ts(
+                out, "before", ts_fields, target_tz, gate))
+            out = out.withColumn("after", _convert_struct_ts(
+                out, "after", ts_fields, target_tz, gate))
         # flat frames: convert named columns directly
         for c in ts_fields:
             if c in out.columns:
-                out = out.withColumn(
-                    c, F.convert_timezone(F.lit("UTC"), F.lit(target_tz), F.col(c))
-                )
+                conv = F.convert_timezone(
+                    F.lit("UTC"), F.lit(target_tz), F.col(c))
+                if gate is not None and "source" in out.columns:
+                    conv = F.when(gate(c), conv).otherwise(F.col(c))
+                out = out.withColumn(c, conv)
         return out
 
     return _apply

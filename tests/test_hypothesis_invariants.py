@@ -72,3 +72,74 @@ def test_extract_rewrite_preserves_cardinality(spark, events):
     assert len(flat) == len(events)
     n_del = sum(1 for op, _k, _c in events if op == "d")
     assert sum(1 for r in flat if r["__deleted"] == "true") == n_del
+
+
+# -- sink differential: MemoryTableSink vs LakeTable ---------------------------
+
+sink_ops_strategy = st.lists(
+    st.one_of(
+        # a merge batch: per-key op + content
+        st.lists(
+            st.tuples(st.sampled_from(KEYS), st.sampled_from(["u", "d"]),
+                      st.text(alphabet="ab", min_size=0, max_size=3)),
+            min_size=1, max_size=4, unique_by=lambda t: t[0],
+        ),
+        # a schema evolution step
+        st.sampled_from(["add", "widen"]),
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=sink_ops_strategy)
+def test_sink_differential_memory_vs_lake(spark, tmp_path_factory, ops):
+    """Differential property: the SAME op sequence (merges with mixed
+    upsert/delete, interleaved schema evolutions, a fenced redelivery)
+    through both TableSink implementations yields identical final state,
+    version-for-version fences, and epochs — MemoryTableSink is the
+    executable spec LakeTable must agree with."""
+    import os
+
+    from sparkcdc.lake import LakeTable
+    from sparkcdc.sink import MemoryTableSink
+
+    root = str(tmp_path_factory.mktemp("diff"))
+    fields = [(n, "string") for n, _ in ROW_FIELDS]
+    lake = LakeTable.create(spark, root, "l", fields, ["repo", "path"],
+                            n_buckets=2)
+    mem = MemoryTableSink(spark, "m", fields, ["repo", "path"],
+                          meta_dir=os.path.join(root, "meta"), n_buckets=2)
+    added = 0
+    bid = 0
+    names = [n for n, _ in fields]
+    for step in ops:
+        if step == "add":
+            added += 1
+            ch = [{"action": "add", "name": f"x{added}", "type": "string",
+                   "default": "dflt"}]
+            lake.evolve(ch); mem.evolve(ch)
+            names.append(f"x{added}")
+            continue
+        if step == "widen":
+            continue  # string fields: nothing legal to widen; keep shape
+        rows = [
+            (k[0], k[1], "c0", "py", content,
+             *(["v"] * added), op)
+            for k, op, content in step
+        ]
+        batch = spark.createDataFrame(rows, names + ["_op"])
+        r1 = lake.merge(batch, batch_id=bid)
+        r2 = mem.merge(batch, batch_id=bid)
+        assert r1["skipped"] == r2["skipped"] is False
+        # fenced redelivery must be a no-op on BOTH
+        assert lake.merge(batch, batch_id=bid)["skipped"]
+        assert mem.merge(batch, batch_id=bid)["skipped"]
+        bid += 1
+    proj = lambda t: sorted(  # noqa: E731
+        tuple(r) for r in t.read().select(*names).collect())
+    assert proj(lake) == proj(mem)
+    assert lake.manifest().epoch == mem.manifest().epoch
+    assert (lake.manifest().summary.get("last_batch", {})
+            == mem.manifest().summary.get("last_batch", {}))

@@ -161,6 +161,55 @@ def test_timezone_converter(spark):
     assert str(out.first().ts) == "2024-01-01 07:00:00"
 
 
+def test_timezone_converter_include_exclude_scoping(spark):
+    """core/transforms/TimezoneConverter.java:67-91 rule lists: source:
+    table[:field] scoping, exclude inversion, mutual exclusion."""
+    import pytest
+    from pyspark.sql import types as T
+    from sparkcdc.envelope import envelope_schema
+
+    RF = [("id", T.StringType()), ("created", T.TimestampType()),
+          ("updated", T.TimestampType())]
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda table: (  # noqa: E731
+        "u", 0, None, ("k", t0, t0),
+        ("sparkcdc", "db", table, "false", None, 0, 0, None, 0),
+        None, 0, 0, False)
+    df = spark.createDataFrame([mk("orders"), mk("users")],
+                               envelope_schema(RF))
+
+    # include source:orders:created -> ONLY orders.created converts
+    out = timezone_converter(
+        "America/New_York", ["created", "updated"],
+        include=["source:orders:created"],
+    )(df)
+    rows = {r["source"]["table"]: r for r in out.collect()}
+    assert str(rows["orders"]["after"]["created"]) == "2024-01-01 07:00:00"
+    assert str(rows["orders"]["after"]["updated"]) == "2024-01-01 12:00:00"
+    assert str(rows["users"]["after"]["created"]) == "2024-01-01 12:00:00"
+
+    # exclude source:orders -> everything BUT orders converts
+    out = timezone_converter(
+        "America/New_York", ["created"], exclude=["source:orders"],
+    )(df)
+    rows = {r["source"]["table"]: r for r in out.collect()}
+    assert str(rows["orders"]["after"]["created"]) == "2024-01-01 12:00:00"
+    assert str(rows["users"]["after"]["created"]) == "2024-01-01 07:00:00"
+
+    # heuristic <matchname>:<field> matches source.table when present
+    out = timezone_converter(
+        "America/New_York", ["created"], include=["users:created"],
+    )(df)
+    rows = {r["source"]["table"]: r for r in out.collect()}
+    assert str(rows["users"]["after"]["created"]) == "2024-01-01 07:00:00"
+    assert str(rows["orders"]["after"]["created"]) == "2024-01-01 12:00:00"
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        timezone_converter("UTC", ["x"], include=["a:b"], exclude=["c:d"])
+
+
 # ---- T12/T13 mask + truncate -------------------------------------------------------
 
 def test_mask_strings_salted_hash(fixture):
