@@ -88,6 +88,10 @@ def run_replay(spark, n_events: int, n_parts: int, *, salt_buckets: int = 0,
                 reduce_strategy=strategy or os.environ.get(
                     "SPARKCDC_REDUCE_STRATEGY", "fat"),
                 commit_mode=os.environ.get("SPARKCDC_COMMIT_MODE", "mor"),
+                merge_adaptive=os.environ.get(
+                    "SPARKCDC_MERGE_ADAPTIVE", "auto"),
+                prefetch_source_plans=os.environ.get(
+                    "SPARKCDC_PREFETCH", "1") != "0",
             ),
         )
         return eng.replay(n_events)

@@ -159,6 +159,15 @@ class EngineConfig:
     #: and leaves it ON whenever the plan has a join AQE helps (narrow's
     #: winners semi-join broadcast, reselect's lookup join, skew joins).
     merge_adaptive: str = "auto"
+    #: overlap batch N+1's driver-side source-plan construction with
+    #: batch N's execution (one-slot prepare thread). Plan building is
+    #: the measured serial per-batch cost (~0.27 s: py4j round-trips +
+    #: Catalyst analysis) that caps scaling efficiency at large batch
+    #: counts — envelope DataFrames are independent of sink state, so
+    #: building the next one during the current merge is free overlap.
+    #: Applied only to the engine's own closed-form generator; custom
+    #: ``envelopes_for`` callables are not assumed thread-safe.
+    prefetch_source_plans: bool = True
 
 
 class CdcEngine:
@@ -327,6 +336,7 @@ class CdcEngine:
         epoch is rebuilt from the journaled history).
         """
         cfg = self.cfg
+        builtin_source = envelopes_for is None
         if envelopes_for is None:
             from .envelope import cdc_events_over_ids
 
@@ -354,15 +364,40 @@ class CdcEngine:
             if off >= start and off not in applied_offsets
         ]
         stats = {"batches": 0, "events": 0, "wall_sec": 0.0}
+        # flat slice plan, precomputed so the prefetcher can look one
+        # slice ahead (batch grid and schema boundaries are both known
+        # up front; O(total/batch_size) tuples, tiny even at 10^10)
+        plan: list[tuple[int, int, int, object]] = []
         lo = start
         while lo < total_events:
-            if self.signals is not None:
-                self.signals.process()
-                if self.signals.state.paused:
-                    self.notifications.notify("Streaming", "PAUSED", offset=lo)
-                    break  # pause signal: stop consuming; resume re-enters
             hi = min(lo + cfg.batch_size, total_events)
             for sub_lo, sub_hi, changes in split_at_boundaries(lo, hi, boundaries):
+                plan.append((lo, sub_lo, sub_hi, changes))
+            lo = hi
+        # one-slot prepare thread (see EngineConfig.prefetch_source_plans):
+        # builds slice N+1's envelope DataFrame while slice N's Spark jobs
+        # run. Envelope construction touches only the SparkSession (thread-
+        # safe driver API) and the immutable generator config — never sink
+        # state — so overlap cannot observe a half-applied batch.
+        prefetch = None
+        if builtin_source and cfg.prefetch_source_plans and len(plan) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            prefetch = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="sparkcdc-prefetch"
+            )
+        pending: tuple[tuple[int, int], object] | None = None
+        cur_outer = -1
+        try:
+            for i, (outer_lo, sub_lo, sub_hi, changes) in enumerate(plan):
+                if outer_lo != cur_outer:
+                    cur_outer = outer_lo
+                    if self.signals is not None:
+                        self.signals.process()
+                        if self.signals.state.paused:
+                            self.notifications.notify(
+                                "Streaming", "PAUSED", offset=outer_lo)
+                            break  # pause: stop consuming; resume re-enters
                 if changes:
                     if isinstance(changes, str):
                         # DDL-string schema capture: parse the statement(s)
@@ -428,7 +463,18 @@ class CdcEngine:
                         self.table.evolve(changes)
                 if sub_hi <= sub_lo:
                     continue
-                env = envelopes_for(sub_lo, sub_hi)
+                if pending is not None and pending[0] == (sub_lo, sub_hi):
+                    env = pending[1].result()
+                else:
+                    env = envelopes_for(sub_lo, sub_hi)
+                pending = None
+                if prefetch is not None and i + 1 < len(plan):
+                    nxt = plan[i + 1]
+                    if nxt[2] > nxt[1]:
+                        pending = (
+                            (nxt[1], nxt[2]),
+                            prefetch.submit(envelopes_for, nxt[1], nxt[2]),
+                        )
                 r = self._apply_batch(env, batch_id=batch_id, kind="replay",
                                       offsets={"lo": sub_lo, "next": sub_hi},
                                       refetch_ids=envelopes_for_ids)
@@ -436,7 +482,9 @@ class CdcEngine:
                 stats["events"] += sub_hi - sub_lo
                 stats["wall_sec"] += r["wall_sec"]
                 batch_id += 1
-            lo = hi
+        finally:
+            if prefetch is not None:
+                prefetch.shutdown(wait=False, cancel_futures=True)
         stats["events_per_sec"] = (
             stats["events"] / stats["wall_sec"] if stats["wall_sec"] else 0.0
         )

@@ -134,7 +134,7 @@ def test_adjust_avro_name_modes():
 
     assert adjust_avro_name("valid_name1", "avro") == "valid_name1"
     assert adjust_avro_name("order-total.usd", "avro") == "order_total_usd"
-    assert adjust_avro_name("1starts_digit", "avro") == "_starts_digit"
+    assert adjust_avro_name("1starts_digit", "avro") == "_1starts_digit"  # digit kept: no collision
     assert adjust_avro_name("a-b", "avro_unicode") == "a_u002db"
     # underscore escaped in unicode mode so the mapping is injective
     assert adjust_avro_name("a_b", "avro_unicode") == "a_u005fb"
@@ -188,5 +188,5 @@ def test_resolve_collection_name():
     ) == "sink_app_orders"
     # non-Debezium record (no source block): unresolvable → None
     assert resolve_collection_name("${source.table}", "t", None) is None
-    with pytest.raises(KeyError):
-        resolve_collection_name("${source.nope}", "t", {"db": "x"})
+    # missing referenced field: same skip contract as no source block
+    assert resolve_collection_name("${source.nope}", "t", {"db": "x"}) is None
