@@ -308,6 +308,89 @@ def q_cdc_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_kafka_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped source adapter (sources/kafka.py): envelopes serialized
+    onto a Kafka-record-shaped frame (value JSON; partition = user_id%2;
+    offset = dense per-partition row number ordered by event_id) and parsed
+    back through envelopes_from_kafka — the transport position must
+    override the payload's. Oracle recomputes the same layout with a SQL
+    window. Reference: the per-(topic,partition,offset) consumer contract
+    of SURVEY §3.2 / KafkaSignalChannel.java:36."""
+    from pyspark.sql import Window
+
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.sources.kafka import TopicPartitionCodec, envelopes_from_kafka
+
+    env = _env(spark, sf_dir)
+    kafka_part = (F.col("part_id") % 2).cast("int")
+    w = Window.partitionBy(kafka_part).orderBy("offset")
+    raw = env.withColumn(
+        "__v", F.to_json(F.struct(*[F.col(c) for c in env.columns]))
+    ).select(
+        F.col("__v").cast("binary").alias("value"),
+        F.lit(None).cast("binary").alias("key"),
+        F.lit("app.events").alias("topic"),
+        kafka_part.alias("partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+    )
+    codec = TopicPartitionCodec(("app.events",), stride=100)
+    out = envelopes_from_kafka(raw, codec, EVENT_ROW_FIELDS)
+    return out.select(
+        F.col("op"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.col("source.pos").alias("pos"),
+        F.col("part_id").alias("kafka_part"),
+        F.col("offset").alias("kafka_offset"),
+    )
+
+
+def q_cdc_timezone_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 TimezoneConverter include-list scoping
+    (core/transforms/TimezoneConverter.java:67): only rows whose
+    source.table matches the rule convert; everything else passes through
+    unchanged. Envelopes are routed to two logical tables by user parity."""
+    from pyspark.sql import types as T
+
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.transforms.columns import timezone_converter
+
+    ev = _t(spark, sf_dir, "events")
+    rf = EVENT_ROW_FIELDS + [("ts", T.TimestampType())]
+    env = _env(spark, sf_dir)
+    # carry the raw event timestamp as a row field and split the stream
+    # across two logical source tables by user parity
+    ts = ev.select(F.col("event_id").alias("offset"),
+                   F.col("ts").cast("timestamp").alias("__ts"))
+    work = env.join(ts, "offset").withColumn(
+        "after",
+        F.when(F.col("after").isNotNull(),
+               F.col("after").withField("ts", F.col("__ts"))),
+    ).withColumn(
+        "before",
+        F.when(F.col("before").isNotNull(),
+               F.col("before").withField("ts", F.col("__ts"))),
+    ).withColumn(
+        "source",
+        F.col("source").withField(
+            "table",
+            F.concat(F.lit("events_"),
+                     (F.coalesce(F.col("after.user_id"),
+                                 F.col("before.user_id")) % 2).cast("string")),
+        ),
+    ).drop("__ts")
+    out = timezone_converter(
+        "America/New_York", ["ts"], include=["source:events_0:ts"],
+    )(work)
+    return out.select(
+        F.col("offset"),
+        F.col("source.table").alias("src_table"),
+        F.date_format(
+            F.coalesce(F.col("after.ts"), F.col("before.ts")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ts_out"),
+    )
+
+
 def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/S12 incremental snapshot: backfill minus keys changed in the
     watermark window [5000, 10000) — the window-dedup anti-join."""
@@ -1105,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partition_routing": q_cdc_partition_routing,
         "cdc_outbox_router": q_cdc_outbox_router,
         "cdc_timezone": q_cdc_timezone,
+        "cdc_timezone_scoped": q_cdc_timezone_scoped,
+        "cdc_kafka_envelopes": q_cdc_kafka_envelopes,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_chunk_query": q_cdc_chunk_query,
         "cdc_offsets_progress": q_cdc_offsets_progress,
@@ -1681,6 +1766,28 @@ def oracle_sql() -> dict[str, str]:
                    user_id,
                    event_id AS pos,
                    event_id AS offset
+            FROM events
+        """,
+        "cdc_kafka_envelopes": """
+            WITH env AS (
+              SELECT event_id,
+                     CASE WHEN event_type='signup' THEN 'c'
+                          WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                     user_id,
+                     (user_id % 8) % 2 AS kp
+              FROM events)
+            SELECT op, user_id, event_id AS pos,
+                   CAST(kp AS INTEGER) AS kafka_part,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY kp ORDER BY event_id)
+                        - 1 AS BIGINT) AS kafka_offset
+            FROM env
+        """,
+        "cdc_timezone_scoped": """
+            SELECT event_id AS offset,
+                   concat('events_', CAST(user_id % 2 AS VARCHAR)) AS src_table,
+                   strftime(CASE WHEN user_id % 2 = 0
+                       THEN timezone('America/New_York', timezone('UTC', ts))
+                       ELSE ts END, '%Y-%m-%d %H:%M:%S') AS ts_out
             FROM events
         """,
         "cdc_envelope_cloudevents_proto_roundtrip": """
