@@ -349,13 +349,9 @@ def q_cdc_timezone_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (core/transforms/TimezoneConverter.java:67): only rows whose
     source.table matches the rule convert; everything else passes through
     unchanged. Envelopes are routed to two logical tables by user parity."""
-    from pyspark.sql import types as T
-
-    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
     from sparkcdc.transforms.columns import timezone_converter
 
     ev = _t(spark, sf_dir, "events")
-    rf = EVENT_ROW_FIELDS + [("ts", T.TimestampType())]
     env = _env(spark, sf_dir)
     # carry the raw event timestamp as a row field and split the stream
     # across two logical source tables by user parity

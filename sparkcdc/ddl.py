@@ -62,6 +62,10 @@ def map_type(sql_type: str) -> str:
             if t is None:  # int family: unsigned ints widen (SURVEY §2.7)
                 if "bigint" in s:
                     return "long"
+                # MySQL INT8 is an alias for BIGINT (INT1..INT4 are the
+                # 8/16/24/32-bit aliases and fit in 'int').
+                if re.match(r"int(eger)?8\b", s):
+                    return "long"
                 return "long" if "unsigned" in s else "int"
             return t
     raise UnsupportedDdl(f"unmapped SQL type: {sql_type!r}")

@@ -46,7 +46,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-from .lake import Field, Manifest, apply_schema_changes, type_of
+from .lake import CommitConflict, Field, Manifest, apply_schema_changes, type_of
 
 #: manifest type name -> Iceberg Spark SQL type
 _SQL_TYPE = {
@@ -288,7 +288,29 @@ class IcebergTableSink:
 
     def _commit_state(self, s: dict, writer: str, batch_id: int | None,
                       summary: dict | None) -> int:
+        """Commit the mutated state snapshot, detecting concurrent writers.
+
+        ``SET TBLPROPERTIES`` has no conditional form, so a blind
+        read-modify-write would let two writers clobber each other's
+        fence/offset state silently. Instead the state carries a
+        ``commit_token``: we verify the stored token still matches the
+        snapshot we mutated (pre-check), write a fresh token, then read
+        back and verify our token landed (post-check). Either failure
+        raises :class:`CommitConflict`, which the engine's
+        ``_merge_with_retry`` handles by re-reading state and re-applying
+        under the batch fence — the same contract ``LakeTable`` enforces
+        natively. On a real catalog the property write itself is an
+        atomic optimistic metadata commit, so the read-back observes a
+        serialized order."""
+        expected = s.get("commit_token")
+        current = self._read_state()
+        if current.get("commit_token") != expected:
+            raise CommitConflict(
+                f"{self.identifier}: state advanced since read "
+                "(concurrent writer) — re-read and retry"
+            )
         s["version"] += 1
+        s["commit_token"] = uuid.uuid4().hex
         if writer is not None and batch_id is not None:
             s["last_batch"][writer] = batch_id
         for k, v in (summary or {}).items():
@@ -297,6 +319,12 @@ class IcebergTableSink:
             else:
                 s.setdefault("summary_extra", {})[k] = v
         self._write_state(s)
+        check = self._read_state()
+        if check.get("commit_token") != s["commit_token"]:
+            raise CommitConflict(
+                f"{self.identifier}: concurrent state write won the race "
+                "— this commit's fence/offsets did not land; retry"
+            )
         return s["version"]
 
     def merge(

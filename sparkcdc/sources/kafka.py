@@ -91,20 +91,52 @@ def kafka_offsets_to_vector(
 
 
 def starting_offsets_json(
-    vec: OffsetVector, codec: TopicPartitionCodec, default: int = -2
+    vec: OffsetVector,
+    codec: TopicPartitionCodec,
+    default: int = -2,
+    partitions: dict[str, int] | None = None,
 ) -> str:
-    """An engine-committed OffsetVector → the ``startingOffsets`` JSON of
-    the Spark Kafka source. Partitions without committed progress start
-    at ``default`` (-2 = earliest, Kafka-source convention). Only
-    partitions present in the vector are pinned; list the rest explicitly
-    if the topic's partition count is known."""
-    out: dict[str, dict[str, int]] = {t: {} for t in codec.topics}
+    """An engine-committed OffsetVector → the ``startingOffsets`` value of
+    the Spark Kafka source.
+
+    The source's specific-offsets JSON must list EVERY assigned
+    TopicPartition ("startingOffsets for specific offsets must specify
+    all TopicPartitions"), so ``partitions`` — the actual per-topic
+    partition count, as the connector would learn from the admin client —
+    is required whenever committed progress exists: committed partitions
+    are pinned to their next offset, the rest start at ``default``
+    (-2 = earliest, Kafka-source convention). An empty vector renders as
+    the string ``"earliest"``, which is valid for any partition count.
+    A non-empty vector without ``partitions`` raises rather than emit
+    partial coverage the source would reject at stream start."""
+    if not vec.parts:
+        return "earliest"
+    if partitions is None:
+        raise ValueError(
+            "resuming from committed offsets requires per-topic partition "
+            "counts (partitions={topic: n}) — the specific-offsets JSON "
+            "must cover every TopicPartition"
+        )
+    out: dict[str, dict[str, int]] = {}
+    for t in codec.topics:
+        n = partitions.get(t)
+        if n is None or n < 1:
+            raise ValueError(f"no partition count for subscribed topic {t!r}")
+        if n > codec.stride:
+            raise ValueError(
+                f"topic {t!r} has {n} partitions > codec stride "
+                f"{codec.stride}; offsets would alias"
+            )
+        out[t] = {str(p): default for p in range(n)}
     for part_id, nxt in vec.parts.items():
         t, p = codec.topic_partition(part_id)
+        if p >= partitions[t]:
+            raise ValueError(
+                f"committed offset for {t}[{p}] but topic reports only "
+                f"{partitions[t]} partitions — stale codec or shrunk topic"
+            )
         out[t][str(p)] = int(nxt)
-    return json.dumps({t: v for t, v in out.items() if v} or
-                      {t: {"0": default} for t in codec.topics},
-                      sort_keys=True)
+    return json.dumps(out, sort_keys=True)
 
 
 def envelopes_from_kafka(
@@ -146,15 +178,19 @@ def kafka_envelope_stream(
     row_fields=None,
     starting_offsets: str | None = None,
     failure_handling: str = "keep",
+    partitions: dict[str, int] | None = None,
 ) -> DataFrame:
     """``readStream.format("kafka")`` → envelopes, resuming from the
     engine's committed per-partition vector by default (table state is
     the checkpoint — mirroring json_envelope_stream, streaming.py:57).
+    ``partitions`` (per-topic partition counts) is required for resume —
+    see :func:`starting_offsets_json`.
 
     Requires the spark-sql-kafka connector on the classpath."""
     if starting_offsets is None:
         starting_offsets = starting_offsets_json(
-            engine.committed_partition_offsets(), codec
+            engine.committed_partition_offsets(), codec,
+            partitions=partitions,
         )
     raw = (
         engine.spark.readStream.format("kafka")

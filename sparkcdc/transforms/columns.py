@@ -47,7 +47,7 @@ def _convert_struct_ts(df: DataFrame, side: str, fields: list[str],
     return F.when(F.col(side).isNotNull(), F.struct(*cols))
 
 
-def _tz_rule_gate(rules: list[str], topic_col):
+def _tz_rule_gate(rules: list[str], topic_col, has_source: bool = True):
     """Compile TimezoneConverter include/exclude rules into a per-field
     row predicate builder (core/transforms/TimezoneConverter.java:67-91):
 
@@ -75,20 +75,27 @@ def _tz_rule_gate(rules: list[str], topic_col):
         for kind, name, fld in parsed:
             if fld is not None and fld != field:
                 continue
-            src = F.col("source.table") == name
+            # Frames with no source block (flat routed output) can never
+            # match a source rule; NULL source.table must read as
+            # no-match, not NULL, so exclude's negation stays two-valued.
+            src = (
+                (F.col("source.table") == name) if has_source else F.lit(False)
+            )
             top = (topic_col == name) if topic_col is not None else F.lit(False)
             if kind == "source":
                 conds.append(src)
             elif kind == "topic":
                 conds.append(top)
-            else:  # auto: source block if present, else topic
+            elif has_source:  # auto: source block if present, else topic
                 conds.append(
                     F.when(F.col("source").isNotNull(), src).otherwise(top)
                 )
+            else:
+                conds.append(top)
         out = F.lit(False)
         for c in conds:
             out = out | c
-        return out
+        return F.coalesce(out, F.lit(False))
 
     return gate
 
@@ -119,11 +126,12 @@ def timezone_converter(
 
     def _apply(df: DataFrame) -> DataFrame:
         tcol = F.col(topic_col) if topic_col and topic_col in df.columns else None
+        has_source = "source" in df.columns
         gate = None
         if include:
-            gate = _tz_rule_gate(include, tcol)
+            gate = _tz_rule_gate(include, tcol, has_source)
         elif exclude:
-            ex = _tz_rule_gate(exclude, tcol)
+            ex = _tz_rule_gate(exclude, tcol, has_source)
             gate = lambda f: ~ex(f)  # noqa: E731
         out = df
         if ts_fields and "after" in df.columns:
@@ -136,7 +144,7 @@ def timezone_converter(
             if c in out.columns:
                 conv = F.convert_timezone(
                     F.lit("UTC"), F.lit(target_tz), F.col(c))
-                if gate is not None and "source" in out.columns:
+                if gate is not None:
                     conv = F.when(gate(c), conv).otherwise(F.col(c))
                 out = out.withColumn(c, conv)
         return out

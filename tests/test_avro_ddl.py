@@ -17,6 +17,10 @@ def test_map_type_families():
     assert map_type("int") == "int"
     assert map_type("INT UNSIGNED") == "long"  # unsigned widen, §2.7
     assert map_type("bigint(20)") == "long"
+    # MySQL INTn aliases: INT1..INT4 fit 'int'; INT8 is BIGINT
+    assert map_type("int4") == "int"
+    assert map_type("INT8") == "long"
+    assert map_type("integer8") == "long"
     assert map_type("tinyint(1)") == "boolean"
     assert map_type("decimal(12, 3)") == "decimal(12,3)"
     assert map_type("datetime(6)") == "timestamp"

@@ -201,6 +201,30 @@ def test_evolve_flow_validates_before_altering(spark):
     assert not any("ALTER COLUMN" in q for q in rec.log[n:])
 
 
+def test_commit_state_conflict_detection(spark):
+    """SET TBLPROPERTIES has no conditional form, so the state commit
+    carries a token and raises CommitConflict when another writer's
+    commit landed between read and write — instead of silently clobbering
+    the winner's fence/offset state (the engine retries on conflict)."""
+    import copy
+
+    from sparkcdc.lake import CommitConflict
+
+    rec, sink = _mk(spark)
+    stale = copy.deepcopy(sink._read_state())  # writer B's snapshot
+    batch = spark.createDataFrame(
+        [("r1", "p1", "c", "py", "x", "u")],
+        [n for n, _ in FIELDS] + ["_op"],
+    )
+    sink.merge(batch, batch_id=0, writer="a")  # writer A wins the race
+    with pytest.raises(CommitConflict, match="concurrent"):
+        sink._commit_state(stale, "b", 0, {"offsets": {"next": 1}})
+    # the winner's fence state survived untouched
+    m = sink.manifest()
+    assert m.summary["last_batch"] == {"a": 0}
+    assert sink.current_version() == 1
+
+
 def test_append_rejected_on_keyed_table(spark):
     rec, sink = _mk(spark)
     rows = spark.createDataFrame([("r", "p", "c", "py", "x")],

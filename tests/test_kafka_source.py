@@ -35,11 +35,16 @@ def test_offsets_translation_round_trip():
     c = TopicPartitionCodec(("a", "b"), stride=100)
     vec = kafka_offsets_to_vector({"a": {0: 10, 1: 20}, "b": {"0": 5}}, c)
     assert vec == OffsetVector({0: 10, 1: 20, 100: 5})
-    j = json.loads(starting_offsets_json(vec, c))
-    assert j == {"a": {"0": 10, "1": 20}, "b": {"0": 5}}
-    # empty vector -> earliest on every topic (the cold-start contract)
-    assert json.loads(starting_offsets_json(OffsetVector(), c)) == {
-        "a": {"0": -2}, "b": {"0": -2}}
+    # resume requires partition counts so the JSON covers EVERY
+    # TopicPartition (the Spark source rejects partial specific-offsets)
+    j = json.loads(starting_offsets_json(vec, c, partitions={"a": 3, "b": 2}))
+    assert j == {"a": {"0": 10, "1": 20, "2": -2}, "b": {"0": 5, "1": -2}}
+    with pytest.raises(ValueError, match="partition counts"):
+        starting_offsets_json(vec, c)
+    with pytest.raises(ValueError, match="shrunk"):
+        starting_offsets_json(vec, c, partitions={"a": 1, "b": 1})
+    # empty vector -> "earliest", valid for any partition count
+    assert starting_offsets_json(OffsetVector(), c) == "earliest"
 
 
 def _kafka_frame(spark, env_df, topic, n_parts):
@@ -117,7 +122,8 @@ def test_engine_resumes_from_kafka_offsets(spark, tmp_root):
     eng2 = default_engine(spark, os.path.join(tmp_root, "k"), n_buckets=4,
                           config=cfg)
     vec = eng2.committed_partition_offsets()
-    start = json.loads(starting_offsets_json(vec, c))
+    start = json.loads(
+        starting_offsets_json(vec, c, partitions={"app.repos": 2}))
     assert set(start["app.repos"]) == {"0", "1"}
     conds = [
         f"(part_id = {c.part_id('app.repos', int(p))} AND offset >= {o})"

@@ -209,6 +209,57 @@ def test_timezone_converter_include_exclude_scoping(spark):
     with pytest.raises(ValueError, match="mutually exclusive"):
         timezone_converter("UTC", ["x"], include=["a:b"], exclude=["c:d"])
 
+    # NULL source.table: matches no exclude rule, so it MUST convert
+    # (three-valued logic would otherwise leave it at UTC silently)
+    null_row = ("u", 0, None, ("k", t0, t0),
+                ("sparkcdc", "db", None, "false", None, 0, 0, None, 0),
+                None, 0, 0, False)
+    dfn = spark.createDataFrame([null_row], envelope_schema(RF))
+    out = timezone_converter(
+        "America/New_York", ["created"], exclude=["source:orders"],
+    )(dfn)
+    assert str(out.first()["after"]["created"]) == "2024-01-01 07:00:00"
+    # ...and under include it matches no rule, so it must NOT convert
+    out = timezone_converter(
+        "America/New_York", ["created"], include=["source:orders"],
+    )(dfn)
+    assert str(out.first()["after"]["created"]) == "2024-01-01 12:00:00"
+
+
+def test_timezone_converter_topic_scoping_without_source(spark):
+    """Flat routed frames (no source block, topic column) keep rule
+    scoping: include converts only the named topic's rows; exclude
+    spares them. Regression: the gate used to be silently dropped."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [("orders", t0), ("users", t0)], ["topic", "ts"])
+
+    out = timezone_converter(
+        "America/New_York", ["ts"], include=["topic:orders:ts"],
+        topic_col="topic",
+    )(df)
+    rows = {r["topic"]: r for r in out.collect()}
+    assert str(rows["orders"]["ts"]) == "2024-01-01 07:00:00"
+    assert str(rows["users"]["ts"]) == "2024-01-01 12:00:00"
+
+    out = timezone_converter(
+        "America/New_York", ["ts"], exclude=["topic:orders"],
+        topic_col="topic",
+    )(df)
+    rows = {r["topic"]: r for r in out.collect()}
+    assert str(rows["orders"]["ts"]) == "2024-01-01 12:00:00"
+    assert str(rows["users"]["ts"]) == "2024-01-01 07:00:00"
+
+    # heuristic <matchname> falls back to the topic when no source block
+    out = timezone_converter(
+        "America/New_York", ["ts"], include=["users:ts"], topic_col="topic",
+    )(df)
+    rows = {r["topic"]: r for r in out.collect()}
+    assert str(rows["users"]["ts"]) == "2024-01-01 07:00:00"
+    assert str(rows["orders"]["ts"]) == "2024-01-01 12:00:00"
+
 
 # ---- T12/T13 mask + truncate -------------------------------------------------------
 
