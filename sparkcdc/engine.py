@@ -177,6 +177,8 @@ class CdcEngine:
         table: TableSink,
         config: EngineConfig | None = None,
         signal_processor: SignalProcessor | None = None,
+        history_store=None,
+        offset_store=None,
     ):
         # the engine is typed against the TableSink PROTOCOL (sink.py):
         # LakeTable is the production impl; MemoryTableSink proves the
@@ -185,9 +187,16 @@ class CdcEngine:
         self.table = table
         self.cfg = config or EngineConfig()
         self.metrics = MetricsLog(os.path.join(table.meta_dir, "metrics.jsonl"))
+        # durable homes for restart state are pluggable (sparkcdc.storage,
+        # the debezium-storage seam): the history journal defaults to a
+        # file next to the table; an external offset store is an advisory
+        # post-commit MIRROR — the authoritative offsets stay in the
+        # sink's commit summary, atomic with the data (storage.py doc)
         self.schema_history = SchemaHistory(
-            os.path.join(table.meta_dir, "schema_history.jsonl")
+            history_store
+            or os.path.join(table.meta_dir, "schema_history.jsonl")
         )
+        self.offset_store = offset_store
         self.notifications = NotificationLog(
             os.path.join(table.meta_dir, "notifications.jsonl")
         )
@@ -203,8 +212,15 @@ class CdcEngine:
     def committed_offset(self) -> int:
         """Resume point: next global offset to read (K6/K7). Stored in the
         table manifest summary so the offset commit and the data commit are
-        the same atomic pointer flip."""
-        return int(self.table.manifest().summary.get("offsets", {}).get("next", 0))
+        the same atomic pointer flip. An external ``offset_store`` mirror
+        is consulted ONLY when the sink carries no committed offsets at
+        all (sink migration: state copied without its commit summary)."""
+        offs = self.table.manifest().summary.get("offsets")
+        if offs is None and self.offset_store is not None:
+            mirror = self.offset_store.load()
+            if mirror:
+                return int(mirror.get("next", 0))
+        return int((offs or {}).get("next", 0))
 
     def committed_batch(self) -> int:
         return int(
@@ -1400,6 +1416,10 @@ class CdcEngine:
             affected_buckets=res.get("affected_buckets"),
             strategy=chosen_strategy,
         )
+        if self.offset_store is not None and not res.get("skipped"):
+            # post-commit mirror (observability / sink migration); the
+            # summary just committed is the authoritative copy
+            self.offset_store.save(summary.get("offsets", {}))
         return {**res, "wall_sec": wall}
 
 
@@ -1409,6 +1429,8 @@ def default_engine(
     name: str = "source_code_repos",
     n_buckets: int = 16,
     config: EngineConfig | None = None,
+    history_store=None,
+    offset_store=None,
 ) -> CdcEngine:
     """Create-or-load the north-star table and wrap it in an engine."""
     if LakeTable.exists(root, name):
@@ -1419,4 +1441,5 @@ def default_engine(
             fields=[(n, "string") for n, _ in REPO_ROW_FIELDS],
             key_cols=REPO_KEY, n_buckets=n_buckets,
         )
-    return CdcEngine(spark, table, config)
+    return CdcEngine(spark, table, config, history_store=history_store,
+                     offset_store=offset_store)

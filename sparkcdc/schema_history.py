@@ -22,17 +22,23 @@ the recovery path on restart.
 
 from __future__ import annotations
 
-import json
-import os
 import time
 
 
 class SchemaHistory:
-    """Offset-keyed journal of schema changes for one table."""
+    """Offset-keyed journal of schema changes for one table.
 
-    def __init__(self, path: str):
-        self.path = path
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+    The durable home is pluggable (``sparkcdc.storage.HistoryStore`` —
+    file / memory / lake-table backends, the debezium-storage seam); a
+    plain path keeps the original file-journal behavior."""
+
+    def __init__(self, path_or_store):
+        from .storage import FileHistoryStore, HistoryStore
+
+        if isinstance(path_or_store, HistoryStore):
+            self.store = path_or_store
+        else:
+            self.store = FileHistoryStore(path_or_store)
 
     def record(
         self, offset: int, changes: list[dict], base_epoch: int | None = None
@@ -42,19 +48,12 @@ class SchemaHistory:
         ``base_epoch`` = the table epoch observed just before applying the
         change (write-ahead intent): recovery re-applies exactly the
         entries whose target epoch (base+1) the table never reached."""
-        entry = {"offset": offset, "changes": changes,
-                 "base_epoch": base_epoch,
-                 "ts_ms": int(time.time() * 1000)}
-        with open(self.path, "a") as fh:
-            fh.write(json.dumps(entry) + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
+        self.store.append({"offset": offset, "changes": changes,
+                           "base_epoch": base_epoch,
+                           "ts_ms": int(time.time() * 1000)})
 
     def entries(self) -> list[dict]:
-        if not os.path.exists(self.path):
-            return []
-        with open(self.path) as fh:
-            out = [json.loads(line) for line in fh if line.strip()]
+        out = self.store.load()
         # HistoryRecordComparator semantics: replay in position order
         out.sort(key=lambda e: e["offset"])
         return out

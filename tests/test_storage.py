@@ -1,0 +1,128 @@
+"""Pluggable storage backends (sparkcdc/storage.py — the
+debezium-storage seam): HistoryStore file/memory/table parity,
+SchemaHistory over each backend, engine wiring for a table-backed
+journal, and the external offset mirror incl. the sink-migration
+resume path."""
+
+import json
+import os
+
+from sparkcdc.engine import EngineConfig, default_engine
+from sparkcdc.schema_history import SchemaHistory
+from sparkcdc.storage import (
+    FileHistoryStore,
+    FileOffsetStore,
+    MemoryHistoryStore,
+    MemoryOffsetStore,
+    TableHistoryStore,
+)
+
+CFG = EngineConfig(batch_size=500, n_keys=40, seed=7)
+
+
+def _stores(tmp_root, spark):
+    table = TableHistoryStore.create_history_table(spark, tmp_root)
+    return {
+        "file": FileHistoryStore(os.path.join(tmp_root, "hist.jsonl")),
+        "memory": MemoryHistoryStore(),
+        "table": TableHistoryStore(table),
+    }
+
+
+def test_history_store_parity(spark, tmp_root):
+    """All three backends satisfy the same append/load contract and
+    return entries in append order."""
+    entries = [{"offset": o, "changes": [{"action": "add", "name": f"c{o}"}],
+                "base_epoch": i, "ts_ms": 1000 + i}
+               for i, o in enumerate((10, 5, 20))]
+    for name, store in _stores(tmp_root, spark).items():
+        for e in entries:
+            store.append(e)
+        assert store.load() == entries, name
+
+
+def test_file_and_table_stores_survive_reopen(spark, tmp_root):
+    f = FileHistoryStore(os.path.join(tmp_root, "h.jsonl"))
+    f.append({"offset": 1, "changes": []})
+    assert FileHistoryStore(f.path).load() == [{"offset": 1, "changes": []}]
+
+    t = TableHistoryStore.create_history_table(spark, tmp_root, "h2")
+    TableHistoryStore(t).append({"offset": 2, "changes": []})
+    from sparkcdc.lake import LakeTable
+
+    reopened = TableHistoryStore(LakeTable.load(spark, tmp_root, "h2"))
+    assert reopened.load() == [{"offset": 2, "changes": []}]
+
+
+def test_schema_history_over_any_backend(spark, tmp_root):
+    """SchemaHistory semantics (position-ordered entries, epoch_at) are
+    backend-independent."""
+    for name, store in _stores(tmp_root, spark).items():
+        h = SchemaHistory(store)
+        h.record(100, [{"action": "add", "name": "b", "type": "string"}])
+        h.record(50, [{"action": "add", "name": "a", "type": "string"}],
+                 base_epoch=0)
+        offs = [e["offset"] for e in h.entries()]
+        assert offs == [50, 100], name  # position order, not append order
+        assert h.epoch_at(49) == 0 and h.epoch_at(75) == 1
+        assert h.epoch_at(10**9) == 2, name
+
+
+def test_engine_journals_ddl_to_table_store(spark, tmp_root):
+    """An engine given a table-backed history journal records schema
+    changes there, and a restarted engine recovers them (the
+    JdbcSchemaHistory deployment shape)."""
+    hist_table = TableHistoryStore.create_history_table(
+        spark, os.path.join(tmp_root, "meta"))
+    eng = default_engine(spark, os.path.join(tmp_root, "t"), config=CFG,
+                         n_buckets=4,
+                         history_store=TableHistoryStore(hist_table))
+    eng.replay(1000, schema_changes=[
+        (600, [{"action": "add", "name": "stars", "type": "long"}]),
+    ])
+    assert "stars" in eng.table.read().columns
+    # journal row landed in the TABLE, not a file
+    assert not os.path.exists(
+        os.path.join(eng.table.meta_dir, "schema_history.jsonl"))
+    [entry] = eng.schema_history.entries()
+    assert entry["offset"] == 600
+
+    # restart: a fresh engine over the same journal table sees the history
+    eng2 = default_engine(spark, os.path.join(tmp_root, "t"), config=CFG,
+                          n_buckets=4,
+                          history_store=TableHistoryStore(hist_table))
+    assert [e["offset"] for e in eng2.schema_history.entries()] == [600]
+    assert eng2.schema_history.epoch_at(10**9) == 1
+
+
+def test_offset_mirror_and_migration_resume(spark, tmp_root):
+    """The external OffsetStore is written post-commit and is consulted
+    on resume ONLY when the sink carries no committed offsets — the
+    sink-migration path (state copied without its commit summary)."""
+    store = FileOffsetStore(os.path.join(tmp_root, "offsets.json"))
+    eng = default_engine(spark, os.path.join(tmp_root, "a"), config=CFG,
+                         n_buckets=4, offset_store=store)
+    eng.replay(1000)
+    assert eng.committed_offset() == 1000
+    mirror = store.load()
+    assert mirror["next"] == 1000  # mirror tracks the committed summary
+    with open(store.path) as fh:
+        assert json.loads(fh.read())["offsets"]["next"] == 1000
+
+    # a FRESH sink with no committed summary resumes from the mirror...
+    eng2 = default_engine(spark, os.path.join(tmp_root, "b"), config=CFG,
+                          n_buckets=4, offset_store=store)
+    assert eng2.committed_offset() == 1000
+    # ...but a sink WITH its own summary ignores the mirror even if stale
+    store.save({"next": 0, "lo": 0})
+    assert eng.committed_offset() == 1000
+
+
+def test_memory_offset_store_contract():
+    s = MemoryOffsetStore()
+    assert s.load() is None
+    s.save({"next": 7})
+    got = s.load()
+    assert got == {"next": 7}
+    got["next"] = 99  # load() hands out a copy, not the internal dict
+    assert s.load() == {"next": 7}
