@@ -179,6 +179,36 @@ def q_cdc_mongo_changestream_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_cdc_logminer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 Oracle LogMiner wire format: events → deterministic
+    V$LOGMINER_CONTENTS rows (canonical single-row redo SQL) →
+    pure-Catalyst parse back into envelopes (anchored regex atoms — a
+    comma or 'where' inside a quoted value cannot split a match; zero
+    UDFs) → per-key LWW reduce. The SCN is the offset (already 64-bit),
+    so last_scn proves positions ride through the redo wire unchanged.
+    Must equal the LWW oracle computed straight from events."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.sources.logminer import (
+        events_to_logminer_rows,
+        logminer_to_envelopes,
+    )
+
+    rows = events_to_logminer_rows(_t(spark, sf_dir, "events"))
+    env = logminer_to_envelopes(
+        rows, EVENT_ROW_FIELDS, ["user_id"], table="EVENTS", owner="APP"
+    )
+    ch = apply_mod.envelopes_to_changes(env, EVENT_ROW_COLS)
+    red = apply_mod.reduce_last_write_wins(ch, ["user_id"])
+    return red.select(
+        "user_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        "props",
+        "_op",
+        F.col("offset").alias("last_scn"),
+    )
+
+
 def q_cdc_extract_new_record_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 ExtractNewRecordState, rewrite mode + add.fields."""
     env = _env(spark, sf_dir)
@@ -1206,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_wal2json_replay": q_cdc_wal2json_replay,
         "cdc_mongo_changestream_replay": q_cdc_mongo_changestream_replay,
+        "cdc_logminer_replay": q_cdc_logminer_replay,
         "cdc_extract_new_record_state": q_cdc_extract_new_record_state,
         "cdc_extract_changed_state": q_cdc_extract_changed_state,
         "cdc_tombstones": q_cdc_tombstones,
@@ -1380,6 +1411,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op,
                    CAST((1700000000 + event_id // 1000) * 4294967296
                         + (event_id % 1000) AS BIGINT) AS last_cluster_pos
+            FROM last WHERE rn = 1
+        """,
+        "cdc_logminer_replay": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id,
+                   CASE WHEN event_type='error' THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents,
+                   CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
+                   CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op,
+                   event_id AS last_scn
             FROM last WHERE rn = 1
         """,
         "cdc_final_state": """

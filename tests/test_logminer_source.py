@@ -1,0 +1,165 @@
+"""Oracle LogMiner redo-row source adapter (S8).
+
+Fixture lines carry the V$LOGMINER_CONTENTS projection a tailer ships;
+SQL_REDO strings follow LogMiner's canonical single-row DML shape
+(double-quoted identifiers, quoted literals with '' escaping, IS NULL in
+WHERE images, TO_DATE/TO_TIMESTAMP wrappers)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcdc.apply import envelopes_to_changes, reduce_last_write_wins
+from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS, events_to_envelopes
+from sparkcdc.sources.logminer import (
+    events_to_logminer_rows,
+    logminer_to_envelopes,
+)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def _line(scn, op, redo, owner="APP", table="EVENTS"):
+    return json.dumps({
+        "scn": scn, "operation": op, "seg_owner": owner,
+        "table_name": table, "timestamp": "2024-01-01 00:00:00",
+        "xid": "0A000B00C3040000", "row_id": "AAAR5eAAFAAAAFDAAA",
+        "sql_redo": redo,
+    })
+
+
+FIXTURES = [
+    # insert: comma and doubled quote INSIDE a value must not split the list
+    _line(101, "INSERT",
+          'insert into "APP"."EVENTS"("USER_ID","EVENT_TYPE","VALUE","PROPS")'
+          " values ('42','signup','1.5','a, ''quoted'' str');"),
+    # update: literal ' where ' inside a SET value; WHERE carries full old
+    # row incl. an IS NULL old column (FULL supplemental logging)
+    _line(102, "UPDATE",
+          'update "APP"."EVENTS" set "EVENT_TYPE" = \'click\', '
+          '"PROPS" = \'x where y\' where "USER_ID" = \'42\' and '
+          '"EVENT_TYPE" = \'signup\' and "VALUE" IS NULL and '
+          '"PROPS" = \'p\';'),
+    # delete: PK-only WHERE (minimal supplemental logging)
+    _line(103, "DELETE",
+          'delete from "APP"."EVENTS" where "USER_ID" = \'42\';'),
+    # other table: filtered by table=
+    _line(104, "INSERT",
+          'insert into "APP"."OTHER"("USER_ID") values (\'7\');',
+          table="OTHER"),
+    # control operations: always filtered
+    _line(105, "COMMIT", "commit;"),
+    _line(106, "DDL", 'alter table "APP"."EVENTS" add "C" number;'),
+]
+
+
+@pytest.fixture
+def fixture_env(spark):
+    lines = spark.createDataFrame([(l,) for l in FIXTURES], "value string")
+    return logminer_to_envelopes(
+        lines, EVENT_ROW_FIELDS, ["user_id"], table="EVENTS", owner="APP"
+    )
+
+
+def test_ops_and_control_filtering(fixture_env):
+    rows = fixture_env.orderBy("offset").collect()
+    assert [r["op"] for r in rows] == ["c", "u", "d"]
+    assert [r["offset"] for r in rows] == [101, 102, 103]
+
+
+def test_insert_values_with_commas_and_escapes(fixture_env):
+    ins = fixture_env.orderBy("offset").first()
+    assert ins["after"]["user_id"] == 42
+    assert ins["after"]["value"] == 1.5
+    assert ins["after"]["props"] == "a, 'quoted' str"
+    assert ins["before"] is None
+
+
+def test_update_set_where_images(fixture_env):
+    """after = WHERE old row overridden by SET; a ' where ' inside a SET
+    value must not truncate the SET sequence; IS NULL old value lands
+    NULL."""
+    _, upd, _ = fixture_env.orderBy("offset").collect()
+    assert upd["after"]["event_type"] == "click"
+    assert upd["after"]["props"] == "x where y"   # SET wins
+    assert upd["after"]["user_id"] == 42          # carried from WHERE
+    assert upd["after"]["value"] is None          # IS NULL old, not SET
+    assert upd["before"]["event_type"] == "signup"
+    assert upd["before"]["props"] == "p"
+    assert upd["before"]["value"] is None
+
+
+def test_delete_key_only_before(fixture_env):
+    dele = fixture_env.orderBy("offset").collect()[-1]
+    assert dele["after"] is None
+    assert dele["before"]["user_id"] == 42
+    assert dele["before"]["event_type"] is None
+
+
+def test_scn_xid_rowid_mapping(fixture_env):
+    ins = fixture_env.orderBy("offset").first()
+    assert ins["offset"] == 101                    # SCN is the offset
+    assert ins["transaction"]["id"] == "0A000B00C3040000"
+    assert ins["source"]["file"] == "AAAR5eAAFAAAAFDAAA"
+    assert ins["ts_ms"] == 1704067200000
+
+
+def test_to_date_wrapper_unquotes(spark):
+    from pyspark.sql import types as T
+
+    rf = [("user_id", T.LongType()), ("created", T.TimestampType())]
+    line = _line(
+        200, "INSERT",
+        'insert into "APP"."EVENTS"("USER_ID","CREATED") values '
+        "('1',TO_TIMESTAMP('2024-06-01 12:30:45', "
+        "'YYYY-MM-DD HH24:MI:SS'));")
+    env = logminer_to_envelopes(
+        spark.createDataFrame([(line,)], "value string"), rf, ["user_id"]
+    )
+    row = env.first()
+    assert str(row["after"]["created"]) == "2024-06-01 12:30:45"
+
+
+def test_generator_parser_matches_direct_adapter(spark, events_df):
+    """events → logminer rows → envelopes equals the direct adapter on
+    (op, offset, after) — SCN = event_id so even offsets line up."""
+    parsed = logminer_to_envelopes(
+        events_to_logminer_rows(events_df),
+        EVENT_ROW_FIELDS, ["user_id"], table="EVENTS", owner="APP",
+    )
+    direct = events_to_envelopes(events_df)
+    cols = ["op", "offset", "after"]
+    a, b = parsed.select(cols), direct.select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_logminer_reduce_matches_events_reduce(spark, events_df):
+    row_cols = [n for n, _ in EVENT_ROW_FIELDS]
+    env = logminer_to_envelopes(
+        events_to_logminer_rows(events_df),
+        EVENT_ROW_FIELDS, ["user_id"], table="EVENTS", owner="APP",
+    )
+    red = reduce_last_write_wins(
+        envelopes_to_changes(env, row_cols), ["user_id"]
+    ).select("user_id", "event_type", "value", "props", "_op")
+    direct = reduce_last_write_wins(
+        envelopes_to_changes(events_to_envelopes(events_df), row_cols),
+        ["user_id"],
+    ).select("user_id", "event_type", "value", "props", "_op")
+    assert red.exceptAll(direct).count() == 0
+    assert direct.exceptAll(red).count() == 0
+
+
+def test_parse_plan_is_single_stage_no_shuffle(spark, events_df):
+    env = logminer_to_envelopes(
+        events_to_logminer_rows(events_df),
+        EVENT_ROW_FIELDS, ["user_id"], table="EVENTS", owner="APP",
+    )
+    plan = env._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
