@@ -108,6 +108,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "cdc_lww_reduce",
         "cdc_extract_new_record_state",
         "cdc_incremental_snapshot",
+        "cdc_wal2json_replay",
+        "cdc_mongo_changestream_replay",
+        "cdc_logminer_replay",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
