@@ -216,7 +216,10 @@ class CdcEngine:
         is consulted ONLY when the sink carries no committed offsets at
         all (sink migration: state copied without its commit summary)."""
         offs = self.table.manifest().summary.get("offsets")
-        if offs is None and self.offset_store is not None:
+        # `not offs` (absent OR empty): an offset-less first commit (e.g.
+        # a snapshot batch) records {} — that still carries no resume
+        # point, so the mirror stays authoritative for migration
+        if not offs and self.offset_store is not None:
             mirror = self.offset_store.load()
             if mirror:
                 return int(mirror.get("next", 0))
@@ -1416,10 +1419,16 @@ class CdcEngine:
             affected_buckets=res.get("affected_buckets"),
             strategy=chosen_strategy,
         )
-        if self.offset_store is not None and not res.get("skipped"):
+        if (
+            self.offset_store is not None
+            and not res.get("skipped")
+            and summary.get("offsets")
+        ):
             # post-commit mirror (observability / sink migration); the
-            # summary just committed is the authoritative copy
-            self.offset_store.save(summary.get("offsets", {}))
+            # summary just committed is the authoritative copy. An
+            # offset-less commit (empty dict) must NOT overwrite a
+            # migrated resume point with nothing.
+            self.offset_store.save(summary["offsets"])
         return {**res, "wall_sec": wall}
 
 

@@ -60,7 +60,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..envelope import source_struct, transaction_struct
+from ..envelope import transaction_struct
+from .wire import assemble_envelope, failure_opts, op_lookup
 
 #: from_json schema for one shipped V$LOGMINER_CONTENTS row
 LOGMINER_LINE_SCHEMA = (
@@ -89,8 +90,10 @@ _WHERE_SEQ = rf"{_PAIR_NC}(?:\s+and\s+{_PAIR_NC})*"
 
 def _unquote(v):
     """Redo literal → plain string value: NULL/absent → null; TO_DATE/
-    TO_TIMESTAMP keeps its first argument; '' unescapes to '."""
-    inner = F.regexp_extract(v, rf"TO_(?:DATE|TIMESTAMP)\s*\(\s*({_STR})", 1)
+    TO_TIMESTAMP keeps its first argument; '' unescapes to '. The
+    wrapper match is ANCHORED to the literal's start — a value merely
+    containing the text TO_DATE( inside its quotes must not trip it."""
+    inner = F.regexp_extract(v, rf"^TO_(?:DATE|TIMESTAMP)\s*\(\s*({_STR})", 1)
     s = F.when(inner != "", inner).otherwise(v)
     return F.when(
         v.isNull() | (v == "") | (v == "NULL"), F.lit(None).cast("string")
@@ -134,11 +137,7 @@ def logminer_to_envelopes(
     SEG_OWNER are upper-case in the view, compared as given). Control
     operations (COMMIT/ROLLBACK/DDL/...) drop here. Works unmodified on
     a streaming DataFrame (stateless projections only)."""
-    if failure_handling not in ("skip", "fail"):
-        raise ValueError(
-            f"unknown event.processing.failure.handling.mode {failure_handling!r}"
-        )
-    opts = {"mode": "FAILFAST"} if failure_handling == "fail" else {}
+    opts = failure_opts(failure_handling)
     j = F.from_json(F.col(line_col), LOGMINER_LINE_SCHEMA, opts).alias("j")
     work = lines.select(j).select("j.*").filter(
         F.col("operation").isin(*_OP)
@@ -161,7 +160,14 @@ def logminer_to_envelopes(
         ),
         F.lit(f"({_ATOM_NC})"), 1,
     )
-    ins_map = F.map_from_arrays(ins_names, F.transform(ins_vals, _unquote))
+    # guard the zip: a values list containing a literal outside the atom
+    # grammar (e.g. EMPTY_CLOB()) extracts fewer atoms than names — the
+    # map must not be built then (map_from_arrays throws), the row is
+    # invalid instead (handled below per failure_handling)
+    ins_ok = (F.size(ins_names) > 0) & (F.size(ins_names) == F.size(ins_vals))
+    ins_map = F.when(
+        ins_ok, F.map_from_arrays(ins_names, F.transform(ins_vals, _unquote))
+    )
     # UPDATE: SET pairs then WHERE pairs, both matched as structured
     # sequences anchored on the real keywords (a literal ' where ' inside
     # a value sits inside an atom and cannot terminate the SET sequence)
@@ -170,14 +176,16 @@ def logminer_to_envelopes(
     where_map = _pairs_to_map(F.regexp_extract(
         redo, rf"(?is)\bwhere\s+({_WHERE_SEQ})\s*;?\s*$", 1))
 
-    op = F.element_at(
-        F.create_map(*[F.lit(x) for kv in _OP.items() for x in kv]),
-        F.col("operation"),
-    )
+    op = op_lookup(_OP, F.col("operation"))
     # after-image: insert = the values list; update = old row overridden
-    # by the SET pairs (map_zip_with avoids dup-key policy traps)
+    # by the SET pairs. map_contains_key (not coalesce) decides the
+    # override, so an explicit SET-to-NULL nulls the column instead of
+    # resurrecting the old value.
     upd_after = F.map_zip_with(
-        where_map, set_map, lambda k, old, new: F.coalesce(new, old)
+        where_map, set_map,
+        lambda k, old, new: F.when(
+            F.map_contains_key(set_map, k), new
+        ).otherwise(old),
     )
     after_map = F.when(F.col("operation") == "INSERT", ins_map).when(
         F.col("operation") == "UPDATE", upd_after
@@ -185,6 +193,27 @@ def logminer_to_envelopes(
     before_map = F.when(
         F.col("operation").isin("UPDATE", "DELETE"), where_map
     )
+    # a DML row whose redo misses the canonical grammar (ROWID-only
+    # predicates, unsupported literals) must not emerge as a null-key
+    # envelope: skip drops it, fail aborts the batch naming the redo
+    parse_ok = (
+        F.when(F.col("operation") == "INSERT", ins_ok)
+        .when(F.col("operation") == "UPDATE",
+              (F.size(F.map_keys(set_map)) > 0)
+              & (F.size(F.map_keys(where_map)) > 0))
+        .otherwise(F.size(F.map_keys(where_map)) > 0)
+    )
+    if failure_handling == "fail":
+        # raising INSIDE the filter condition: the predicate must be
+        # evaluated per row, so it cannot be pruned away
+        work = work.filter(
+            F.when(parse_ok, F.lit(True)).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("unparseable LogMiner redo: "), redo))
+            )
+        )
+    else:
+        work = work.filter(parse_ok)
     after = F.when(after_map.isNotNull(), _typed_row(after_map, row_fields))
     before = F.when(before_map.isNotNull(), _typed_row(before_map, row_fields))
     key = [F.coalesce(after[c], before[c]) for c in key_cols]
@@ -208,16 +237,10 @@ def logminer_to_envelopes(
             F.lit(None).cast("long").alias("data_collection_order"),
         ),
     ).cast(transaction_struct())
-    return work.select(
-        op.alias("op"),
-        ts_ms.alias("ts_ms"),
-        before.alias("before"),
-        after.alias("after"),
-        src.cast(source_struct()).alias("source"),
-        txn.alias("transaction"),
-        F.pmod(F.xxhash64(*key), F.lit(n_parts)).cast("int").alias("part_id"),
-        F.col("scn").alias("offset"),
-        F.lit(False).alias("tombstone"),
+    return assemble_envelope(
+        work, op=op, ts_ms=ts_ms, before=before, after=after,
+        source=src, transaction=txn, key=key,
+        offset=F.col("scn"), n_parts=n_parts,
     )
 
 

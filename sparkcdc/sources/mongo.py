@@ -56,7 +56,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..envelope import source_struct, transaction_struct
+from ..envelope import transaction_struct
+from .wire import assemble_envelope, failure_opts, op_lookup
 
 _OP = {"insert": "c", "update": "u", "replace": "u", "delete": "d"}
 
@@ -138,11 +139,7 @@ def change_stream_to_envelopes(
     FAILFAST so the first malformed line aborts the batch."""
     if id_field not in dict(row_fields):
         raise ValueError(f"id_field {id_field!r} not in row_fields")
-    if failure_handling not in ("skip", "fail"):
-        raise ValueError(
-            f"unknown event.processing.failure.handling.mode {failure_handling!r}"
-        )
-    opts = {"mode": "FAILFAST"} if failure_handling == "fail" else {}
+    opts = failure_opts(failure_handling)
     schema = change_stream_schema(row_fields, id_field)
     j = F.from_json(F.col(line_col), schema, opts).alias("j")
     work = lines.select(j).select("j.*").filter(
@@ -151,10 +148,7 @@ def change_stream_to_envelopes(
     if collection is not None:
         work = work.filter(F.col("ns.coll") == collection)
 
-    op = F.element_at(
-        F.create_map(*[F.lit(x) for kv in _OP.items() for x in kv]),
-        F.col("operationType"),
-    )
+    op = op_lookup(_OP, F.col("operationType"))
     tpart = F.col("clusterTime").getField("$timestamp")
     offset = cluster_time_to_long(tpart["t"], tpart["i"])
     ts_ms = tpart["t"] * F.lit(1000)
@@ -187,16 +181,11 @@ def change_stream_to_envelopes(
         token.alias("gtid"),
         ts_ms.alias("ts_ms"),
     )
-    return work.select(
-        op.alias("op"),
-        ts_ms.alias("ts_ms"),
-        before.alias("before"),
-        F.when(F.col("operationType") != "delete", after).alias("after"),
-        src.cast(source_struct()).alias("source"),
-        F.lit(None).cast(transaction_struct()).alias("transaction"),
-        F.pmod(F.xxhash64(key), F.lit(n_parts)).cast("int").alias("part_id"),
-        offset.alias("offset"),
-        F.lit(False).alias("tombstone"),
+    return assemble_envelope(
+        work, op=op, ts_ms=ts_ms, before=before,
+        after=F.when(F.col("operationType") != "delete", after),
+        source=src, transaction=F.lit(None).cast(transaction_struct()),
+        key=[key], offset=offset, n_parts=n_parts,
     )
 
 

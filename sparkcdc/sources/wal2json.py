@@ -51,7 +51,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..envelope import source_struct, transaction_struct
+from ..envelope import transaction_struct
+from .wire import assemble_envelope, failure_opts, op_lookup
 
 #: from_json schema for one wal2json v2 line; `value` as string absorbs
 #: any JSON scalar (see module docstring)
@@ -124,21 +125,14 @@ def wal2json_to_envelopes(
     parses FAILFAST so the first malformed line aborts the batch —
     well-formed non-DML lines (B/C/M markers) still pass and are filtered.
     """
-    if failure_handling not in ("skip", "fail"):
-        raise ValueError(
-            f"unknown event.processing.failure.handling.mode {failure_handling!r}"
-        )
-    opts = {"mode": "FAILFAST"} if failure_handling == "fail" else {}
+    opts = failure_opts(failure_handling)
     j = F.from_json(F.col(line_col), WAL2JSON_LINE_SCHEMA, opts).alias("j")
     parsed = lines.select(j).select("j.*")
     work = parsed.filter(F.col("action").isin(*_OP))
     if table is not None:
         work = work.filter(F.col("table") == table)
 
-    op = F.element_at(
-        F.create_map(*[F.lit(x) for kv in _OP.items() for x in kv]),
-        F.col("action"),
-    )
+    op = op_lookup(_OP, F.col("action"))
     # pg timestamptz text ('2024-01-01 00:00:00.000001+00') casts directly
     ts_ms = F.expr("unix_micros(cast(timestamp as timestamp)) div 1000")
     offset = pg_lsn_to_long(F.col("lsn"))
@@ -168,16 +162,12 @@ def wal2json_to_envelopes(
             F.lit(None).cast("long").alias("data_collection_order"),
         ),
     ).cast(transaction_struct())
-    return work.select(
-        op.alias("op"),
-        ts_ms.alias("ts_ms"),
-        F.when(has_before, before).alias("before"),
-        F.when(has_after, after).alias("after"),
-        src.cast(source_struct()).alias("source"),
-        txn.alias("transaction"),
-        F.pmod(F.xxhash64(*key), F.lit(n_parts)).cast("int").alias("part_id"),
-        offset.alias("offset"),
-        F.lit(False).alias("tombstone"),
+    return assemble_envelope(
+        work, op=op, ts_ms=ts_ms,
+        before=F.when(has_before, before),
+        after=F.when(has_after, after),
+        source=src, transaction=txn, key=key, offset=offset,
+        n_parts=n_parts,
     )
 
 

@@ -163,3 +163,56 @@ def test_parse_plan_is_single_stage_no_shuffle(spark, events_df):
     plan = env._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_unparseable_dml_skips_or_fails_never_null_keys(spark):
+    """A DML row whose redo misses the canonical grammar (ROWID-only
+    predicate, non-atom literal like EMPTY_CLOB()) must not emerge as a
+    null-key envelope: skip drops it, fail aborts the batch."""
+    bad = [
+        _line(301, "DELETE",
+              'delete from "APP"."EVENTS" where ROWID = \'AAAR5exyz\';'),
+        _line(302, "INSERT",
+              'insert into "APP"."EVENTS"("USER_ID","PROPS") values '
+              "('1',EMPTY_CLOB());"),
+        _line(303, "INSERT",
+              'insert into "APP"."EVENTS"("USER_ID","EVENT_TYPE",'
+              '"VALUE","PROPS") values (\'5\',\'signup\',\'1\',\'ok\');'),
+    ]
+    lines = spark.createDataFrame([(l,) for l in bad], "value string")
+    ok = logminer_to_envelopes(
+        lines, EVENT_ROW_FIELDS, ["user_id"], table="EVENTS").collect()
+    assert [r["offset"] for r in ok] == [303]  # bad rows dropped, no crash
+    with pytest.raises(Exception, match="unparseable LogMiner redo"):
+        logminer_to_envelopes(
+            lines, EVENT_ROW_FIELDS, ["user_id"], table="EVENTS",
+            failure_handling="fail",
+        ).collect()
+
+
+def test_set_to_null_nulls_the_column(spark):
+    """FULL supplemental logging: an explicit SET col = NULL must null
+    the after-image column, not resurrect the WHERE old value."""
+    line = _line(
+        400, "UPDATE",
+        'update "APP"."EVENTS" set "PROPS" = NULL where '
+        '"USER_ID" = \'42\' and "PROPS" = \'x\';')
+    env = logminer_to_envelopes(
+        spark.createDataFrame([(line,)], "value string"),
+        EVENT_ROW_FIELDS, ["user_id"])
+    row = env.first()
+    assert row["after"]["props"] is None
+    assert row["before"]["props"] == "x"
+
+
+def test_to_date_text_inside_value_not_corrupted(spark):
+    """A string value merely CONTAINING 'TO_DATE(' must pass through
+    verbatim — the wrapper match is anchored to the literal start."""
+    line = _line(
+        401, "INSERT",
+        'insert into "APP"."EVENTS"("USER_ID","PROPS") values '
+        "('1','note: TO_DATE(''2024-01-01'') used');")
+    env = logminer_to_envelopes(
+        spark.createDataFrame([(line,)], "value string"),
+        EVENT_ROW_FIELDS, ["user_id"])
+    assert env.first()["after"]["props"] == "note: TO_DATE('2024-01-01') used"

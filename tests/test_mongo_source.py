@@ -179,3 +179,15 @@ def test_failfast_and_bad_config(spark):
             spark.createDataFrame([("x",)], "value string"),
             EVENT_ROW_FIELDS, "user_id", failure_handling="wat",
         )
+    # skip (default): a malformed line parses to an all-null struct whose
+    # NULL operationType the op filter drops — good lines survive
+    mixed = spark.createDataFrame(
+        [("{not json",), (FIXTURES[0],)], "value string")
+    ok = change_stream_to_envelopes(
+        mixed, EVENT_ROW_FIELDS, "user_id").collect()
+    assert [r["op"] for r in ok] == ["c"]
+    # fail: FAILFAST aborts the batch on the malformed line
+    with _pt.raises(Exception, match="(?i)malformed|FAILFAST|JSON"):
+        change_stream_to_envelopes(
+            mixed, EVENT_ROW_FIELDS, "user_id", failure_handling="fail",
+        ).collect()

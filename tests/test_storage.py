@@ -118,6 +118,27 @@ def test_offset_mirror_and_migration_resume(spark, tmp_root):
     assert eng.committed_offset() == 1000
 
 
+def test_offset_mirror_survives_offsetless_commit(spark, tmp_root):
+    """Migration resume must survive a FIRST commit that carries no
+    stream offsets (a snapshot batch records offsets={}): the mirror is
+    not clobbered with {} and committed_offset still consults it
+    (regression: `offs is None` missed the empty-dict case)."""
+    from pyspark.sql import functions as F
+
+    store = FileOffsetStore(os.path.join(tmp_root, "off.json"))
+    store.save({"next": 500, "lo": 0})  # migrated resume point
+    eng = default_engine(spark, os.path.join(tmp_root, "m"), config=CFG,
+                         n_buckets=4, offset_store=store)
+    src = spark.range(5).select(
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.lit("c").alias("commit"), F.lit("py").alias("lang"),
+        F.lit("x").alias("content"))
+    eng.run_snapshot(src)  # offset-less commit: summary offsets = {}
+    assert store.load() == {"next": 500, "lo": 0}  # mirror untouched
+    assert eng.committed_offset() == 500           # still resumes there
+
+
 def test_memory_offset_store_contract():
     s = MemoryOffsetStore()
     assert s.load() is None
