@@ -15,6 +15,13 @@ local dev just runs python):
 
   # table inspection
   python -m sparkcdc.cli describe --root /tmp/lake
+
+  # ingest shipped wire-format lines (wal2json / mongo change streams /
+  # LogMiner redo rows), resuming at the table's committed offset
+  python -m sparkcdc.cli ingest --root /tmp/lake --table events \
+      --format wal2json --path /data/wal/*.jsonl \
+      --fields user_id:long,event_type:string,value:double,props:string \
+      --key user_id --source-table events
 """
 
 from __future__ import annotations
@@ -69,6 +76,30 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default="source_code_repos")
     sp.add_argument("--master", default=None)
 
+    sp = sub.add_parser(
+        "ingest",
+        help="parse wire-format JSON lines (files) into envelopes and "
+             "apply them to a lake table, resuming at the committed offset",
+    )
+    common(sp)
+    sp.add_argument(
+        "--format", required=True, dest="wire_format",
+        choices=["wal2json", "mongo", "logminer"],
+        help="wire shape of the input lines",
+    )
+    sp.add_argument("--path", required=True,
+                    help="input file or glob of one-JSON-per-line records")
+    sp.add_argument(
+        "--fields", required=True,
+        help="row fields as name:type,... (manifest type names, e.g. "
+             "user_id:long,event_type:string,value:double,props:string)",
+    )
+    sp.add_argument("--key", required=True,
+                    help="comma-joined key column(s); mongo uses the first "
+                         "as the _id-mapped field")
+    sp.add_argument("--source-table", default=None,
+                    help="captured table/collection filter (include list)")
+
     args = p.parse_args(argv)
     spark = get_spark("sparkcdc-cli", master=args.master)
 
@@ -100,6 +131,57 @@ def main(argv: list[str] | None = None) -> int:
         compact_max_deltas=args.compact_max_deltas,
         reduce_strategy=args.reduce_strategy,
     )
+
+    if args.cmd == "ingest":
+        from pyspark.sql import functions as F
+
+        from .engine import CdcEngine
+        from .lake import LakeTable, type_of
+
+        fields = [tuple(f.split(":", 1)) for f in args.fields.split(",")]
+        row_fields = [(n, type_of(t)) for n, t in fields]
+        key_cols = args.key.split(",")
+        if LakeTable.exists(args.root, args.table):
+            table = LakeTable.load(spark, args.root, args.table)
+        else:
+            table = LakeTable.create(
+                spark, args.root, args.table, fields=fields,
+                key_cols=key_cols, n_buckets=args.buckets,
+            )
+        eng = CdcEngine(spark, table, cfg)
+        lines = spark.read.text(args.path).withColumnRenamed("value", "value")
+        if args.wire_format == "wal2json":
+            from .sources.wal2json import wal2json_to_envelopes
+
+            env = wal2json_to_envelopes(
+                lines, row_fields, key_cols, table=args.source_table)
+        elif args.wire_format == "mongo":
+            from .sources.mongo import change_stream_to_envelopes
+
+            env = change_stream_to_envelopes(
+                lines, row_fields, key_cols[0],
+                collection=args.source_table)
+        else:
+            from .sources.logminer import logminer_to_envelopes
+
+            env = logminer_to_envelopes(
+                lines, row_fields, key_cols, table=args.source_table)
+        committed = eng.committed_offset()
+        env = env.filter(F.col("offset") >= committed)
+        mx = env.agg(F.max("offset")).first()[0]
+        if mx is None:
+            print(json.dumps({"applied": 0, "skipped": True,
+                              "committed": committed}))
+            return 0
+        res = eng._apply_batch(
+            env, batch_id=eng.committed_batch() + 1, kind="replay",
+            offsets={"lo": committed, "next": int(mx) + 1},
+        )
+        print(json.dumps({
+            "version": res.get("version"), "skipped": res.get("skipped"),
+            "resumed_from": committed, "next_offset": int(mx) + 1,
+        }))
+        return 0
     eng = default_engine(spark, args.root, name=args.table,
                          n_buckets=args.buckets, config=cfg)
 
