@@ -25,6 +25,14 @@ A from-scratch re-creation of the *capabilities* of Debezium
 - control-plane signals (``signals.py``) + lifecycle notifications
   (``notifications.py``); Structured Streaming front-end (``streaming.py``)
 - multi-table capture (``multitable.py``)
+- wire-format sources (``sources/``): wal2json v2, MongoDB change
+  streams, Oracle LogMiner redo rows, Kafka-shaped records — each parsed
+  pure-Catalyst into envelopes with native positions (LSN / clusterTime /
+  SCN / partition offsets) as the resume vector
+- pluggable restart-state storage (``storage.py``, cf. debezium-storage-*):
+  file/memory/lake-table schema-history journals, external offset mirror
+- sink seam (``sink.py`` TableSink protocol) with ``LakeTable``,
+  ``MemoryTableSink``, and ``iceberg.IcebergTableSink`` implementations
 - scalar converter library + text/vector/hashing functions (``functions/``)
 - training-data pipeline operators: dedup, similarity search, text stats,
   multimodal plumbing (``pipeline/``)
