@@ -209,6 +209,40 @@ def q_cdc_logminer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_sqlserver_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL Server CDC change-table wire format: events → deterministic
+    change-table rows (updates ship as the reference's operation-3/4
+    before/after pair sharing one seqval) → pure-Catalyst parse whose
+    pairing is ONE hash aggregation per (commit LSN, key) instead of the
+    reference's serial adjacency walk → per-key LWW reduce. The offset
+    packs the 10-byte commit LSN into 63 bits ((vlf&0x7fff)<<48 |
+    block<<16 | slot), so last_commit_lsn proves the codec roundtrips
+    through the JSON wire: the emitter makes it exactly (0x25<<48) +
+    event_id. Must equal the LWW oracle computed straight from events,
+    with deleted keys masked to the key-only image deletes carry."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.sources.sqlserver import (
+        change_table_to_envelopes,
+        events_to_change_table_rows,
+    )
+
+    rows = events_to_change_table_rows(_t(spark, sf_dir, "events"))
+    env = change_table_to_envelopes(
+        rows, EVENT_ROW_FIELDS, ["user_id"], capture_instance="dbo_events"
+    )
+    ch = apply_mod.envelopes_to_changes(env, EVENT_ROW_COLS)
+    red = apply_mod.reduce_last_write_wins(ch, ["user_id"])
+    live = F.col("_op") != "d"
+    return red.select(
+        "user_id",
+        F.when(live, F.col("event_type")).alias("event_type"),
+        F.when(live, _cents(F.col("value"))).alias("value_cents"),
+        F.when(live, F.col("props")).alias("props"),
+        "_op",
+        F.col("offset").alias("last_commit_lsn"),
+    )
+
+
 def q_cdc_extract_new_record_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 ExtractNewRecordState, rewrite mode + add.fields."""
     env = _env(spark, sf_dir)
@@ -1237,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wal2json_replay": q_cdc_wal2json_replay,
         "cdc_mongo_changestream_replay": q_cdc_mongo_changestream_replay,
         "cdc_logminer_replay": q_cdc_logminer_replay,
+        "cdc_sqlserver_cdc_replay": q_cdc_sqlserver_cdc_replay,
         "cdc_extract_new_record_state": q_cdc_extract_new_record_state,
         "cdc_extract_changed_state": q_cdc_extract_changed_state,
         "cdc_tombstones": q_cdc_tombstones,
@@ -1425,6 +1460,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
                    CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op,
                    event_id AS last_scn
+            FROM last WHERE rn = 1
+        """,
+        # packed commit LSN = (0x25 << 48) + event_id = 10414574138294272 + event_id
+        "cdc_sqlserver_cdc_replay": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id,
+                   CASE WHEN event_type='error' THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents,
+                   CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
+                   CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op,
+                   CAST(10414574138294272 + event_id AS BIGINT) AS last_commit_lsn
             FROM last WHERE rn = 1
         """,
         "cdc_final_state": """

@@ -26,9 +26,10 @@ A from-scratch re-creation of the *capabilities* of Debezium
   (``notifications.py``); Structured Streaming front-end (``streaming.py``)
 - multi-table capture (``multitable.py``)
 - wire-format sources (``sources/``): wal2json v2, MongoDB change
-  streams, Oracle LogMiner redo rows, Kafka-shaped records — each parsed
-  pure-Catalyst into envelopes with native positions (LSN / clusterTime /
-  SCN / partition offsets) as the resume vector
+  streams, Oracle LogMiner redo rows, SQL Server CDC change tables,
+  Kafka-shaped records — each parsed pure-Catalyst into envelopes with
+  native positions (LSN / clusterTime / SCN / partition offsets) as the
+  resume vector
 - pluggable restart-state storage (``storage.py``, cf. debezium-storage-*):
   file/memory/lake-table schema-history journals, external offset mirror
 - sink seam (``sink.py`` TableSink protocol) with ``LakeTable``,

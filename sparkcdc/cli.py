@@ -84,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument(
         "--format", required=True, dest="wire_format",
-        choices=["wal2json", "mongo", "logminer"],
+        choices=["wal2json", "mongo", "logminer", "sqlserver"],
         help="wire shape of the input lines",
     )
     sp.add_argument("--path", required=True,
@@ -161,6 +161,12 @@ def main(argv: list[str] | None = None) -> int:
             env = change_stream_to_envelopes(
                 lines, row_fields, key_cols[0],
                 collection=args.source_table)
+        elif args.wire_format == "sqlserver":
+            from .sources.sqlserver import change_table_to_envelopes
+
+            env = change_table_to_envelopes(
+                lines, row_fields, key_cols,
+                capture_instance=args.source_table)
         else:
             from .sources.logminer import logminer_to_envelopes
 

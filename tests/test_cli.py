@@ -63,3 +63,23 @@ def test_ingest_mongo_format(spark, tmp_root, capsys):
     from sparkcdc.lake import LakeTable
 
     assert LakeTable.load(spark, root, "events_sink").read().count() > 0
+
+
+def test_ingest_sqlserver_format(spark, tmp_root, capsys):
+    from sparkcdc.sources.sqlserver import events_to_change_table_rows
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = os.path.join(tmp_root, "ct")
+    events_to_change_table_rows(events).coalesce(1).write.mode(
+        "overwrite").text(path)
+    root = os.path.join(tmp_root, "lake3")
+    assert main(["ingest", "--root", root, "--table", "events_sink",
+                 "--format", "sqlserver", "--path", path + "/*.txt",
+                 "--fields", FIELDS, "--key", "user_id",
+                 "--source-table", "dbo_events", "--buckets", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skipped"] is False
+
+    from sparkcdc.lake import LakeTable
+
+    assert LakeTable.load(spark, root, "events_sink").read().count() > 0
