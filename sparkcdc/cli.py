@@ -17,7 +17,8 @@ local dev just runs python):
   python -m sparkcdc.cli describe --root /tmp/lake
 
   # ingest shipped wire-format lines (wal2json / mongo change streams /
-  # LogMiner redo rows), resuming at the table's committed offset
+  # LogMiner redo rows / SQL Server CDC change tables), resuming at the
+  # table's committed offset
   python -m sparkcdc.cli ingest --root /tmp/lake --table events \
       --format wal2json --path /data/wal/*.jsonl \
       --fields user_id:long,event_type:string,value:double,props:string \
@@ -149,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
                 key_cols=key_cols, n_buckets=args.buckets,
             )
         eng = CdcEngine(spark, table, cfg)
-        lines = spark.read.text(args.path).withColumnRenamed("value", "value")
+        lines = spark.read.text(args.path)
         if args.wire_format == "wal2json":
             from .sources.wal2json import wal2json_to_envelopes
 
@@ -173,19 +174,33 @@ def main(argv: list[str] | None = None) -> int:
             env = logminer_to_envelopes(
                 lines, row_fields, key_cols, table=args.source_table)
         committed = eng.committed_offset()
-        env = env.filter(F.col("offset") >= committed)
-        mx = env.agg(F.max("offset")).first()[0]
-        if mx is None:
-            print(json.dumps({"applied": 0, "skipped": True,
-                              "committed": committed}))
-            return 0
-        res = eng._apply_batch(
-            env, batch_id=eng.committed_batch() + 1, kind="replay",
-            offsets={"lo": committed, "next": int(mx) + 1},
-        )
+        # persist: the max-offset probe and the apply otherwise each
+        # rerun the whole read+parse (+ the sqlserver pairing shuffle)
+        env = env.filter(F.col("offset") >= committed).persist()
+        try:
+            mx = env.agg(F.max("offset")).first()[0]
+            if mx is None:
+                print(json.dumps({"applied": 0, "skipped": True,
+                                  "committed": committed}))
+                return 0
+            # sqlserver offsets are COMMIT LSNs shared by every row of a
+            # transaction, and a tailer can flush mid-transaction — so the
+            # max-offset transaction may still be incomplete in this run's
+            # files. Commit next = mx (not mx+1): the boundary transaction
+            # is re-read next run — redelivery is idempotent through the
+            # merge, and a later run that ships the missing rows refreshes
+            # the net change. Per-event-offset formats keep the exact
+            # exclusive watermark.
+            nxt = int(mx) + (0 if args.wire_format == "sqlserver" else 1)
+            res = eng._apply_batch(
+                env, batch_id=eng.committed_batch() + 1, kind="replay",
+                offsets={"lo": committed, "next": nxt},
+            )
+        finally:
+            env.unpersist()
         print(json.dumps({
             "version": res.get("version"), "skipped": res.get("skipped"),
-            "resumed_from": committed, "next_offset": int(mx) + 1,
+            "resumed_from": committed, "next_offset": nxt,
         }))
         return 0
     eng = default_engine(spark, args.root, name=args.table,

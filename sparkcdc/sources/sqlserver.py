@@ -36,8 +36,9 @@ by the operation code, so a 3 sorts before its 4),
 
 - the LAST after-image (operations 2/4) → envelope ``after``,
 - the FIRST before-image (operations 1/3) → envelope ``before``,
-- ``op``: no after-image survives → ``d``; first operation is an
-  insert → ``c``; otherwise ``u``.
+- ``op``: the overall-LAST operation is a delete, or no after-image
+  survives at all (a lone update-before / PK-change old half) → ``d``;
+  first operation is an insert → ``c``; otherwise ``u``.
 
 This additionally collapses multiple changes to the SAME key inside one
 transaction into the transaction's net change (the reference emits each
@@ -177,14 +178,19 @@ def change_table_to_envelopes(
             F.min_by(F.when(is_before, F.col("data")),
                      F.when(is_before, ordkey)).alias("__before"),
             F.min_by(F.col("operation"), ordkey).alias("__first_op"),
-            F.max_by(F.col("update_mask"), ordkey).alias("__mask"),
+            F.max_by(F.col("operation"), ordkey).alias("__last_op"),
             F.max("seqval").alias("__last_seqval"),
             F.max("commit_time").alias("__commit_ms"),
         )
     )
 
+    # net op: a key whose LAST change in the transaction is a delete is
+    # gone even if earlier changes left an after-image (insert-then-
+    # delete must NOT resurrect as a 'c'); a group with no after-image
+    # at all (lone op-3 / PK-change old half) is equally gone
+    is_del = (F.col("__last_op") == OP_DELETE) | F.col("__after").isNull()
     op = (
-        F.when(F.col("__after").isNull(), F.lit("d"))
+        F.when(is_del, F.lit("d"))
         .when(F.col("__first_op") == OP_INSERT, F.lit("c"))
         .otherwise(F.lit("u"))
     )
@@ -207,7 +213,8 @@ def change_table_to_envelopes(
     )
     return assemble_envelope(
         grouped, op=op, ts_ms=ts_ms,
-        before=F.col("__before"), after=F.col("__after"),
+        before=F.col("__before"),
+        after=F.when(~is_del, F.col("__after")),
         source=src, transaction=F.lit(None).cast(transaction_struct()),
         key=key, offset=offset, n_parts=n_parts,
     )

@@ -83,3 +83,55 @@ def test_ingest_sqlserver_format(spark, tmp_root, capsys):
     from sparkcdc.lake import LakeTable
 
     assert LakeTable.load(spark, root, "events_sink").read().count() > 0
+
+
+def test_ingest_sqlserver_boundary_tx_not_lost(spark, tmp_root, capsys):
+    """A tailer can flush mid-transaction: run 1 ships only the op-3
+    half of the max-LSN transaction. The sqlserver format commits an
+    INCLUSIVE watermark (next = max commit LSN), so run 2 — which ships
+    the complete pair — re-reads the boundary transaction and lands the
+    update instead of losing the op-4 half forever."""
+    import json as _json
+
+    half = _json.dumps({
+        "start_lsn": "00000025:00000100:0001",
+        "seqval": "00000025:000000ff:0001", "operation": 3,
+        "update_mask": "0f", "capture_instance": "dbo_events",
+        "commit_time": 1700000000000,
+        "data": {"user_id": 5, "event_type": "signup",
+                 "value": 1.0, "props": None},
+    })
+    full = _json.dumps({
+        "start_lsn": "00000025:00000100:0001",
+        "seqval": "00000025:000000ff:0001", "operation": 4,
+        "update_mask": "0f", "capture_instance": "dbo_events",
+        "commit_time": 1700000000000,
+        "data": {"user_id": 5, "event_type": "click",
+                 "value": 9.0, "props": "late"},
+    })
+    d1 = os.path.join(tmp_root, "run1")
+    os.makedirs(d1)
+    with open(os.path.join(d1, "a.txt"), "w") as f:
+        f.write(half + "\n")
+    d2 = os.path.join(tmp_root, "run2")
+    os.makedirs(d2)
+    with open(os.path.join(d2, "a.txt"), "w") as f:
+        f.write(half + "\n" + full + "\n")
+
+    root = os.path.join(tmp_root, "lake4")
+    base = ["ingest", "--root", root, "--table", "events_sink",
+            "--format", "sqlserver", "--fields", FIELDS,
+            "--key", "user_id", "--source-table", "dbo_events",
+            "--buckets", "4"]
+    assert main(base + ["--path", d1 + "/*.txt"]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # inclusive watermark: next == the boundary commit LSN itself
+    boundary = (0x25 << 48) | (0x100 << 16) | 1
+    assert out1["next_offset"] == boundary
+
+    from sparkcdc.lake import LakeTable
+
+    assert main(base + ["--path", d2 + "/*.txt"]) == 0
+    t = LakeTable.load(spark, root, "events_sink")
+    rows = {r["user_id"]: r for r in t.read().collect()}
+    assert rows[5]["event_type"] == "click" and rows[5]["props"] == "late"

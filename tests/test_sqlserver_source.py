@@ -63,6 +63,19 @@ FIXTURES = [
     # tx6: a stray update-before whose after half was lost → 'd' of the key
     _row("00000025:00000013:0001", "00000025:0000000c:0001", 3,
          {"user_id": 13, "event_type": "view", "value": 9.0, "props": None}),
+    # tx7: insert then delete of the SAME key in one transaction — the
+    # key must come out dead ('d'), not resurrect as a 'c'
+    _row("00000025:00000014:0001", "00000025:0000000b:0001", 2,
+         {"user_id": 21, "event_type": "signup", "value": 1.0, "props": None}),
+    _row("00000025:00000014:0001", "00000025:0000000b:0002", 1,
+         {"user_id": 21, "event_type": "signup", "value": 1.0, "props": None}),
+    # tx8: update pair then delete in one transaction → 'd'
+    _row("00000025:00000015:0001", "00000025:0000000a:0001", 3,
+         {"user_id": 22, "event_type": "view", "value": 1.0, "props": None}),
+    _row("00000025:00000015:0001", "00000025:0000000a:0001", 4,
+         {"user_id": 22, "event_type": "click", "value": 2.0, "props": None}),
+    _row("00000025:00000015:0001", "00000025:0000000a:0002", 1,
+         {"user_id": 22, "event_type": "click", "value": 2.0, "props": None}),
 ]
 
 
@@ -89,7 +102,12 @@ def test_ops_pairing_and_filtering(fixture_env):
         ((0x12 << 16) | 1, "d", 7),       # PK change: old key deleted
         ((0x12 << 16) | 1, "u", 8),       # PK change: new key upserted
         ((0x13 << 16) | 1, "d", 13),      # lone op-3
+        ((0x14 << 16) | 1, "d", 21),      # insert-then-delete: dead
+        ((0x15 << 16) | 1, "d", 22),      # update-then-delete: dead
     ]
+    # delete-after-write groups must not carry a live after-image
+    dead = [r for r in rows if r["op"] == "d"]
+    assert all(r["after"] is None for r in dead)
 
 
 def test_update_pair_images(fixture_env):
