@@ -243,6 +243,41 @@ def q_cdc_sqlserver_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_maxwell_binlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binlog wire format (Maxwell JSON lines): events →
+    deterministic Maxwell lines (update ``old`` carries ONLY the changed
+    column, so the parse must presence-merge the before-image from
+    data+old) → pure-Catalyst parse back into envelopes (typed from_json
+    plus a map re-parse for old-key presence, zero UDFs, no shuffle) →
+    per-key LWW reduce. The offset packs the binlog (file-suffix, pos)
+    pair ((suffix<<32)|pos, files rotate every 2^20 events in the
+    emitter), so last_binlog_pos proves the codec roundtrips through the
+    JSON wire. Deleted keys mask to key-only images: Maxwell ships the
+    full deleted row in ``data`` but the oracle's delete carries no
+    payload. Must equal the LWW oracle computed straight from events."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.sources.maxwell import (
+        events_to_maxwell_lines,
+        maxwell_to_envelopes,
+    )
+
+    lines = events_to_maxwell_lines(_t(spark, sf_dir, "events"))
+    env = maxwell_to_envelopes(
+        lines, EVENT_ROW_FIELDS, ["user_id"], database="app", table="events"
+    )
+    ch = apply_mod.envelopes_to_changes(env, EVENT_ROW_COLS)
+    red = apply_mod.reduce_last_write_wins(ch, ["user_id"])
+    live = F.col("_op") != "d"
+    return red.select(
+        "user_id",
+        F.when(live, F.col("event_type")).alias("event_type"),
+        F.when(live, _cents(F.col("value"))).alias("value_cents"),
+        F.when(live, F.col("props")).alias("props"),
+        "_op",
+        F.col("offset").alias("last_binlog_pos"),
+    )
+
+
 def q_cdc_extract_new_record_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 ExtractNewRecordState, rewrite mode + add.fields."""
     env = _env(spark, sf_dir)
@@ -1272,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mongo_changestream_replay": q_cdc_mongo_changestream_replay,
         "cdc_logminer_replay": q_cdc_logminer_replay,
         "cdc_sqlserver_cdc_replay": q_cdc_sqlserver_cdc_replay,
+        "cdc_maxwell_binlog_replay": q_cdc_maxwell_binlog_replay,
         "cdc_extract_new_record_state": q_cdc_extract_new_record_state,
         "cdc_extract_changed_state": q_cdc_extract_changed_state,
         "cdc_tombstones": q_cdc_tombstones,
@@ -1475,6 +1511,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
                    CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op,
                    CAST(10414574138294272 + event_id AS BIGINT) AS last_commit_lsn
+            FROM last WHERE rn = 1
+        """,
+        # packed binlog position = (1 + event_id div 2^20) << 32
+        #                          + event_id mod 2^20
+        "cdc_maxwell_binlog_replay": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id,
+                   CASE WHEN event_type='error' THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents,
+                   CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
+                   CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op,
+                   CAST((1 + event_id // 1048576) * 4294967296
+                        + (event_id % 1048576) AS BIGINT) AS last_binlog_pos
             FROM last WHERE rn = 1
         """,
         "cdc_final_state": """

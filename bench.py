@@ -112,6 +112,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "cdc_mongo_changestream_replay",
         "cdc_logminer_replay",
         "cdc_sqlserver_cdc_replay",
+        "cdc_maxwell_binlog_replay",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",

@@ -27,9 +27,9 @@ A from-scratch re-creation of the *capabilities* of Debezium
 - multi-table capture (``multitable.py``)
 - wire-format sources (``sources/``): wal2json v2, MongoDB change
   streams, Oracle LogMiner redo rows, SQL Server CDC change tables,
-  Kafka-shaped records — each parsed pure-Catalyst into envelopes with
-  native positions (LSN / clusterTime / SCN / partition offsets) as the
-  resume vector
+  MySQL binlog rows as Maxwell JSON, Kafka-shaped records — each parsed
+  pure-Catalyst into envelopes with native positions (LSN / clusterTime
+  / SCN / binlog file:pos / partition offsets) as the resume vector
 - pluggable restart-state storage (``storage.py``, cf. debezium-storage-*):
   file/memory/lake-table schema-history journals, external offset mirror
 - sink seam (``sink.py`` TableSink protocol) with ``LakeTable``,

@@ -17,8 +17,8 @@ local dev just runs python):
   python -m sparkcdc.cli describe --root /tmp/lake
 
   # ingest shipped wire-format lines (wal2json / mongo change streams /
-  # LogMiner redo rows / SQL Server CDC change tables), resuming at the
-  # table's committed offset
+  # LogMiner redo rows / SQL Server CDC change tables / Maxwell binlog
+  # JSON), resuming at the table's committed offset
   python -m sparkcdc.cli ingest --root /tmp/lake --table events \
       --format wal2json --path /data/wal/*.jsonl \
       --fields user_id:long,event_type:string,value:double,props:string \
@@ -85,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument(
         "--format", required=True, dest="wire_format",
-        choices=["wal2json", "mongo", "logminer", "sqlserver"],
+        choices=["wal2json", "mongo", "logminer", "sqlserver", "maxwell"],
         help="wire shape of the input lines",
     )
     sp.add_argument("--path", required=True,
@@ -168,6 +168,11 @@ def main(argv: list[str] | None = None) -> int:
             env = change_table_to_envelopes(
                 lines, row_fields, key_cols,
                 capture_instance=args.source_table)
+        elif args.wire_format == "maxwell":
+            from .sources.maxwell import maxwell_to_envelopes
+
+            env = maxwell_to_envelopes(
+                lines, row_fields, key_cols, table=args.source_table)
         else:
             from .sources.logminer import logminer_to_envelopes
 

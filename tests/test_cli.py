@@ -85,6 +85,26 @@ def test_ingest_sqlserver_format(spark, tmp_root, capsys):
     assert LakeTable.load(spark, root, "events_sink").read().count() > 0
 
 
+def test_ingest_maxwell_format(spark, tmp_root, capsys):
+    from sparkcdc.sources.maxwell import events_to_maxwell_lines
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = os.path.join(tmp_root, "mx")
+    events_to_maxwell_lines(events).coalesce(1).write.mode(
+        "overwrite").text(path)
+    root = os.path.join(tmp_root, "lake_mx")
+    assert main(["ingest", "--root", root, "--table", "events_sink",
+                 "--format", "maxwell", "--path", path + "/*.txt",
+                 "--fields", FIELDS, "--key", "user_id",
+                 "--source-table", "events", "--buckets", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skipped"] is False
+
+    from sparkcdc.lake import LakeTable
+
+    assert LakeTable.load(spark, root, "events_sink").read().count() > 0
+
+
 def test_ingest_sqlserver_boundary_tx_not_lost(spark, tmp_root, capsys):
     """A tailer can flush mid-transaction: run 1 ships only the op-3
     half of the max-LSN transaction. The sqlserver format commits an
