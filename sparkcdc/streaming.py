@@ -71,6 +71,70 @@ def json_envelope_stream(
     return parse_envelope_json(raw, row_fields, failure_handling=failure_handling)
 
 
+def wire_envelope_stream(
+    engine: CdcEngine,
+    path: str,
+    wire_format: str,
+    row_fields,
+    key_cols: list[str],
+    *,
+    source_table: str | None = None,
+    database: str | None = None,
+    failure_handling: str = "skip",
+) -> DataFrame:
+    """Streaming ingestion of SHIPPED wire formats — the deployment a real
+    binlog/WAL tailer feeds: Maxwell / wal2json / change-stream / LogMiner
+    lines land in files (or Kafka), Spark streams and parses them into
+    envelopes, ``start_stream`` applies them with the batch fence.
+
+    Every supported parser is a stateless projection (plan-asserted in its
+    source tests), so it runs unmodified on a streaming DataFrame — the
+    micro-batch boundary never splits the meaning of a line. ``sqlserver``
+    is refused: its operation-3/4 pairing is an aggregation whose pair can
+    straddle a micro-batch boundary (a tailer may flush the before-row and
+    after-row of one update into different files); pairing across batches
+    would need keyed state with no bound. Use the batch path
+    (``cli.py ingest --format sqlserver``), whose commit-next-at-boundary
+    watermark re-reads the possibly-incomplete max-LSN transaction on the
+    next run.
+
+    The Kafka swap is the same one line as :func:`json_envelope_stream`:
+    ``readStream.format('kafka')...selectExpr("CAST(value AS STRING)")``.
+    """
+    if wire_format == "sqlserver":
+        raise ValueError(
+            "sqlserver pairing aggregates across lines and a tailer can "
+            "split an update's 3/4 pair across micro-batches; use the "
+            "batch ingest path (cli.py ingest --format sqlserver)"
+        )
+    raw = engine.spark.readStream.text(path)
+    if wire_format == "wal2json":
+        from .sources.wal2json import wal2json_to_envelopes
+
+        return wal2json_to_envelopes(
+            raw, row_fields, key_cols, table=source_table,
+            failure_handling=failure_handling)
+    if wire_format == "mongo":
+        from .sources.mongo import change_stream_to_envelopes
+
+        return change_stream_to_envelopes(
+            raw, row_fields, key_cols[0], collection=source_table,
+            failure_handling=failure_handling)
+    if wire_format == "logminer":
+        from .sources.logminer import logminer_to_envelopes
+
+        return logminer_to_envelopes(
+            raw, row_fields, key_cols, table=source_table,
+            failure_handling=failure_handling)
+    if wire_format == "maxwell":
+        from .sources.maxwell import maxwell_to_envelopes
+
+        return maxwell_to_envelopes(
+            raw, row_fields, key_cols, database=database,
+            table=source_table, failure_handling=failure_handling)
+    raise ValueError(f"unknown wire format: {wire_format!r}")
+
+
 def default_checkpoint_dir(engine: CdcEngine) -> str:
     """Deterministic checkpoint location under the table's meta dir.
 
