@@ -70,6 +70,20 @@ def _env(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_to_envelopes(_t(spark, sf_dir, "events"))
 
 
+def _wire_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events rows for the wire-format emitters. The sandbox events
+    table is ONE small parquet file, so without intervention every wire
+    parse runs as a single task — a bench artifact, not the production
+    shape (a WAL/redo shipper produces many files; Kafka has many
+    partitions, and the adapters are narrow-only so they inherit that
+    parallelism 1:1). Restore it by repartitioning the COMPACT events
+    rows BEFORE the emitter generates fat wire text: the shuffle moves
+    ~2 MB of columnar events, not the generated JSON."""
+    return _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _cents(c) -> F.Column:
     return F.round(c * 100, 0).cast("long")
 
@@ -133,7 +147,7 @@ def q_cdc_wal2json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         wal2json_to_envelopes,
     )
 
-    lines = events_to_wal2json_lines(_t(spark, sf_dir, "events"))
+    lines = events_to_wal2json_lines(_wire_feed(spark, sf_dir))
     env = wal2json_to_envelopes(
         lines, EVENT_ROW_FIELDS, ["user_id"], table="events"
     )
@@ -163,7 +177,7 @@ def q_cdc_mongo_changestream_replay(spark: SparkSession, sf_dir: str) -> DataFra
         events_to_change_stream_docs,
     )
 
-    docs = events_to_change_stream_docs(_t(spark, sf_dir, "events"))
+    docs = events_to_change_stream_docs(_wire_feed(spark, sf_dir))
     env = change_stream_to_envelopes(
         docs, EVENT_ROW_FIELDS, "user_id", collection="events"
     )
@@ -193,7 +207,7 @@ def q_cdc_logminer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         logminer_to_envelopes,
     )
 
-    rows = events_to_logminer_rows(_t(spark, sf_dir, "events"))
+    rows = events_to_logminer_rows(_wire_feed(spark, sf_dir))
     env = logminer_to_envelopes(
         rows, EVENT_ROW_FIELDS, ["user_id"], table="EVENTS", owner="APP"
     )
@@ -226,7 +240,7 @@ def q_cdc_sqlserver_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_to_change_table_rows,
     )
 
-    rows = events_to_change_table_rows(_t(spark, sf_dir, "events"))
+    rows = events_to_change_table_rows(_wire_feed(spark, sf_dir))
     env = change_table_to_envelopes(
         rows, EVENT_ROW_FIELDS, ["user_id"], capture_instance="dbo_events"
     )
@@ -261,7 +275,7 @@ def q_cdc_maxwell_binlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxwell_to_envelopes,
     )
 
-    lines = events_to_maxwell_lines(_t(spark, sf_dir, "events"))
+    lines = events_to_maxwell_lines(_wire_feed(spark, sf_dir))
     env = maxwell_to_envelopes(
         lines, EVENT_ROW_FIELDS, ["user_id"], database="app", table="events"
     )

@@ -34,10 +34,15 @@ with ``''`` escaping, NULL bare, temporal values wrapped in
 Parsing is pure Catalyst: the statement structure is regular enough for
 anchored regexes whose value atoms consume quoted strings atomically —
 a comma or the word ``where`` INSIDE a string value cannot split a
-match, because the atom pattern ``'(?:[^']|'')*'`` swallows it. Column
+match, because the atom pattern ``'[^']*(?:''[^']*)*'`` swallows it
+atomically (unrolled-loop form — linear scan, no per-character
+alternation for the backtracking regex engine to revisit). Column
 lists and value lists are extracted with ``regexp_extract_all`` and
 zipped; UPDATE's after-image is the old row (WHERE pairs) overridden by
-the SET pairs via ``map_zip_with`` — no Python UDFs, no shuffle.
+the SET pairs via per-field ``map_contains_key`` lookups — no Python
+UDFs, no shuffle, and no higher-order-function lambdas (those are
+codegen fallbacks that block subexpression elimination, which would
+re-run the regex chain once per output column).
 
 The WHERE image depends on the database's supplemental logging level
 exactly as in the reference (Debezium requires supplemental logging):
@@ -74,7 +79,7 @@ _OP = {"INSERT": "c", "UPDATE": "u", "DELETE": "d"}
 
 #: one redo value literal, consumed atomically: a quoted string with ''
 #: escapes, NULL, or a TO_DATE/TO_TIMESTAMP('...', 'fmt') wrapper
-_STR = r"'(?:[^']|'')*'"
+_STR = r"'[^']*(?:''[^']*)*'"  # unrolled-loop form: no per-char alternation
 _ATOM = rf"(?:{_STR}|NULL|TO_(?:DATE|TIMESTAMP)\s*\(\s*{_STR}\s*(?:,\s*{_STR}\s*)?\))"
 _NAME = r'"([A-Za-z0-9_#$]+)"'
 #: "COL" = <atom>  |  "COL" IS NULL   (WHERE images use IS NULL);
@@ -86,6 +91,11 @@ _PAIR_NC = rf'"[A-Za-z0-9_#$]+"\s*(?:=\s*{_ATOM_NC}|IS\s+NULL)'
 #: SET pair-list (comma-joined) and WHERE pair-list (and-joined)
 _SET_SEQ = rf"{_PAIR_NC}(?:\s*,\s*{_PAIR_NC})*"
 _WHERE_SEQ = rf"{_PAIR_NC}(?:\s+and\s+{_PAIR_NC})*"
+#: whole-statement validity checks (anchored): ONE rlike scan decides
+#: parseability, so the parse_ok FILTER never re-derives the pair maps
+#: — matching these implies the segment extractions below succeed
+_UPD_STMT = rf"(?is)^\s*update\s+\S+\s+set\s+{_SET_SEQ}\s+where\s+{_WHERE_SEQ}\s*;?\s*$"
+_DEL_STMT = rf"(?is)^\s*delete\s+from\s+\S+\s+where\s+{_WHERE_SEQ}\s*;?\s*$"
 
 
 def _unquote(v):
@@ -99,22 +109,30 @@ def _unquote(v):
         v.isNull() | (v == "") | (v == "NULL"), F.lit(None).cast("string")
     ).otherwise(
         F.regexp_replace(
-            F.regexp_extract(s, r"^'((?:[^']|'')*)'$", 1), "''", "'"
+            F.regexp_extract(s, r"^'([^']*(?:''[^']*)*)'$", 1), "''", "'"
         )
     )
 
 
 def _pairs_to_map(seg):
-    """A SET/WHERE pair segment → map<name, unquoted value> (IS NULL
-    pairs land as NULL values)."""
+    """A SET/WHERE pair segment → map<name, RAW value literal> (an IS
+    NULL pair's unmatched value group lands as '' → :func:`_unquote`
+    yields NULL). Values stay quoted here on purpose: unquoting happens
+    per field AFTER the map lookup (:func:`_typed_row`), so this subtree
+    contains NO lambda — higher-order functions (``transform`` /
+    ``map_zip_with``) force interpreted (non-codegen) evaluation of the
+    whole expression. The map is materialized once per row as a staged
+    column (see :func:`logminer_to_envelopes`) however many fields look
+    it up."""
     names = F.regexp_extract_all(seg, F.lit(_PAIR), 1)
     vals = F.regexp_extract_all(seg, F.lit(_PAIR), 2)
-    return F.map_from_arrays(names, F.transform(vals, _unquote))
+    return F.map_from_arrays(names, vals)
 
 
 def _typed_row(m, row_fields: list[tuple[str, T.DataType]]):
+    """Raw-literal map → typed row struct (unquote per field, post-lookup)."""
     return F.struct(*[
-        F.element_at(m, F.lit(n.upper())).cast(t).alias(n)
+        _unquote(F.element_at(m, F.lit(n.upper()))).cast(t).alias(n)
         for n, t in row_fields
     ])
 
@@ -165,9 +183,8 @@ def logminer_to_envelopes(
     # map must not be built then (map_from_arrays throws), the row is
     # invalid instead (handled below per failure_handling)
     ins_ok = (F.size(ins_names) > 0) & (F.size(ins_names) == F.size(ins_vals))
-    ins_map = F.when(
-        ins_ok, F.map_from_arrays(ins_names, F.transform(ins_vals, _unquote))
-    )
+    # raw-literal map, same no-lambda rationale as _pairs_to_map
+    ins_map = F.when(ins_ok, F.map_from_arrays(ins_names, ins_vals))
     # UPDATE: SET pairs then WHERE pairs, both matched as structured
     # sequences anchored on the real keywords (a literal ' where ' inside
     # a value sits inside an atom and cannot terminate the SET sequence)
@@ -177,31 +194,22 @@ def logminer_to_envelopes(
         redo, rf"(?is)\bwhere\s+({_WHERE_SEQ})\s*;?\s*$", 1))
 
     op = op_lookup(_OP, F.col("operation"))
-    # after-image: insert = the values list; update = old row overridden
-    # by the SET pairs. map_contains_key (not coalesce) decides the
-    # override, so an explicit SET-to-NULL nulls the column instead of
-    # resurrecting the old value.
-    upd_after = F.map_zip_with(
-        where_map, set_map,
-        lambda k, old, new: F.when(
-            F.map_contains_key(set_map, k), new
-        ).otherwise(old),
-    )
-    after_map = F.when(F.col("operation") == "INSERT", ins_map).when(
-        F.col("operation") == "UPDATE", upd_after
-    )
-    before_map = F.when(
-        F.col("operation").isin("UPDATE", "DELETE"), where_map
-    )
+    is_ins = F.col("operation") == "INSERT"
+    is_upd = F.col("operation") == "UPDATE"
     # a DML row whose redo misses the canonical grammar (ROWID-only
     # predicates, unsupported literals) must not emerge as a null-key
-    # envelope: skip drops it, fail aborts the batch naming the redo
+    # envelope: skip drops it, fail aborts the batch naming the redo.
+    # The gate runs BEFORE the map-staging projection and decides with
+    # ONE anchored whole-statement rlike per row (op-gated CASE WHEN),
+    # so it never re-derives the pair maps — a filter placed above the
+    # staging projection instead gets predicate-pushed below it with the
+    # map expressions substituted back in, doubling the regex work (the
+    # INSERT branch keeps the exact arity check; matching _UPD/_DEL_STMT
+    # implies the segment extractions below succeed).
     parse_ok = (
-        F.when(F.col("operation") == "INSERT", ins_ok)
-        .when(F.col("operation") == "UPDATE",
-              (F.size(F.map_keys(set_map)) > 0)
-              & (F.size(F.map_keys(where_map)) > 0))
-        .otherwise(F.size(F.map_keys(where_map)) > 0)
+        F.when(is_ins, ins_ok)
+        .when(is_upd, F.col("sql_redo").rlike(_UPD_STMT))
+        .otherwise(F.col("sql_redo").rlike(_DEL_STMT))
     )
     if failure_handling == "fail":
         # raising INSIDE the filter condition: the predicate must be
@@ -214,8 +222,52 @@ def logminer_to_envelopes(
         )
     else:
         work = work.filter(parse_ok)
-    after = F.when(after_map.isNotNull(), _typed_row(after_map, row_fields))
-    before = F.when(before_map.isNotNull(), _typed_row(before_map, row_fields))
+    # STAGE the three maps as real columns in their own projection,
+    # each gated on its op so an INSERT row never runs the UPDATE
+    # regexes (CASE WHEN branches evaluate lazily per row). The typed
+    # rows below look these columns up once per field — CollapseProject
+    # refuses to inline a non-cheap alias referenced more than once, so
+    # the two projections stay separate and each regex chain executes
+    # ONCE per row. Inlining everything into one projection instead
+    # blows the JVM's 64KB generated-method limit (whole-stage codegen
+    # falls back to interpreted evaluation, which has no subexpression
+    # elimination → every field re-runs the full chain; measured 62s vs
+    # 4.5s for the staged form on the sf0.1 parse, 32-way).
+    #
+    # Known residual (documented, accepted): Catalyst's predicate
+    # pushdown substitutes the from_json chain into the filter it sinks
+    # to the scan — PushDownPredicates has no duplicate-expensive-
+    # expression guard — so the wire line is parsed ~2× per row. The
+    # barrier alternatives (non-deterministic guard, an Exchange, a
+    # Python round-trip) all cost more than the duplication.
+    work = work.select(
+        "*",
+        F.when(is_ins & ins_ok, ins_map).alias("_ins_map"),
+        F.when(is_upd, set_map).alias("_set_map"),
+        F.when(~is_ins, where_map).alias("_where_map"),
+    )
+    m_ins, m_set, m_where = (
+        F.col("_ins_map"), F.col("_set_map"), F.col("_where_map"))
+    # after-image: insert = the values list; update = old row (WHERE
+    # pairs) overridden by the SET pairs, decided per field with
+    # map_contains_key (not coalesce), so an explicit SET-to-NULL nulls
+    # the column instead of resurrecting the old value.
+    upd_row = F.struct(*[
+        _unquote(
+            F.when(
+                F.map_contains_key(m_set, F.lit(n.upper())),
+                F.element_at(m_set, F.lit(n.upper())),
+            ).otherwise(F.element_at(m_where, F.lit(n.upper())))
+        ).cast(t).alias(n)
+        for n, t in row_fields
+    ])
+    after = F.when(is_ins, _typed_row(m_ins, row_fields)).when(
+        is_upd, upd_row
+    )
+    before = F.when(
+        F.col("operation").isin("UPDATE", "DELETE"),
+        _typed_row(m_where, row_fields),
+    )
     key = [F.coalesce(after[c], before[c]) for c in key_cols]
     ts_ms = F.expr("unix_micros(cast(`timestamp` as timestamp)) div 1000")
     src = F.struct(
