@@ -1312,6 +1312,66 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the eval set is every 97th document;
+    flag corpus docs sharing >= 2 distinct 3-gram shingles with any eval
+    item. The eval shingle set is broadcast (plan-asserted in tests) —
+    the corpus streams through a map-side join, never a doc-pair
+    shuffle."""
+    from sparkcdc.pipeline import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return cu.ngram_contamination(
+        corpus, bench, bench_id_col="bench_id", n=3, min_hits=2
+    )
+
+
+def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per-document duplicate n-gram
+    fractions for n=1,2,3 in exact ppm fixed point — a pure codegen
+    projection, zero shuffles."""
+    from sparkcdc.pipeline import curation as cu
+
+    return cu.repetition_stats(_t(spark, sf_dir, "documents"), ns=(1, 2, 3))
+
+
+def q_curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep iff
+    stable_hash64(seed, doc_id) % 1e6 < the language's ppm rate — the
+    decision depends only on key bytes, so it reproduces across runs,
+    engines, and repartitionings (df.sample can't promise any of that)."""
+    from sparkcdc.pipeline import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = cu.stratified_sample(
+        docs,
+        {"en": 250_000, "es": 500_000, "fr": 750_000, "de": 1_000_000},
+        stratum_col="lang", key_cols=["doc_id"],
+        default_ppm=100_000, seed="mix1",
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+def q_curation_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: one groupBy(source) token census →
+    per-source keep rates hitting a 3k-token budget at fixed mixture
+    weights (rates capped at keep-everything for undersized sources).
+    Integer ppm fixed point end to end so the plan is engine-exact."""
+    from sparkcdc.pipeline import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    return cu.mixture_rates(
+        docs,
+        {"src0": 300_000, "src1": 200_000, "src2": 150_000,
+         "src3": 150_000, "src4": 100_000, "src5": 100_000},
+        budget_tokens=3_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_snapshot_read": q_cdc_snapshot_read,
@@ -1368,6 +1428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_frame_sample": q_mm_frame_sample,
+        "curation_contamination": q_curation_contamination,
+        "curation_repetition": q_curation_repetition,
+        "curation_stratified_sample": q_curation_stratified_sample,
+        "curation_mixture_plan": q_curation_mixture_plan,
     }
 
 
@@ -2048,5 +2112,85 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text,
                      unnest(range(0, octet_length(encode(text)) // 16, 4)) AS frame_idx
               FROM documents)
+        """,
+        "curation_contamination": f"""
+            WITH bench AS (
+              SELECT doc_id AS bench_id, regexp_split_to_array({norm_text}, ' ') w
+              FROM documents WHERE doc_id % 97 = 0),
+            corpus AS (
+              SELECT doc_id, regexp_split_to_array({norm_text}, ' ') w
+              FROM documents WHERE doc_id % 97 <> 0),
+            bsh AS (
+              SELECT DISTINCT bench_id, shingle FROM (
+                SELECT bench_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                              i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+                FROM bench)),
+            csh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                              i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+                FROM corpus))
+            SELECT doc_id, bench_id, count(*) AS n_hits
+            FROM csh JOIN bsh USING (shingle)
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
+        "curation_repetition": f"""
+            WITH g AS (
+              SELECT doc_id, w,
+                     list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                    i -> concat_ws(' ', w[i], w[i+1])) AS g2,
+                     list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS g3
+              FROM (SELECT doc_id, regexp_split_to_array({norm_text}, ' ') w
+                    FROM documents))
+            SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS total_1,
+              CAST(len(list_distinct(w)) AS BIGINT) AS distinct_1,
+              CASE WHEN len(w) > 0 THEN CAST(floor(
+                (len(w) - len(list_distinct(w))) * 1000000.0 / len(w)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS dup_frac_ppm_1,
+              CAST(len(g2) AS BIGINT) AS total_2,
+              CAST(len(list_distinct(g2)) AS BIGINT) AS distinct_2,
+              CASE WHEN len(g2) > 0 THEN CAST(floor(
+                (len(g2) - len(list_distinct(g2))) * 1000000.0 / len(g2)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS dup_frac_ppm_2,
+              CAST(len(g3) AS BIGINT) AS total_3,
+              CAST(len(list_distinct(g3)) AS BIGINT) AS distinct_3,
+              CASE WHEN len(g3) > 0 THEN CAST(floor(
+                (len(g3) - len(list_distinct(g3))) * 1000000.0 / len(g3)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS dup_frac_ppm_3
+            FROM g
+        """,
+        "curation_stratified_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {stable_hash_sql("CAST(doc_id AS VARCHAR)", seed="mix1")}
+                  % 1000000 <
+                  CASE lang WHEN 'en' THEN 250000 WHEN 'es' THEN 500000
+                            WHEN 'fr' THEN 750000 WHEN 'de' THEN 1000000
+                            ELSE 100000 END
+        """,
+        "curation_mixture_plan": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(SUM(len(regexp_split_to_array({norm_text}, ' ')))
+                          AS BIGINT) AS source_tokens
+              FROM documents GROUP BY source),
+            t AS (
+              SELECT per.source, per.source_tokens,
+                     CAST(floor(w.w_ppm * 3000.0 / 1000000) AS BIGINT)
+                       AS target_tokens
+              FROM per
+              JOIN (VALUES ('src0', 300000), ('src1', 200000), ('src2', 150000),
+                           ('src3', 150000), ('src4', 100000), ('src5', 100000))
+                   AS w(source, w_ppm)
+              ON per.source = w.source)
+            SELECT source, source_tokens, target_tokens,
+                   least(CAST(1000000 AS BIGINT),
+                         CAST(floor(target_tokens * 1000000.0 / source_tokens)
+                              AS BIGINT)) AS rate_ppm
+            FROM t
         """,
     }

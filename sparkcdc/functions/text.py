@@ -58,6 +58,15 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     is a literal transliteration.
     """
 
+    return F.array_distinct(ngram_windows(toks, n))
+
+
+def ngram_windows(toks: Column, n: int) -> Column:
+    """ALL word n-gram windows, duplicates preserved (array<string>) —
+    the raw form :func:`shingles_from_tokens` distincts, needed as-is by
+    repetition statistics where the duplicate count IS the signal.
+    Same materialized-``toks`` contract as shingles_from_tokens."""
+
     def shingle_at(i: Column) -> Column:
         parts = [F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         return F.concat_ws(" ", *parts)
@@ -66,7 +75,7 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     # explicit empty array (DuckDB's range(1, 1) is naturally empty)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     return F.when(
-        F.size(toks) >= n, F.array_distinct(F.transform(idx, shingle_at))
+        F.size(toks) >= n, F.transform(idx, shingle_at)
     ).otherwise(F.array().cast("array<string>"))
 
 

@@ -1,0 +1,245 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, repetition statistics, deterministic stratified
+sampling, and token-budget mixture planning.
+
+These are the passes a 100 TB pipeline runs between raw ingest and
+tokenization, implemented from the public technique descriptions
+(n-gram eval-set decontamination as described in the GPT-3/PaLM
+appendices, repetition filters as in the Gopher/MassiveText rules,
+weighted corpus mixing as in multilingual-corpus papers). They are
+deliberately NOT part of the reference CDC engine's surface — they are
+the downstream consumers the SURVEY's lake tables feed — but each is
+built to the same standard as the dedup/similarity layer: pure
+DataFrame ops, explicit broadcast/shuffle story, an exact DuckDB-SQL
+twin for the driver oracle.
+
+Scale notes per operator:
+
+- :func:`ngram_contamination` — the benchmark side (an eval set:
+  thousands of items, not billions) reduces to a DISTINCT shingle set
+  and is explicitly ``broadcast()``; the corpus side explodes shingles
+  and never shuffles on document pairs. Cost: one pass over corpus
+  shingles + a map-side hash join, then one aggregation keyed on
+  (doc, bench) — only matching shingles reach it, so its input is the
+  hit set, not the corpus.
+- :func:`repetition_stats` — a pure projection (tokens → shingle
+  arrays → ``array_distinct`` sizes); zero shuffles, whole-stage
+  codegen end to end. At 100 TB it is scan-bound.
+- :func:`stratified_sample` — a deterministic hash gate
+  (:func:`~sparkcdc.functions.hashing.stable_hash64` ``% 1e6 <
+  rate_ppm``); zero shuffles, reproducible across runs/engines, and
+  stable under re-partitioning (the decision depends only on key
+  bytes, never on row order — ``df.sample`` can't promise that).
+- :func:`mixture_rates` — one partial-aggregated ``groupBy(source)``
+  over the corpus (the only shuffle in this module, on a
+  cardinality-|sources| key), emitting a tiny plan table the caller
+  broadcast-joins back for the sampling gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+from ..functions.text import ngram_windows, shingles_from_tokens, tokens
+
+#: sampling-rate fixed point: rates are integers in parts-per-million,
+#: so both engines compare exact int64s (never a float threshold)
+PPM = 1_000_000
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_id, n_hits) for corpus docs sharing ≥ ``min_hits``
+    distinct word ``n``-grams with a benchmark item.
+
+    The decontamination join every released-model data card describes:
+    drop (or flag) training documents that overlap the eval set. The
+    benchmark's DISTINCT shingle set is broadcast — an eval suite is
+    thousands of items, so its shingle set fits every executor — and
+    the corpus side streams through a map-side hash join; nothing
+    quadratic, nothing keyed on documents until the per-(doc, bench)
+    hit count, whose input is only the matching shingles.
+
+    Drop usage: ``docs.join(hits, "doc_id", "left_anti")``.
+    """
+    bench_text = bench_text_col or text_col
+    bench_id = bench_id_col or id_col
+    doc_sh = _distinct_shingles(docs, text_col, id_col, n, "doc_id")
+    bench_sh = _distinct_shingles(
+        benchmark, bench_text, bench_id, n, "bench_id"
+    )
+    hits = doc_sh.join(F.broadcast(bench_sh), "shingle")
+    return (
+        hits.groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def _distinct_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, out_id: str
+) -> DataFrame:
+    # two-step (tokens materialized, THEN shingled) for the same
+    # CollapseProject reason as dedup._exploded_shingles; DISTINCT per
+    # side so a shingle repeated inside one document counts once
+    toked = df.select(
+        F.col(id_col).alias(out_id), tokens(text_col).alias("__toks")
+    )
+    return toked.select(
+        out_id, F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle")
+    ).distinct()
+
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-document duplicate-n-gram fractions — the Gopher/MassiveText
+    repetition signals (a document that keeps repeating itself is
+    boilerplate or spam, not prose).
+
+    For each ``n``: ``total_{n}`` n-grams, ``distinct_{n}`` n-grams,
+    and ``dup_frac_ppm_{n}`` = ``(1 - distinct/total) * 1e6`` as an
+    exact int64 (fixed-point so the DuckDB oracle compares integers).
+    Pure projection — tokens once, per-n ``array_distinct`` sizes —
+    zero shuffles, codegen end to end.
+    """
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    cols: list[Column] = [F.col("doc_id")]
+    for n in ns:
+        # RAW windows (ngram_windows, not the distinct shingle form) —
+        # the duplicate count is the signal being measured
+        sh = (
+            F.col("__toks") if n == 1
+            else ngram_windows(F.col("__toks"), n)
+        )
+        # long sizes BEFORE the ppm multiply: int32 × 1e6 overflows (and
+        # ANSI mode, Spark 4's default, makes that a task failure)
+        total = F.size(sh).cast("long")
+        distinct = F.size(F.array_distinct(sh)).cast("long")
+        # explicit floor() before the long cast: Spark's double→long cast
+        # truncates while DuckDB's rounds, so the oracle must never see a
+        # bare cast of a fractional value. Counts are tiny (≪2^53), so
+        # the double division itself is IEEE-identical in both engines.
+        cols += [
+            total.cast("long").alias(f"total_{n}"),
+            distinct.cast("long").alias(f"distinct_{n}"),
+            F.when(total > 0,
+                   F.floor((total - distinct) * PPM / total))
+            .otherwise(F.lit(0)).cast("long").alias(f"dup_frac_ppm_{n}"),
+        ]
+    return out.select(*cols)
+
+
+def sample_gate(
+    rate_ppm: Column, key_cols: list[str], *, seed: int | str | None = None
+) -> Column:
+    """The deterministic keep-predicate: ``hash(key) % 1e6 < rate_ppm``.
+
+    Deterministic in the key bytes alone — reproducible across runs,
+    engines (DuckDB twin via ``stable_hash_sql``), repartitionings, and
+    incremental arrivals (a new file's rows get the same verdict they
+    would have gotten in the original pass; ``df.sample`` guarantees
+    none of that). Uniform because sha256 is.
+    """
+    return F.pmod(stable_hash64(*key_cols, seed=seed), F.lit(PPM)) < rate_ppm
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    *,
+    stratum_col: str,
+    key_cols: list[str],
+    default_ppm: int = 0,
+    seed: int | str | None = None,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by a
+    deterministic hash of the row key — per-language / per-source
+    downsampling without a shuffle and without RNG state.
+
+    ``rates_ppm`` maps stratum value → parts-per-million keep rate;
+    unlisted strata get ``default_ppm``.
+    """
+    for v in list(rates_ppm.values()) + [default_ppm]:
+        if not (0 <= int(v) <= PPM):
+            raise ValueError(f"rate_ppm out of [0, 1e6]: {v}")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates_ppm.items() for x in (kv[0], int(kv[1]))]
+    )
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col(stratum_col)), F.lit(int(default_ppm))
+    )
+    return df.filter(sample_gate(rate, key_cols, seed=seed))
+
+
+def mixture_rates(
+    docs: DataFrame,
+    weights_ppm: dict[str, int],
+    *,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling plan hitting a token budget at given mixture
+    weights: (source, source_tokens, target_tokens, rate_ppm).
+
+    ``weights_ppm`` is the desired mixture in parts-per-million of
+    ``budget_tokens`` (e.g. {"web": 600_000, "code": 400_000}); each
+    source's keep rate is ``min(1e6, target/source_tokens)`` — a source
+    smaller than its target saturates at keep-everything (the standard
+    "epochs capped at 1" simplification; oversampling is a repeat-count
+    concern, not a filter). Integer fixed-point throughout so the plan
+    is engine-exact. One groupBy(source) over the corpus (partial aggs
+    do the heavy lifting map-side); the emitted plan is |sources| rows
+    — broadcast-join it back and gate with :func:`sample_gate`.
+    """
+    for v in weights_ppm.values():
+        if not (0 <= int(v) <= PPM):
+            raise ValueError(f"weight_ppm out of [0, 1e6]: {v}")
+    w_map = F.create_map(
+        *[F.lit(x) for kv in weights_ppm.items() for x in (kv[0], int(kv[1]))]
+    )
+    per_source = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(text_col)).cast("long").alias("__tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__tok").alias("source_tokens"))
+    )
+    # fixed-point in doubles with explicit floor() (Spark's double→long
+    # cast truncates, DuckDB's rounds — never bare-cast a fraction).
+    # Exact while target_tokens*1e6 < 2^53, i.e. per-source targets up
+    # to ~9e9 tokens; beyond that the rate is off by <1 ppm, which is
+    # below the plan's own resolution. Sources absent from weights_ppm
+    # get no plan row (weight 0 — drop the source entirely).
+    target = F.floor(
+        F.element_at(w_map, F.col("source")).cast("long")
+        * F.lit(int(budget_tokens)).cast("long") / PPM
+    ).cast("long")
+    return per_source.select(
+        "source",
+        "source_tokens",
+        target.alias("target_tokens"),
+        F.least(
+            F.lit(PPM).cast("long"),
+            F.floor(target * PPM / F.col("source_tokens")).cast("long"),
+        ).alias("rate_ppm"),
+    ).filter(target.isNotNull())

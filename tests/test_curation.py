@@ -1,0 +1,193 @@
+"""Corpus-curation operators: decontamination, repetition stats,
+deterministic stratified sampling, mixture planning
+(sparkcdc/pipeline/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcdc.pipeline import curation as cu
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+# -- ngram contamination --------------------------------------------------
+
+
+def test_contamination_flags_overlapping_docs(spark):
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s"),
+        (2, "completely different words here nothing shared at all", "en", "s"),
+        (3, "quick brown fox appears again quick brown fox twice", "en", "s"),
+    ])
+    bench = spark.createDataFrame(
+        [(100, "question about the quick brown fox jumps high")],
+        ["bench_id", "text"],
+    )
+    hits = cu.ngram_contamination(
+        corpus, bench, bench_id_col="bench_id", n=3, min_hits=2
+    ).collect()
+    by_doc = {r.doc_id: r for r in hits}
+    # doc 1 shares 'the quick brown', 'quick brown fox' (+ more) -> flagged
+    assert 1 in by_doc and by_doc[1].bench_id == 100
+    assert by_doc[1].n_hits >= 2
+    # doc 3 shares only 'quick brown fox' (distinct shingles, repeats
+    # inside the doc count once) -> below min_hits=2
+    assert 3 not in by_doc
+    assert 2 not in by_doc
+
+
+def test_contamination_drop_via_left_anti(spark):
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma delta", "en", "s"),
+        (2, "totally unrelated content words", "en", "s"),
+    ])
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma elsewhere")], ["bench_id", "text"])
+    hits = cu.ngram_contamination(
+        corpus, bench, bench_id_col="bench_id", n=3, min_hits=1)
+    clean = corpus.join(hits.select("doc_id"), "doc_id", "left_anti")
+    assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    corpus = _docs(spark, [(1, "a b c d e", "en", "s")])
+    bench = spark.createDataFrame([(9, "c d e f")], ["bench_id", "text"])
+    hits = cu.ngram_contamination(
+        corpus, bench, bench_id_col="bench_id", n=3)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# -- repetition stats ------------------------------------------------------
+
+
+def test_repetition_fractions_exact(spark):
+    docs = _docs(spark, [
+        (1, "a a a a", "en", "s"),          # 4 tokens, 1 distinct
+        (2, "a b a b", "en", "s"),          # bigrams: ab ba ab -> 3/2
+        (3, "w x y z", "en", "s"),          # no repetition at any n
+    ])
+    out = {r.doc_id: r for r in cu.repetition_stats(docs).collect()}
+    assert (out[1].total_1, out[1].distinct_1) == (4, 1)
+    assert out[1].dup_frac_ppm_1 == 750_000
+    assert (out[2].total_2, out[2].distinct_2) == (3, 2)
+    assert out[2].dup_frac_ppm_2 == 333_333  # floor(1e6/3)
+    assert out[3].dup_frac_ppm_1 == 0
+    assert out[3].dup_frac_ppm_2 == 0
+    assert out[3].dup_frac_ppm_3 == 0
+
+
+def test_repetition_short_doc_has_zero_ngrams(spark):
+    docs = _docs(spark, [(1, "solo", "en", "s")])
+    r = cu.repetition_stats(docs).collect()[0]
+    assert (r.total_1, r.total_2, r.total_3) == (1, 0, 0)
+    assert (r.dup_frac_ppm_2, r.dup_frac_ppm_3) == (0, 0)
+
+
+def test_repetition_plan_is_pure_projection(spark):
+    docs = _docs(spark, [(1, "a b c", "en", "s")])
+    plan = cu.repetition_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+# -- stratified sampling ---------------------------------------------------
+
+
+def test_sample_rate_bounds(spark):
+    docs = _docs(spark, [(i, f"t {i}", "en", "s") for i in range(200)])
+    none = cu.stratified_sample(
+        docs, {"en": 0}, stratum_col="lang", key_cols=["doc_id"], seed=1)
+    everything = cu.stratified_sample(
+        docs, {"en": cu.PPM}, stratum_col="lang", key_cols=["doc_id"], seed=1)
+    assert none.count() == 0
+    assert everything.count() == 200
+
+
+def test_sample_is_deterministic_and_partition_invariant(spark):
+    docs = _docs(spark, [(i, f"t {i}", "en", "s") for i in range(500)])
+    kw = dict(stratum_col="lang", key_cols=["doc_id"], seed="mix1")
+    a = sorted(r.doc_id for r in
+               cu.stratified_sample(docs, {"en": 300_000}, **kw).collect())
+    b = sorted(r.doc_id for r in cu.stratified_sample(
+        docs.repartition(7), {"en": 300_000}, **kw).collect())
+    assert a == b and 0 < len(a) < 500
+    # a different seed decides differently
+    c = sorted(r.doc_id for r in cu.stratified_sample(
+        docs, {"en": 300_000}, stratum_col="lang",
+        key_cols=["doc_id"], seed="mix2").collect())
+    assert a != c
+    # rate is approximately honored (binomial 3-sigma ~ 61 at p=.3,n=500)
+    assert abs(len(a) - 150) < 65
+
+
+def test_sample_default_rate_and_strata_scoping(spark):
+    docs = _docs(spark, [
+        (i, "t", "en" if i % 2 == 0 else "zz", "s") for i in range(400)])
+    kept = cu.stratified_sample(
+        docs, {"en": cu.PPM}, stratum_col="lang", key_cols=["doc_id"],
+        default_ppm=0, seed=5)
+    langs = {r.lang for r in kept.collect()}
+    assert langs == {"en"} and kept.count() == 200
+
+
+def test_sample_rejects_bad_rate(spark):
+    docs = _docs(spark, [(1, "t", "en", "s")])
+    with pytest.raises(ValueError):
+        cu.stratified_sample(docs, {"en": 2 * cu.PPM},
+                             stratum_col="lang", key_cols=["doc_id"])
+
+
+def test_sample_plan_has_no_exchange(spark):
+    docs = _docs(spark, [(1, "t", "en", "s")])
+    plan = cu.stratified_sample(
+        docs, {"en": 1}, stratum_col="lang", key_cols=["doc_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -- mixture planning ------------------------------------------------------
+
+
+def test_mixture_rates_formula(spark):
+    # src a: 10 tokens, src b: 2 tokens
+    docs = _docs(spark, [
+        (1, "w w w w w w w w w w", "en", "a"),
+        (2, "w w", "en", "b"),
+    ])
+    plan = {r.source: r for r in cu.mixture_rates(
+        docs, {"a": 500_000, "b": 500_000}, budget_tokens=10).collect()}
+    assert plan["a"].source_tokens == 10
+    assert plan["a"].target_tokens == 5
+    assert plan["a"].rate_ppm == 500_000        # 5/10
+    # source smaller than target saturates at keep-everything
+    assert plan["b"].target_tokens == 5
+    assert plan["b"].rate_ppm == cu.PPM
+
+
+def test_mixture_omits_unweighted_sources_and_validates(spark):
+    docs = _docs(spark, [(1, "w w", "en", "a"), (2, "w", "en", "ghost")])
+    plan = cu.mixture_rates(docs, {"a": cu.PPM}, budget_tokens=4)
+    assert [r.source for r in plan.collect()] == ["a"]
+    with pytest.raises(ValueError):
+        cu.mixture_rates(docs, {"a": -1}, budget_tokens=4)
+
+
+def test_mixture_plan_feeds_sample_gate(spark):
+    """End-to-end: census -> plan -> broadcast-join back -> gate."""
+    docs = _docs(spark, [
+        (i, "w " * 10, "en", "a" if i < 80 else "b") for i in range(100)])
+    plan = cu.mixture_rates(
+        docs, {"a": 500_000, "b": 500_000}, budget_tokens=400)
+    gated = docs.join(F.broadcast(plan), "source").filter(
+        cu.sample_gate(F.col("rate_ppm"), ["doc_id"], seed=3))
+    counts = {r.source: r.cnt for r in gated.groupBy("source")
+              .agg(F.count("*").alias("cnt")).collect()}
+    # a: 800 tokens, target 200 -> rate .25 of 80 docs ~ 20; b saturates
+    assert counts["b"] == 20
+    assert 8 <= counts.get("a", 0) <= 35
