@@ -121,6 +121,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_pack_sequences",
         "text_pii_redact",
         "mm_decode_meta",
+        "curation_contamination",
+        "curation_repetition",
+        "curation_stratified_sample",
     ]
     qs = em.queries()
     out: dict[str, float] = {}
