@@ -216,3 +216,79 @@ def test_to_date_text_inside_value_not_corrupted(spark):
         spark.createDataFrame([(line,)], "value string"),
         EVENT_ROW_FIELDS, ["user_id"])
     assert env.first()["after"]["props"] == "note: TO_DATE('2024-01-01') used"
+
+
+# -- property: arbitrary strings survive the emit -> parse wire roundtrip --
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+#: adversarial props: quote/comma/paren/keyword shrapnel that has to ride
+#: inside the redo-SQL literal grammar without splitting any match
+_props = st.one_of(
+    st.none(),
+    st.text(alphabet=list("abc'\",()=; "), min_size=0, max_size=20),
+    st.sampled_from([
+        "x where y",
+        "a, 'quoted' b",
+        "TO_DATE('2024-01-01','YYYY') wrapper text",
+        "p'' and \"Q\" IS NULL",
+        "values ('7')",
+        "';' insert into",
+        " and ",
+    ]),
+)
+
+_events = st.lists(
+    st.tuples(
+        st.sampled_from(["signup", "click", "error"]),
+        st.sampled_from([None, 0.0, 1.5, -2.25, 1e10]),
+        _props,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_events)
+def test_wire_roundtrip_preserves_values(spark, events):
+    """events -> canonical redo SQL -> pure-Catalyst parse must return
+    every row (nothing silently dropped by parse_ok) with op-correct
+    images and byte-identical props — including quotes, commas, 'where',
+    'IS NULL', and TO_DATE( text inside the quoted literals."""
+    rows = [
+        (i + 1, "2024-01-01 00:00:00", 100 + i, et, val, props)
+        for i, (et, val, props) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    )
+    env = logminer_to_envelopes(
+        events_to_logminer_rows(ev), EVENT_ROW_FIELDS, ["user_id"],
+        table="EVENTS", owner="APP",
+    )
+    got = {r["offset"]: r for r in env.collect()}
+    assert len(got) == len(events)  # parse_ok must keep every canonical row
+    for i, (et, val, props) in enumerate(events):
+        r = got[i + 1]
+        uid = 100 + i
+        if et == "signup":  # INSERT
+            assert r["op"] == "c" and r["before"] is None
+            img = r["after"]
+        elif et == "error":  # DELETE: PK-only before image
+            assert r["op"] == "d" and r["after"] is None
+            assert r["before"]["user_id"] == uid
+            continue
+        else:  # UPDATE: after = old PK row overridden by SET
+            assert r["op"] == "u"
+            assert r["before"]["user_id"] == uid
+            img = r["after"]
+        assert img["user_id"] == uid
+        assert img["event_type"] == et
+        assert img["value"] == val
+        # Oracle renders '' for empty strings, which reads back as empty
+        assert img["props"] == props
