@@ -91,14 +91,18 @@ def _distinct_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, out_id: str
 ) -> DataFrame:
     # two-step (tokens materialized, THEN shingled) for the same
-    # CollapseProject reason as dedup._exploded_shingles; DISTINCT per
-    # side so a shingle repeated inside one document counts once
+    # CollapseProject reason as dedup._exploded_shingles. A shingle
+    # repeated inside one document counts once, and that dedup happens
+    # ROW-LOCALLY: shingles_from_tokens applies array_distinct before
+    # the explode, so (id, shingle) is already unique — no df.distinct()
+    # (which would shuffle every corpus shingle before the broadcast
+    # join pruned anything).
     toked = df.select(
         F.col(id_col).alias(out_id), tokens(text_col).alias("__toks")
     )
     return toked.select(
         out_id, F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle")
-    ).distinct()
+    )
 
 
 def repetition_stats(

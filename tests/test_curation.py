@@ -60,6 +60,10 @@ def test_contamination_benchmark_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # exactly ONE data shuffle: the (doc, bench) hit aggregation.
+    # Per-doc shingle dedup is row-local (array_distinct pre-explode),
+    # so no corpus-wide distinct Exchange may exist.
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 # -- repetition stats ------------------------------------------------------
