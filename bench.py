@@ -124,6 +124,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "curation_contamination",
         "curation_repetition",
         "curation_stratified_sample",
+        "curation_mixture_plan",
     ]
     qs = em.queries()
     out: dict[str, float] = {}

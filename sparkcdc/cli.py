@@ -83,9 +83,11 @@ def main(argv: list[str] | None = None) -> int:
              "apply them to a lake table, resuming at the committed offset",
     )
     common(sp)
+    from .sources.wire import WIRE_FORMATS
+
     sp.add_argument(
         "--format", required=True, dest="wire_format",
-        choices=["wal2json", "mongo", "logminer", "sqlserver", "maxwell"],
+        choices=list(WIRE_FORMATS),
         help="wire shape of the input lines",
     )
     sp.add_argument("--path", required=True,
@@ -100,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
                          "as the _id-mapped field")
     sp.add_argument("--source-table", default=None,
                     help="captured table/collection filter (include list)")
+    sp.add_argument("--database", default=None,
+                    help="database / schema-owner filter (maxwell database,"
+                         " logminer seg_owner)")
+    sp.add_argument("--failure-handling", default="skip",
+                    choices=["skip", "fail"],
+                    help="event.processing.failure.handling.mode at the "
+                         "parse boundary")
 
     args = p.parse_args(argv)
     spark = get_spark("sparkcdc-cli", master=args.master)
@@ -134,12 +143,18 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.cmd == "ingest":
+        import re
+
         from pyspark.sql import functions as F
 
         from .engine import CdcEngine
         from .lake import LakeTable, type_of
+        from .sources.wire import parse_wire_lines
 
-        fields = [tuple(f.split(":", 1)) for f in args.fields.split(",")]
+        # split on commas NOT inside parentheses: decimal(10,2) is a
+        # type name type_of() supports and must survive the list split
+        fields = [tuple(f.split(":", 1))
+                  for f in re.split(r",(?![^(]*\))", args.fields)]
         row_fields = [(n, type_of(t)) for n, t in fields]
         key_cols = args.key.split(",")
         if LakeTable.exists(args.root, args.table):
@@ -151,33 +166,14 @@ def main(argv: list[str] | None = None) -> int:
             )
         eng = CdcEngine(spark, table, cfg)
         lines = spark.read.text(args.path)
-        if args.wire_format == "wal2json":
-            from .sources.wal2json import wal2json_to_envelopes
-
-            env = wal2json_to_envelopes(
-                lines, row_fields, key_cols, table=args.source_table)
-        elif args.wire_format == "mongo":
-            from .sources.mongo import change_stream_to_envelopes
-
-            env = change_stream_to_envelopes(
-                lines, row_fields, key_cols[0],
-                collection=args.source_table)
-        elif args.wire_format == "sqlserver":
-            from .sources.sqlserver import change_table_to_envelopes
-
-            env = change_table_to_envelopes(
-                lines, row_fields, key_cols,
-                capture_instance=args.source_table)
-        elif args.wire_format == "maxwell":
-            from .sources.maxwell import maxwell_to_envelopes
-
-            env = maxwell_to_envelopes(
-                lines, row_fields, key_cols, table=args.source_table)
-        else:
-            from .sources.logminer import logminer_to_envelopes
-
-            env = logminer_to_envelopes(
-                lines, row_fields, key_cols, table=args.source_table)
+        # ONE dispatch table shared with streaming.wire_envelope_stream;
+        # n_parts = the engine's, so the committed per-partition offset
+        # vector keys on the same hash granularity as every other writer
+        env = parse_wire_lines(
+            lines, args.wire_format, row_fields, key_cols,
+            source_table=args.source_table, database=args.database,
+            n_parts=cfg.n_parts, failure_handling=args.failure_handling,
+        )
         committed = eng.committed_offset()
         # persist: the max-offset probe and the apply otherwise each
         # rerun the whole read+parse (+ the sqlserver pairing shuffle)

@@ -228,15 +228,17 @@ def mixture_rates(
         .groupBy("source")
         .agg(F.sum("__tok").alias("source_tokens"))
     )
-    # fixed-point in doubles with explicit floor() (Spark's double→long
-    # cast truncates, DuckDB's rounds — never bare-cast a fraction).
-    # Exact while target_tokens*1e6 < 2^53, i.e. per-source targets up
-    # to ~9e9 tokens; beyond that the rate is off by <1 ppm, which is
-    # below the plan's own resolution. Sources absent from weights_ppm
-    # get no plan row (weight 0 — drop the source entirely).
+    # fixed-point in DOUBLES end to end with explicit floor() (Spark's
+    # double→long cast truncates, DuckDB's rounds — never bare-cast a
+    # fraction). Doubles, not longs, for the multiplies: weight_ppm ×
+    # a 100 TB-scale token budget (~2.5e13 tokens) is ~1e19 > 2^63, an
+    # ANSI-mode ARITHMETIC_OVERFLOW as a long multiply; as doubles the
+    # result is off by <1 ppm beyond 2^53, below the plan's own
+    # resolution. Sources absent from weights_ppm get no plan row
+    # (weight 0 — drop the source entirely).
     target = F.floor(
-        F.element_at(w_map, F.col("source")).cast("long")
-        * F.lit(int(budget_tokens)).cast("long") / PPM
+        F.element_at(w_map, F.col("source")).cast("double")
+        * F.lit(float(budget_tokens)) / PPM
     ).cast("long")
     return per_source.select(
         "source",
@@ -244,6 +246,8 @@ def mixture_rates(
         target.alias("target_tokens"),
         F.least(
             F.lit(PPM).cast("long"),
-            F.floor(target * PPM / F.col("source_tokens")).cast("long"),
+            F.floor(
+                target.cast("double") * PPM / F.col("source_tokens")
+            ).cast("long"),
         ).alias("rate_ppm"),
     ).filter(target.isNotNull())

@@ -103,10 +103,14 @@ def _unquote(v):
     TO_TIMESTAMP keeps its first argument; '' unescapes to '. The
     wrapper match is ANCHORED to the literal's start — a value merely
     containing the text TO_DATE( inside its quotes must not trip it."""
-    inner = F.regexp_extract(v, rf"^TO_(?:DATE|TIMESTAMP)\s*\(\s*({_STR})", 1)
+    inner = F.regexp_extract(v, rf"(?is)^TO_(?:DATE|TIMESTAMP)\s*\(\s*({_STR})", 1)
     s = F.when(inner != "", inner).otherwise(v)
     return F.when(
-        v.isNull() | (v == "") | (v == "NULL"), F.lit(None).cast("string")
+        # upper(): a bare lowercase null matches the (?i) atom grammar,
+        # so the bare-NULL check must be case-insensitive too (a QUOTED
+        # 'null' keeps its quotes here and is not affected)
+        v.isNull() | (v == "") | (F.upper(v) == "NULL"),
+        F.lit(None).cast("string"),
     ).otherwise(
         F.regexp_replace(
             F.regexp_extract(s, r"^'([^']*(?:''[^']*)*)'$", 1), "''", "'"
@@ -124,8 +128,12 @@ def _pairs_to_map(seg):
     whole expression. The map is materialized once per row as a staged
     column (see :func:`logminer_to_envelopes`) however many fields look
     it up."""
-    names = F.regexp_extract_all(seg, F.lit(_PAIR), 1)
-    vals = F.regexp_extract_all(seg, F.lit(_PAIR), 2)
+    # (?is) so the pair scan accepts the same case spectrum the
+    # whole-statement parse_ok gates admit (lowercase to_date/null/is
+    # null) — a case mismatch here would pass the gate but extract
+    # wrongly, the silent-loss class the gate exists to prevent
+    names = F.regexp_extract_all(seg, F.lit("(?is)" + _PAIR), 1)
+    vals = F.regexp_extract_all(seg, F.lit("(?is)" + _PAIR), 2)
     return F.map_from_arrays(names, vals)
 
 
@@ -176,7 +184,11 @@ def logminer_to_envelopes(
         F.regexp_extract(
             redo, rf"(?is)values\s*\(\s*({_ATOM_NC}(?:\s*,\s*{_ATOM_NC})*)\s*\)", 1
         ),
-        F.lit(f"({_ATOM_NC})"), 1,
+        # (?is) like the segment extract above it: a lowercase
+        # to_date(...) must stay ONE atom (case-sensitive, it would
+        # split into its two string arguments and silently misalign the
+        # zip when a bare lowercase null hides the count mismatch)
+        F.lit(f"(?is)({_ATOM_NC})"), 1,
     )
     # guard the zip: a values list containing a literal outside the atom
     # grammar (e.g. EMPTY_CLOB()) extracts fewer atoms than names — the

@@ -100,39 +100,24 @@ def wire_envelope_stream(
 
     The Kafka swap is the same one line as :func:`json_envelope_stream`:
     ``readStream.format('kafka')...selectExpr("CAST(value AS STRING)")``.
+
+    Dispatch and per-format argument mapping live in
+    :func:`sparkcdc.sources.wire.parse_wire_lines` — one table shared
+    with the batch CLI, so the two surfaces cannot drift. The parser is
+    handed the ENGINE's ``cfg.n_parts``: the committed per-partition
+    offset vector keys on ``part_id``, and a parser hashing into a
+    different partition count would make the vector's pointwise-max
+    merge compare unrelated key populations.
     """
-    if wire_format == "sqlserver":
-        raise ValueError(
-            "sqlserver pairing aggregates across lines and a tailer can "
-            "split an update's 3/4 pair across micro-batches; use the "
-            "batch ingest path (cli.py ingest --format sqlserver)"
-        )
+    from .sources.wire import parse_wire_lines
+
     raw = engine.spark.readStream.text(path)
-    if wire_format == "wal2json":
-        from .sources.wal2json import wal2json_to_envelopes
-
-        return wal2json_to_envelopes(
-            raw, row_fields, key_cols, table=source_table,
-            failure_handling=failure_handling)
-    if wire_format == "mongo":
-        from .sources.mongo import change_stream_to_envelopes
-
-        return change_stream_to_envelopes(
-            raw, row_fields, key_cols[0], collection=source_table,
-            failure_handling=failure_handling)
-    if wire_format == "logminer":
-        from .sources.logminer import logminer_to_envelopes
-
-        return logminer_to_envelopes(
-            raw, row_fields, key_cols, table=source_table,
-            failure_handling=failure_handling)
-    if wire_format == "maxwell":
-        from .sources.maxwell import maxwell_to_envelopes
-
-        return maxwell_to_envelopes(
-            raw, row_fields, key_cols, database=database,
-            table=source_table, failure_handling=failure_handling)
-    raise ValueError(f"unknown wire format: {wire_format!r}")
+    return parse_wire_lines(
+        raw, wire_format, row_fields, key_cols,
+        source_table=source_table, database=database,
+        n_parts=engine.cfg.n_parts, failure_handling=failure_handling,
+        streaming=True,
+    )
 
 
 def default_checkpoint_dir(engine: CdcEngine) -> str:
@@ -167,11 +152,21 @@ def start_stream(
     offset so a redelivered early batch can't regress the checkpoint."""
     if checkpoint_dir is None:
         checkpoint_dir = default_checkpoint_dir(engine)
+    # the derived engine must inherit EVERY pluggable seam of the outer
+    # one, not just the config: a streaming run that journaled schema
+    # changes to a default file store while the caller configured a
+    # table-backed one would strand the journal where restart recovery
+    # never looks, and a missing offset-store mirror breaks the
+    # sink-migration resume contract ("written after every committed
+    # batch", engine.py)
     stream_engine = CdcEngine(
         engine.spark, engine.table,
         config=replace(engine.cfg, writer=f"{engine.cfg.writer}:stream"),
         signal_processor=engine.signals,
+        history_store=engine.schema_history.store,
+        offset_store=engine.offset_store,
     )
+    stream_engine.schema_registry = engine.schema_registry
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
