@@ -1372,6 +1372,21 @@ def q_curation_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-composed quality filter with reasons-as-data: every document
+    gets its fixed-point signals, the comma-joined names of the rules it
+    failed, and a keep boolean — so "why did we lose 40% of source X"
+    is a groupBy(reasons), not a corpus re-read."""
+    from sparkcdc.pipeline import curation as cu
+
+    return cu.quality_verdicts(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=30, max_tokens=80,
+        max_dup_2gram_ppm=100_000,
+        min_mwl_e2=300, max_mwl_e2=800,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_snapshot_read": q_cdc_snapshot_read,
@@ -1432,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_repetition": q_curation_repetition,
         "curation_stratified_sample": q_curation_stratified_sample,
         "curation_mixture_plan": q_curation_mixture_plan,
+        "curation_quality_verdicts": q_curation_quality_verdicts,
     }
 
 
@@ -2171,6 +2187,38 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN 250000 WHEN 'es' THEN 500000
                             WHEN 'fr' THEN 750000 WHEN 'de' THEN 1000000
                             ELSE 100000 END
+        """,
+        "curation_quality_verdicts": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array({norm_text}, ' ') w
+              FROM documents),
+            g AS (
+              SELECT doc_id, w,
+                     list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                    i -> concat_ws(' ', w[i], w[i+1])) AS g2
+              FROM t),
+            sig AS (
+              SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_tokens,
+                CASE WHEN len(g2) > 0 THEN CAST(floor(
+                  (len(g2) - len(list_distinct(g2))) * 1000000.0 / len(g2))
+                  AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dup_frac_ppm_2,
+                CAST(round(round(CASE WHEN len(w) > 0 THEN
+                  list_sum(list_transform(w, x -> length(x)))
+                  / CAST(len(w) AS DOUBLE) ELSE 0.0 END, 6) * 100)
+                  AS BIGINT) AS mwl_e2
+              FROM g),
+            v AS (
+              SELECT *, concat_ws(',',
+                CASE WHEN n_tokens < 30 THEN 'too_short' END,
+                CASE WHEN n_tokens > 80 THEN 'too_long' END,
+                CASE WHEN dup_frac_ppm_2 > 100000 THEN 'repetitive' END,
+                CASE WHEN mwl_e2 < 300 OR mwl_e2 > 800
+                     THEN 'word_length' END) AS reasons
+              FROM sig)
+            SELECT doc_id, n_tokens, dup_frac_ppm_2, mwl_e2, reasons,
+                   reasons = '' AS keep
+            FROM v
         """,
         "curation_mixture_plan": f"""
             WITH per AS (

@@ -151,6 +151,68 @@ def repetition_stats(
     return out.select(*cols)
 
 
+def quality_verdicts(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_dup_2gram_ppm: int = 200_000,
+    min_mwl_e2: int = 300,
+    max_mwl_e2: int = 1_000,
+) -> DataFrame:
+    """Gopher/C4-style keep/drop verdicts with machine-readable reasons —
+    the rule-composition step of a quality filter: each document gets its
+    signals (token count, duplicate-2-gram ppm, mean word length ×100),
+    a comma-joined ``reasons`` string naming every rule it failed
+    (``too_short,repetitive``; empty = clean), and a ``keep`` boolean.
+
+    Reasons-as-data matter at 100 TB: a pipeline that only drops cannot
+    answer "why did we lose 40% of source X", and re-running with a
+    rule toggled means re-reading the corpus. All signals are integer
+    fixed point so the verdict is engine-exact; the whole operator is a
+    zero-shuffle projection (the token array materializes once in a
+    staged column, same CollapseProject reasoning as
+    :func:`repetition_stats`; the character-total ``aggregate`` lambda
+    evaluates interpreted over that staged array, everything else
+    codegens)."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
+    g2 = ngram_windows(toks, 2)
+    t2 = F.size(g2).cast("long")
+    d2 = F.size(F.array_distinct(g2)).cast("long")
+    n = F.size(toks).cast("long")
+    chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    sig = staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(t2 > 0, F.floor((t2 - d2) * PPM / t2))
+        .otherwise(F.lit(0)).cast("long").alias("dup_frac_ppm_2"),
+        F.round(
+            F.round(F.when(n > 0, chars / n).otherwise(F.lit(0.0)), 6) * 100,
+            0,
+        ).cast("long").alias("mwl_e2"),
+    )
+    # ordered rule ladder; when() without otherwise() yields NULL on pass
+    # and concat_ws skips NULLs in both engines
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+        F.when(F.col("n_tokens") > max_tokens, F.lit("too_long")),
+        F.when(F.col("dup_frac_ppm_2") > max_dup_2gram_ppm,
+               F.lit("repetitive")),
+        F.when((F.col("mwl_e2") < min_mwl_e2)
+               | (F.col("mwl_e2") > max_mwl_e2), F.lit("word_length")),
+    )
+    return sig.select(
+        "doc_id", "n_tokens", "dup_frac_ppm_2", "mwl_e2",
+        reasons.alias("reasons"), (reasons == "").alias("keep"),
+    )
+
+
 def sample_gate(
     rate_ppm: Column, key_cols: list[str], *, seed: int | str | None = None
 ) -> Column:

@@ -195,3 +195,39 @@ def test_mixture_plan_feeds_sample_gate(spark):
     # a: 800 tokens, target 200 -> rate .25 of 80 docs ~ 20; b saturates
     assert counts["b"] == 20
     assert 8 <= counts.get("a", 0) <= 35
+
+
+# -- quality verdicts -------------------------------------------------------
+
+
+def test_quality_verdicts_rules_and_reasons(spark):
+    docs = _docs(spark, [
+        (1, "one two three", "en", "s"),                      # too_short
+        (2, "spam spam spam spam spam spam", "en", "s"),      # short+repetitive
+        (3, " ".join(f"w{i}" for i in range(10)), "en", "s"),  # clean
+        (4, "a b c d e f g h i j", "en", "s"),                # word_length (mwl=1)
+    ])
+    out = {r.doc_id: r for r in cu.quality_verdicts(
+        docs, min_tokens=5, max_tokens=100, max_dup_2gram_ppm=500_000,
+        min_mwl_e2=150, max_mwl_e2=900).collect()}
+    assert out[1].reasons == "too_short" and out[1].keep is False
+    # multi-reason ordering is the rule-ladder order, comma-joined
+    assert out[2].reasons == "repetitive"
+    assert out[2].dup_frac_ppm_2 == 800_000  # 5 bigrams, 1 distinct
+    assert out[3].reasons == "" and out[3].keep is True
+    assert out[4].reasons == "word_length" and out[4].mwl_e2 == 100
+
+
+def test_quality_verdicts_multi_reason_order(spark):
+    docs = _docs(spark, [(1, "x x x", "en", "s")])
+    r = cu.quality_verdicts(
+        docs, min_tokens=5, max_dup_2gram_ppm=100_000,
+        min_mwl_e2=150, max_mwl_e2=900).collect()[0]
+    assert r.reasons == "too_short,repetitive,word_length"
+
+
+def test_quality_verdicts_plan_no_shuffle(spark):
+    docs = _docs(spark, [(1, "a b c", "en", "s")])
+    plan = cu.quality_verdicts(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
