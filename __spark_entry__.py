@@ -1272,6 +1272,32 @@ def q_cdc_envelope_cloudevents_proto_roundtrip(
     )
 
 
+def q_cdc_envelope_connect_json_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T16 Kafka Connect JSON-with-schema (``schemas.enable=true`` — the
+    reference's default JSON serialization, JsonConverter): envelope →
+    {"schema": <Connect descriptor>, "payload": <envelope>} wire string →
+    payload-typed ``from_json`` parse. Oracle recomputes the projection
+    from raw events, proving the schema-bearing wrap is lossless."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.transforms import (
+        envelope_to_connect_json,
+        parse_connect_json,
+    )
+
+    env = _env(spark, sf_dir)
+    wire = envelope_to_connect_json(env, row_fields=EVENT_ROW_FIELDS)
+    back = parse_connect_json(wire, EVENT_ROW_FIELDS)
+    return back.select(
+        F.col("op"),
+        F.col("ts_ms"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.col("source.pos").alias("pos"),
+        F.col("offset"),
+    )
+
+
 def q_cdc_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 initial consistent snapshot: pinned table read → op='r' envelopes
     → flatten through the standard apply path."""
@@ -1434,6 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_cloudevents_roundtrip": q_cdc_envelope_cloudevents_roundtrip,
         "cdc_envelope_cloudevents_proto_roundtrip":
             q_cdc_envelope_cloudevents_proto_roundtrip,
+        "cdc_envelope_connect_json_roundtrip":
+            q_cdc_envelope_connect_json_roundtrip,
         "cdc_chunked_backfill": q_cdc_chunked_backfill,
         "cdc_range_backfill": q_cdc_range_backfill,
         "cdc_blocking_snapshot": q_cdc_blocking_snapshot,
@@ -2075,6 +2103,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "cdc_envelope_cloudevents_proto_roundtrip": """
+            SELECT CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                   epoch_us(ts) // 1000 AS ts_ms,
+                   user_id,
+                   event_id AS pos,
+                   event_id AS offset
+            FROM events
+        """,
+        "cdc_envelope_connect_json_roundtrip": """
             SELECT CASE WHEN event_type='signup' THEN 'c'
                         WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
                    epoch_us(ts) // 1000 AS ts_ms,

@@ -46,6 +46,12 @@ from .serialize import (
     parse_envelope_json,
     parse_envelope_json_arrow,
 )
+from .connect_json import (
+    connect_envelope_schema_json,
+    embedded_connect_schemas,
+    envelope_to_connect_json,
+    parse_connect_json,
+)
 from .avro import (
     envelope_avro_schema,
     envelope_to_avro,
