@@ -1413,6 +1413,15 @@ def q_curation_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb line-level dedup over the duplicated corpus: the
+    word-soup docs carry no newlines, so segmentation uses fixed 10-word
+    windows (``words_per_line=10``); every line seen in >= 2 distinct docs
+    is dropped and the documents rewritten."""
+    corpus = _dup_documents(spark, sf_dir)
+    return dd.dedup_lines(corpus, words_per_line=10, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_snapshot_read": q_cdc_snapshot_read,
@@ -1449,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_lines": q_dedup_lines,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
@@ -1886,6 +1896,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding": _embedding_lsh_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "dedup_lines": f"""
+            WITH corpus AS ({_DUP_DOCS_SQL}),
+            w AS (SELECT doc_id, split(text, ' ') AS ws FROM corpus),
+            sized AS (
+              SELECT doc_id, ws,
+                     CAST(ceil(len(ws) / 10.0) AS BIGINT) AS nl
+              FROM w),
+            lines AS (
+              SELECT doc_id,
+                     unnest(range(0, nl)) AS line_no,
+                     unnest(list_transform(range(0, nl),
+                            i -> array_to_string(
+                                   list_slice(ws, i*10 + 1, i*10 + 10), ' ')
+                           )) AS line
+              FROM sized),
+            dups AS (
+              SELECT line FROM lines
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 2)
+            SELECT l.doc_id,
+                   coalesce(string_agg(
+                     CASE WHEN d.line IS NULL THEN l.line END,
+                     ' ' ORDER BY l.line_no), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE d.line IS NULL) AS BIGINT)
+                     AS n_kept,
+                   CAST(count(*) FILTER (WHERE d.line IS NOT NULL) AS BIGINT)
+                     AS n_removed
+            FROM lines l LEFT JOIN dups d USING (line)
+            GROUP BY l.doc_id
+        """,
         "ann_cosine_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

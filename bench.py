@@ -116,6 +116,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_lines",
         "ann_cosine_topk",
         "text_stats",
         "text_pack_sequences",

@@ -446,3 +446,140 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (C4 / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def split_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str = "\n",
+    words_per_line: int | None = None,
+) -> DataFrame:
+    """Explode documents into (doc_id, line_no, line) rows.
+
+    Two segmentation modes:
+
+    - ``delimiter`` (default ``\\n``): real line structure — one
+      ``F.split`` per doc, the RefinedWeb setting.
+    - ``words_per_line=k``: corpora *without* line structure (the synthetic
+      word-soup tables) are segmented into fixed windows of ``k``
+      whitespace tokens. The window array is built with
+      ``transform(sequence, slice)`` — pure Catalyst, per-row, zero
+      shuffle — then posexploded.
+
+    ``split`` always yields >= 1 element (empty text -> one empty line),
+    so the sequence bound is never negative.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    if words_per_line is not None:
+        k = int(words_per_line)
+        w = F.split(txt, " ")
+        n_lines = F.ceil(F.size(w) / F.lit(k)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - F.lit(1)),
+            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+        )
+    else:
+        lines = F.split(txt, delimiter)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines).alias("line_no", "line"),
+    )
+
+
+def duplicate_lines(
+    lines: DataFrame,
+    *,
+    min_docs: int = 2,
+    min_line_length: int = 0,
+    fast: bool = False,
+) -> DataFrame:
+    """Lines that occur in >= ``min_docs`` *distinct* documents — the
+    removal set of C4/RefinedWeb line dedup (boilerplate headers, nav
+    bars, cookie banners repeat across pages).
+
+    Scale: the shuffle carries only ``(line_hash, doc_id)`` — never the
+    line text — and the count-distinct is a partial-aggregated groupBy on
+    the 60-bit hash. Output is (line_hash, n_docs); at web scale this set
+    is a small fraction of distinct lines, which is what makes the
+    join-back in :func:`dedup_lines` broadcast-able.
+    """
+    return (
+        lines.filter(F.length("line") >= min_line_length)
+        .select(_hash(F.col("line"), fast=fast).alias("line_hash"), "doc_id")
+        .groupBy("line_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str = "\n",
+    words_per_line: int | None = None,
+    min_docs: int = 2,
+    join_sep: str | None = None,
+    broadcast_dups: bool = True,
+    fast: bool = False,
+) -> DataFrame:
+    """Rewrite each document with cross-document duplicated lines removed
+    (C4 / RefinedWeb line-level dedup; ref: debezium has no text-pipeline
+    analog — this is part of the training-data surface).
+
+    Plan shape (the 100 TB path):
+      1. segment -> posexplode (per-row, no shuffle),
+      2. one groupBy on line_hash for the dup set (hash+doc_id only on the
+         wire),
+      3. join-back on line_hash — *broadcast* by default since the dup set
+         is tiny relative to the corpus; set ``broadcast_dups=False`` to
+         let AQE pick when it is not,
+      4. one groupBy(doc_id) to reassemble kept lines in order.
+
+    Dedup keys on the 60-bit sha-based line hash, not the line text, so
+    the join never shuffles long strings; collisions are ~2^-60.
+
+    Output: (doc_id, clean_text, n_kept, n_removed).
+    """
+    sep = join_sep if join_sep is not None else (
+        " " if words_per_line is not None else delimiter
+    )
+    lines = split_lines(
+        df, text_col, id_col,
+        delimiter=delimiter, words_per_line=words_per_line,
+    )
+    dups = duplicate_lines(lines, min_docs=min_docs, fast=fast).select(
+        "line_hash", F.lit(True).alias("__dup")
+    )
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    marked = lines.withColumn(
+        "line_hash", _hash(F.col("line"), fast=fast)
+    ).join(dups, "line_hash", "left")
+    keep = F.col("__dup").isNull()
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.count(F.when(~keep, 1)).alias("n_removed"),
+        )
+    )

@@ -274,3 +274,76 @@ def test_pack_sequences_rejects_non_integral_shard(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="integral"):
         pack_sequences(df, 512, tokens_col="n_tok", shard_col="repo")
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (C4 / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+LINE_DOCS = [
+    # "nav bar" and "footer" boilerplate repeat across docs 0/1/2;
+    # body lines are unique per doc.
+    (0, "home about contact\nunique body zero\ncopyright footer line"),
+    (1, "home about contact\nunique body one\ncopyright footer line"),
+    (2, "home about contact\nunique body two"),
+    (3, "totally standalone document\nwith two lines"),
+    # all-boilerplate doc: every line removed -> clean_text ''
+    (4, "home about contact\ncopyright footer line"),
+]
+
+
+def test_dedup_lines_delimiter_mode(spark):
+    from sparkcdc.pipeline.dedup import dedup_lines, duplicate_lines, split_lines
+
+    df = spark.createDataFrame(LINE_DOCS, "doc_id long, text string")
+    lines = split_lines(df)
+    assert lines.count() == 3 + 3 + 2 + 2 + 2
+
+    dups = duplicate_lines(lines, min_docs=2)
+    # exactly the two boilerplate lines are in >= 2 distinct docs
+    assert dups.count() == 2
+    assert {r.n_docs for r in dups.collect()} == {4, 3}
+
+    out = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert out[0].clean_text == "unique body zero"
+    assert out[0].n_kept == 1 and out[0].n_removed == 2
+    assert out[2].clean_text == "unique body two"
+    assert out[3].clean_text == "totally standalone document\nwith two lines"
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_kept == 0
+
+
+def test_dedup_lines_chunk_mode(spark):
+    from sparkcdc.pipeline.dedup import dedup_lines, split_lines
+
+    # 5-word docs, words_per_line=2 -> windows of 2 (last window short)
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b x y e"), (2, "p q r s t")],
+        "doc_id long, text string",
+    )
+    lines = split_lines(df, words_per_line=2)
+    got = {(r.doc_id, r.line_no, r.line) for r in lines.collect()}
+    assert (0, 0, "a b") in got and (0, 2, "e") in got
+    assert (1, 1, "x y") in got
+
+    out = {r.doc_id: r for r in dedup_lines(df, words_per_line=2).collect()}
+    # "a b" and "e" shared by docs 0/1 -> removed from both
+    assert out[0].clean_text == "c d" and out[0].n_removed == 2
+    assert out[1].clean_text == "x y" and out[1].n_removed == 2
+    assert out[2].clean_text == "p q r s t" and out[2].n_removed == 0
+
+
+def test_dedup_lines_min_docs_and_null_text(spark):
+    from sparkcdc.pipeline.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(0, "shared line\nown zero"), (1, "shared line\nown one"), (2, None)],
+        "doc_id long, text string",
+    )
+    # min_docs=3: the shared pair is NOT removed
+    out = {r.doc_id: r for r in dedup_lines(df, min_docs=3).collect()}
+    assert out[0].n_removed == 0
+    assert out[0].clean_text == "shared line\nown zero"
+    # null text -> one empty line, survives as the whole doc
+    assert out[2].clean_text == "" and out[2].n_kept == 1
