@@ -1422,6 +1422,14 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_lines(corpus, words_per_line=10, min_docs=2)
 
 
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: IVF-cell-scoped semantic dedup — cluster by the seeded
+    centroids, drop any vector with a lower-id cell-mate at cosine >= 0.3,
+    keep one representative per near-dup group."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.semdedup(emb, n_cells=16, threshold=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_snapshot_read": q_cdc_snapshot_read,
@@ -1459,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "dedup_lines": q_dedup_lines,
+        "dedup_semdedup": q_dedup_semdedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
@@ -1939,6 +1948,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                    CAST(round(cos * 1000000) AS BIGINT) AS cos_ppm
             FROM ranked WHERE rank <= 5
+        """,
+        "dedup_semdedup": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)),
+            scored AS (
+              SELECT v.vec_id AS id, c.cell,
+                     round(list_dot_product(v.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS csim
+              FROM embeddings v, cents c),
+            cells AS (
+              SELECT id, cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY id ORDER BY csim DESC, cell ASC) AS crank
+                FROM scored) WHERE crank = 1),
+            member AS (
+              SELECT cl.id, cl.cell, e.embedding
+              FROM cells cl JOIN embeddings e ON e.vec_id = cl.id),
+            dropped AS (
+              SELECT DISTINCT b.id FROM member a JOIN member b
+                ON a.cell = b.cell AND a.id < b.id
+              WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                    >= 0.3)
+            SELECT m.id AS vec_id, CAST(m.cell AS INTEGER) AS cell,
+                   d.id IS NULL AS keep
+            FROM member m LEFT JOIN dropped d ON d.id = m.id
         """,
         "ann_ivf_topk": """
             WITH cents AS (

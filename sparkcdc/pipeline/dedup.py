@@ -583,3 +583,71 @@ def dedup_lines(
             F.count(F.when(~keep, 1)).alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup over embeddings
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then remove
+    semantic near-duplicates *within* each cluster, keeping one
+    representative per near-dup group.
+
+    The within-cluster rule is the deterministic min-id variant: drop x
+    iff some y in the same cell has id(y) < id(x) and cos(x, y) >=
+    threshold. Every dropped item therefore names a kept-or-lower
+    representative, and the output is stable across partitionings.
+
+    Scale shape: the centroid set is broadcast for assignment (n_cells <<
+    corpus), and the pairwise cosine runs only *inside* cells — the
+    self-join shuffles on cell id, so the cost is sum(cell_size^2), the
+    SemDeDup cost model (cluster count is the knob; the paper uses 50k
+    clusters for LAION — cell_size stays ~2k even at 10^8 docs). Never an
+    all-pairs corpus join.
+
+    Output: (vec_id, cell, keep) — keep=false rows are the semantic dups.
+    """
+    from .similarity import assign_cells, refine_centroids, seeded_centroids
+
+    cents = seeded_centroids(df, n_cells=n_cells, vec_col=vec_col, id_col=id_col)
+    if refine_iters:
+        cents = refine_centroids(
+            df, cents, iters=refine_iters, vec_col=vec_col, id_col=id_col
+        )
+    cells = assign_cells(
+        df, cents, vec_col=vec_col, id_col=id_col, n_assign=1
+    ).select("id", "cell")
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    member = cells.join(v, "id")
+    a = member.alias("a")
+    b = member.alias("b")
+    cos = F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6)
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        cells.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.col("__drop").isNull().alias("keep"),
+        )
+    )

@@ -347,3 +347,48 @@ def test_dedup_lines_min_docs_and_null_text(spark):
     assert out[0].clean_text == "shared line\nown zero"
     # null text -> one empty line, survives as the whole doc
     assert out[2].clean_text == "" and out[2].n_kept == 1
+
+
+def test_semdedup_cluster_scoped(spark):
+    from sparkcdc.pipeline.dedup import semdedup
+
+    # Two well-separated directions; ids 0/1 seed the two cells.
+    # 0, 2, 3 are near-identical (+x-ish); 1, 4 near-identical (+y-ish);
+    # 5 is +x-but-orthogonal-enough to survive a 0.95 threshold.
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.998, 0.0, 0.02, 0.0]),
+        (4, [0.0, 0.997, 0.0, 0.03]),
+        (5, [0.7, 0.0, 0.7, 0.1]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semdedup(df, n_cells=2, threshold=0.95).collect()}
+    assert len(out) == 6
+    # representatives (min id per near-dup group) kept
+    assert out[0].keep and out[1].keep
+    # near-dups of a lower id in the same cell dropped
+    assert not out[2].keep and not out[3].keep and not out[4].keep
+    # same cell as 0 but cosine < 0.95 -> kept
+    assert out[5].keep
+    # cells are the two seeds' directions
+    assert out[2].cell == out[0].cell and out[4].cell == out[1].cell
+
+
+def test_semdedup_refined_centroids_consistent(spark):
+    from sparkcdc.pipeline.dedup import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = semdedup(emb, n_cells=8, threshold=0.3)
+    refined = semdedup(emb, n_cells=8, threshold=0.3, refine_iters=1)
+    # both partition the corpus fully and keep at least the group minima
+    assert base.count() == emb.count() == refined.count()
+    kept_b = base.filter("keep").count()
+    kept_r = refined.filter("keep").count()
+    assert 0 < kept_b <= emb.count() and 0 < kept_r <= emb.count()
+    # every cell retains at least one representative
+    assert (base.groupBy("cell")
+            .agg(F.max(F.col("keep").cast("int")).alias("m"))
+            .filter("m = 0").count()) == 0
