@@ -1422,6 +1422,27 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_lines(corpus, words_per_line=10, min_docs=2)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental dedup through a REAL fingerprint-index lake
+    table: batch 1 (doc_id < 250), then batch 2 (the rest + exact copies of
+    the first 100 docs) anti-joined against the committed index. Returns
+    the final index — first-seen doc per fingerprint across batch order."""
+    from sparkcdc.pipeline.ingest_dedup import IncrementalDeduper
+
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_ingest_dedup_")
+    ded = IncrementalDeduper.create_or_load(spark, root, n_buckets=4)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250).unionByName(
+        docs.filter(F.col("doc_id") < 100).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    ded.process_batch(b1, batch_id=1)
+    ded.process_batch(b2, batch_id=2)
+    return ded.table.read().select("fingerprint", "first_doc_id")
+
+
 def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cell-scoped semantic dedup — cluster by the seeded
     centroids, drop any vector with a lower-id cell-mate at cosine >= 0.3,
@@ -1468,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_lines": q_dedup_lines,
         "dedup_semdedup": q_dedup_semdedup,
+        "dedup_incremental": q_dedup_incremental,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
@@ -1948,6 +1970,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                    CAST(round(cos * 1000000) AS BIGINT) AS cos_ppm
             FROM ranked WHERE rank <= 5
+        """,
+        "dedup_incremental": f"""
+            WITH all_docs AS (
+              SELECT doc_id, text, 1 AS batch FROM documents WHERE doc_id < 250
+              UNION ALL
+              SELECT doc_id, text, 2 FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 10000, text, 2 FROM documents WHERE doc_id < 100
+            ),
+            fp AS (
+              SELECT sha256({norm_text}) AS fingerprint, doc_id, batch
+              FROM all_docs),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY fingerprint ORDER BY batch ASC, doc_id ASC) AS rn
+              FROM fp)
+            SELECT fingerprint, doc_id AS first_doc_id
+            FROM ranked WHERE rn = 1
         """,
         "dedup_semdedup": """
             WITH cents AS (
