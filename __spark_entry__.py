@@ -193,6 +193,27 @@ def q_cdc_mongo_changestream_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_cdc_mongo_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-only Mongo capture (capture.mode=change_streams): updates
+    carry ONLY updateDescription patches — folded into final state by the
+    field-level LWW reduce (transforms/document.py), never needing
+    post-images. Barrier rule: last insert/delete wins; patches after the
+    live barrier apply per-field."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.sources.mongo import events_to_change_stream_docs
+    from sparkcdc.transforms.document import reduce_document_patches
+
+    docs = events_to_change_stream_docs(
+        _wire_feed(spark, sf_dir), capture_mode="delta"
+    )
+    out = reduce_document_patches(docs, EVENT_ROW_FIELDS, "user_id",
+                                  collection="events")
+    return out.select(
+        "user_id", "event_type",
+        _cents(F.col("value")).alias("value_cents"), "props",
+    )
+
+
 def q_cdc_logminer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 Oracle LogMiner wire format: events → deterministic
     V$LOGMINER_CONTENTS rows (canonical single-row redo SQL) →
@@ -1458,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_wal2json_replay": q_cdc_wal2json_replay,
         "cdc_mongo_changestream_replay": q_cdc_mongo_changestream_replay,
+        "cdc_mongo_delta_fold": q_cdc_mongo_delta_fold,
         "cdc_logminer_replay": q_cdc_logminer_replay,
         "cdc_sqlserver_cdc_replay": q_cdc_sqlserver_cdc_replay,
         "cdc_maxwell_binlog_replay": q_cdc_maxwell_binlog_replay,
@@ -1646,6 +1668,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1700000000 + event_id // 1000) * 4294967296
                         + (event_id % 1000) AS BIGINT) AS last_cluster_pos
             FROM last WHERE rn = 1
+        """,
+        "cdc_mongo_delta_fold": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type, value, props,
+                     CASE WHEN event_type = 'signup' THEN 'insert'
+                          WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS act
+              FROM events),
+            b AS (
+              SELECT user_id, max(event_id) AS b_id,
+                     arg_max(act, event_id) AS b_act,
+                     arg_max(event_type, event_id) AS b_et,
+                     arg_max(value, event_id) AS b_val,
+                     arg_max(props, event_id) AS b_props
+              FROM ev WHERE act IN ('insert', 'delete') GROUP BY user_id),
+            live AS (SELECT * FROM b WHERE b_act = 'insert'),
+            u AS (
+              SELECT e.user_id,
+                     arg_max(e.event_type, e.event_id) AS last_et,
+                     arg_max(e.value, e.event_id) AS last_val
+              FROM ev e JOIN live l USING (user_id)
+              WHERE e.act = 'update' AND e.event_id > l.b_id
+              GROUP BY e.user_id)
+            SELECT l.user_id,
+                   coalesce(u.last_et, l.b_et) AS event_type,
+                   CAST(round(coalesce(u.last_val, l.b_val) * 100) AS BIGINT)
+                     AS value_cents,
+                   l.b_props AS props
+            FROM live l LEFT JOIN u USING (user_id)
         """,
         "cdc_logminer_replay": """
             WITH last AS (

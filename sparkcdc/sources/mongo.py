@@ -37,10 +37,11 @@ wal2json's B/C markers.
 Capture mode: the supported shape is the reference's recommended
 ``capture.mode=change_streams_update_full`` (updateLookup): updates
 carry the full post-image in ``fullDocument``, which the per-key LWW
-reduce requires. ``updateDescription`` is parsed (schema slot) but not
-projected — a delta-only stream (no full document) cannot feed an
-absolute-state merge and should run the engine's refetch strategy
-against the source instead.
+reduce requires. A delta-only stream (``capture.mode=change_streams``,
+no full document on updates) cannot feed an absolute-state merge — for
+that shape use ``transforms.document.reduce_document_patches``, the
+field-level LWW fold over ``updateDescription`` patches (or the
+engine's refetch strategy against the source).
 
 Offsets: a BSON Timestamp ``(t, i)`` is the 64-bit value
 ``(t << 32) | i`` — Mongo's own total order across the oplog — so that
@@ -195,6 +196,7 @@ def events_to_change_stream_docs(
     db: str = "app",
     coll: str = "events",
     base_ts: int = 1_700_000_000,
+    capture_mode: str = "update_lookup",
 ) -> DataFrame:
     """Deterministic change-stream emitter over the driver's ``events``
     table — the synthetic ``watch()`` output for tests/benchmarks (the
@@ -209,7 +211,13 @@ def events_to_change_stream_docs(
     keystring tokens.
 
     Emitted via ``to_json(..., ignoreNullFields)`` so deletes carry no
-    fullDocument slot at all, exactly like the real stream."""
+    fullDocument slot at all, exactly like the real stream.
+
+    ``capture_mode``: ``update_lookup`` (default) gives updates the full
+    post-image, the shape ``change_stream_to_envelopes`` requires;
+    ``delta`` (the reference's ``capture.mode=change_streams``) puts the
+    post-image ONLY on inserts — updates carry just ``updateDescription``
+    — the shape ``transforms.document.reduce_document_patches`` folds."""
     act = (
         F.when(F.col("event_type") == "signup", F.lit("insert"))
         .when(F.col("event_type") == "error", F.lit("delete"))
@@ -220,8 +228,13 @@ def events_to_change_stream_docs(
     i = F.pmod(F.col("event_id").cast("long"), F.lit(1000))
     offset = cluster_time_to_long(t, i)
     token = F.concat(F.lit("82"), F.lpad(F.hex(offset), 16, "0"))
+    if capture_mode not in ("update_lookup", "delta"):
+        raise ValueError(f"unknown capture_mode {capture_mode!r}")
+    has_full = (
+        (act == "insert") if capture_mode == "delta" else (act != "delete")
+    )
     full_doc = F.when(
-        act != "delete",
+        has_full,
         F.struct(
             F.col("user_id").cast("long").alias("user_id"),
             F.col("event_type").alias("event_type"),
