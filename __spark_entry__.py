@@ -193,6 +193,32 @@ def q_cdc_mongo_changestream_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_cdc_logical_message_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres logical decoding messages (pg_logical_emit_message →
+    wal2json action "M"): parse message lines, filter by prefix channel,
+    and decode the JSON content into typed rows — the
+    DecodeLogicalDecodingMessageContent SMT as one Catalyst projection."""
+    from sparkcdc.sources.wal2json import (
+        decode_message_content,
+        events_to_wal2json_message_lines,
+        wal2json_messages,
+    )
+
+    lines = events_to_wal2json_message_lines(
+        _wire_feed(spark, sf_dir), prefix="app.audit"
+    )
+    msgs = wal2json_messages(lines, prefix="app.audit")
+    out = decode_message_content(
+        msgs,
+        "user_id bigint, event_type string, value double, props string",
+    )
+    return out.select(
+        F.col("offset").alias("msg_offset"), "xid", "transactional",
+        "prefix", "user_id", "event_type",
+        _cents(F.col("value")).alias("value_cents"), "props",
+    )
+
+
 def q_cdc_mongo_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-only Mongo capture (capture.mode=change_streams): updates
     carry ONLY updateDescription patches — folded into final state by the
@@ -1480,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wal2json_replay": q_cdc_wal2json_replay,
         "cdc_mongo_changestream_replay": q_cdc_mongo_changestream_replay,
         "cdc_mongo_delta_fold": q_cdc_mongo_delta_fold,
+        "cdc_logical_message_decode": q_cdc_logical_message_decode,
         "cdc_logminer_replay": q_cdc_logminer_replay,
         "cdc_sqlserver_cdc_replay": q_cdc_sqlserver_cdc_replay,
         "cdc_maxwell_binlog_replay": q_cdc_maxwell_binlog_replay,
@@ -1668,6 +1695,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1700000000 + event_id // 1000) * 4294967296
                         + (event_id % 1000) AS BIGINT) AS last_cluster_pos
             FROM last WHERE rn = 1
+        """,
+        "cdc_logical_message_decode": """
+            SELECT CAST(event_id AS BIGINT) AS msg_offset,
+                   CAST(event_id AS BIGINT) AS xid,
+                   true AS transactional,
+                   'app.audit' AS prefix,
+                   user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   props
+            FROM events
         """,
         "cdc_mongo_delta_fold": """
             WITH ev AS (

@@ -59,7 +59,8 @@ from .wire import assemble_envelope, failure_opts, op_lookup
 _COL_ENTRY = "array<struct<name:string,type:string,value:string>>"
 WAL2JSON_LINE_SCHEMA = (
     "struct<action:string,schema:string,`table`:string,lsn:string,"
-    f"xid:bigint,timestamp:string,columns:{_COL_ENTRY},identity:{_COL_ENTRY}>"
+    f"xid:bigint,timestamp:string,columns:{_COL_ENTRY},identity:{_COL_ENTRY},"
+    "prefix:string,content:string,transactional:boolean>"
 )
 
 _OP = {"I": "c", "U": "u", "D": "d", "T": "t"}
@@ -238,3 +239,104 @@ def events_to_wal2json_lines(
     return events.select(
         F.concat(head, body, F.lit("}")).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Logical decoding messages (wal2json action "M")
+# ---------------------------------------------------------------------------
+
+
+def wal2json_messages(
+    lines: DataFrame,
+    *,
+    prefix: str | None = None,
+    line_col: str = "value",
+    failure_handling: str = "skip",
+) -> DataFrame:
+    """Parse wal2json v2 ``"action":"M"`` lines — the output of
+    ``pg_logical_emit_message()`` — into message rows.
+
+    Reference: the Postgres connector emits these as op='m' records whose
+    value carries (prefix, content); see
+    debezium-connector-postgres/.../connection/LogicalDecodingMessage +
+    the MESSAGE envelope in PostgresChangeRecordEmitter. ``prefix``
+    filters to one application channel (the reference config
+    ``logical.decoding.message.prefix.include.list``).
+
+    Output: (offset, lsn, xid, ts_ms, transactional, prefix, content) —
+    one row per message, LSN-ordered by ``offset`` like every other
+    envelope. Pure Catalyst, stateless: safe on streaming frames.
+    """
+    opts = failure_opts(failure_handling)
+    j = F.from_json(F.col(line_col), WAL2JSON_LINE_SCHEMA, opts).alias("j")
+    msgs = lines.select(j).select("j.*").filter(F.col("action") == "M")
+    if prefix is not None:
+        msgs = msgs.filter(F.col("prefix") == prefix)
+    return msgs.select(
+        pg_lsn_to_long(F.col("lsn")).alias("offset"),
+        "lsn",
+        "xid",
+        F.expr("unix_micros(cast(timestamp as timestamp)) div 1000")
+        .alias("ts_ms"),
+        "transactional",
+        "prefix",
+        "content",
+    )
+
+
+def decode_message_content(
+    msgs: DataFrame,
+    content_schema: T.StructType | str,
+    *,
+    failure_handling: str = "skip",
+) -> DataFrame:
+    """DecodeLogicalDecodingMessageContent analog (reference:
+    debezium-connector-postgres/.../transforms/
+    DecodeLogicalDecodingMessageContent.java): parse each message's JSON
+    ``content`` into a typed row, so downstream sinks see structured
+    records instead of an opaque payload.
+
+    Output: the message metadata columns + the content fields flattened
+    top-level (the SMT's record-value shape). Unparseable content becomes
+    NULL fields under ``skip``; aborts the batch under ``fail``.
+    """
+    opts = failure_opts(failure_handling)
+    parsed = F.from_json(F.col("content"), content_schema, opts)
+    return msgs.select(
+        "offset", "lsn", "xid", "ts_ms", "transactional", "prefix",
+        parsed.alias("__content"),
+    ).select("offset", "lsn", "xid", "ts_ms", "transactional", "prefix",
+             "__content.*")
+
+
+def events_to_wal2json_message_lines(
+    events: DataFrame,
+    *,
+    prefix: str = "app.audit",
+) -> DataFrame:
+    """Deterministic ``"action":"M"`` emitter over the driver's ``events``
+    table — each event becomes one transactional logical decoding message
+    whose content is the event row as JSON (the audit-log pattern
+    pg_logical_emit_message exists for)."""
+    lsn = long_to_pg_lsn(F.col("event_id"))
+    ts = F.concat(
+        F.date_format(F.col("ts").cast("timestamp"),
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("+00"),
+    )
+    content = F.to_json(F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+        F.col("props").alias("props"),
+    ))
+    line = F.to_json(F.struct(
+        F.lit("M").alias("action"),
+        F.lit(True).alias("transactional"),
+        F.lit(prefix).alias("prefix"),
+        content.alias("content"),
+        lsn.alias("lsn"),
+        F.col("event_id").cast("long").alias("xid"),
+        ts.alias("timestamp"),
+    ))
+    return events.select(line.alias("value"))

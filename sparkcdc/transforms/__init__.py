@@ -36,6 +36,7 @@ from .columns import (
     propagate_source_column_type,
     timezone_converter,
     truncate_columns,
+    read_to_insert,
 )
 from .reselect import reselect_columns
 from .serialize import (
@@ -82,6 +83,7 @@ TRANSFORMS = {
     "DropTombstones": drop_tombstones,
     "ReselectColumns": reselect_columns,
     "PropagateSourceColumnType": propagate_source_column_type,
+    "ReadToInsertEvent": read_to_insert,
 }
 
 def build_chain(specs: list[dict]):

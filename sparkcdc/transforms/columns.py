@@ -295,3 +295,34 @@ def propagate_source_column_type(
         return out
 
     return _apply
+
+
+def read_to_insert(snapshot_aware: bool = True):
+    """ReadToInsertEvent analog (reference:
+    debezium-connector-postgres/.../transforms/ReadToInsertEvent.java):
+    rewrite snapshot READ events (op='r') as INSERTs (op='c') so sinks
+    that dispatch on op treat the initial snapshot like regular inserts.
+
+    With ``snapshot_aware`` (the SMT's documented behavior) the
+    ``source.snapshot`` flag is preserved — only the op changes — so
+    provenance survives the rewrite.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df.withColumn(
+            "op",
+            F.when(F.col("op") == "r", F.lit("c")).otherwise(F.col("op")),
+        )
+        if not snapshot_aware and "source" in df.columns:
+            fields = df.schema["source"].dataType.fieldNames()
+            out = out.withColumn(
+                "source",
+                F.struct(*[
+                    (F.lit("false") if n == "snapshot"
+                     else F.col("source")[n]).alias(n)
+                    for n in fields
+                ]),
+            )
+        return out
+
+    return _apply

@@ -219,3 +219,73 @@ def test_wal2json_failure_handling(spark):
     ).collect()
     with pytest.raises(ValueError):
         wal2json_to_envelopes(mixed, fields, ["user_id"], failure_handling="x")
+
+
+# ---------------------------------------------------------------------------
+# Logical decoding messages (action "M")
+# ---------------------------------------------------------------------------
+
+
+def test_wal2json_messages_parse_and_filter(spark):
+    from sparkcdc.sources.wal2json import wal2json_messages
+
+    lines = spark.createDataFrame([
+        ('{"action":"M","transactional":true,"prefix":"app.audit",'
+         '"content":"{\\"k\\":1}","lsn":"0/10","xid":7,'
+         '"timestamp":"2024-01-01 00:00:00.000001+00"}',),
+        ('{"action":"M","transactional":false,"prefix":"other",'
+         '"content":"x","lsn":"0/20","xid":8,'
+         '"timestamp":"2024-01-01 00:00:00.000002+00"}',),
+        # DML and boundary lines must not leak into the message stream
+        ('{"action":"I","schema":"app","table":"t","lsn":"0/30","xid":9,'
+         '"timestamp":"2024-01-01 00:00:00.000003+00","columns":[]}',),
+        ('{"action":"B","xid":10,"lsn":"0/40"}',),
+    ], "value string")
+    allm = wal2json_messages(lines).collect()
+    assert {r.prefix for r in allm} == {"app.audit", "other"}
+    one = wal2json_messages(lines, prefix="app.audit").collect()
+    assert len(one) == 1
+    r = one[0]
+    assert r.offset == 0x10 and r.xid == 7 and r.transactional is True
+    assert r.content == '{"k":1}'
+
+
+def test_decode_message_content_roundtrip(spark):
+    from sparkcdc.sources.wal2json import (
+        decode_message_content,
+        events_to_wal2json_message_lines,
+        wal2json_messages,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lines = events_to_wal2json_message_lines(events, prefix="app.audit")
+    msgs = wal2json_messages(lines, prefix="app.audit")
+    out = decode_message_content(
+        msgs, "user_id bigint, event_type string, value double, props string"
+    )
+    assert out.count() == events.count()
+    got = {r.msg if False else r.offset: r for r in out.collect()}
+    want = {r.event_id: r for r in events.collect()}
+    assert set(got) == set(want)
+    k = min(got)
+    assert got[k].user_id == want[k].user_id
+    assert got[k].event_type == want[k].event_type
+    assert got[k].value == want[k].value
+    # no Python UDF, no Exchange in the decode plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_read_to_insert_transform(spark):
+    from sparkcdc.envelope import snapshot_events
+    from sparkcdc.transforms import TRANSFORMS
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, body string"
+    )
+    env = snapshot_events(src, row_cols=["id", "body"], key_cols=["id"])
+    assert {r.op for r in env.select("op").distinct().collect()} == {"r"}
+    out = TRANSFORMS["ReadToInsertEvent"]()(env)
+    assert {r.op for r in out.select("op").distinct().collect()} == {"c"}
+    # snapshot provenance preserved by default
+    assert out.select(F.col("source")["snapshot"]).first()[0] == "true"
