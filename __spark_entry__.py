@@ -1272,6 +1272,32 @@ def q_cdc_envelope_cloudevents_roundtrip(
     )
 
 
+def q_cdc_cloudevent_saveable_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvertCloudEventToSaveableForm: CloudEvents JSON → one column per
+    mapped attribute (fields.mapping syntax 'cefield:column'), data
+    flattened to its JSON text; user_id re-extracted from the payload
+    proves the data column carries the whole envelope."""
+    from sparkcdc.transforms import envelope_to_cloudevents
+    from sparkcdc.transforms.serialize import (
+        convert_cloudevent_to_saveable_form,
+    )
+
+    wire = envelope_to_cloudevents(_env(spark, sf_dir))
+    flat = convert_cloudevent_to_saveable_form(
+        wire,
+        ["id:ce_id", "source:ce_source", "type:ce_type", "data:payload"],
+    )
+    return flat.select(
+        "ce_id", "ce_source", "ce_type",
+        F.get_json_object("payload", "$.op").alias("op"),
+        F.get_json_object("payload", "$.offset").cast("long").alias("offset"),
+        F.coalesce(
+            F.get_json_object("payload", "$.after.user_id"),
+            F.get_json_object("payload", "$.before.user_id"),
+        ).cast("long").alias("user_id"),
+    )
+
+
 def q_cdc_envelope_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 proto3 wire format roundtrip (transforms.protobuf)."""
     from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
@@ -1548,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_avro_roundtrip": q_cdc_envelope_avro_roundtrip,
         "cdc_envelope_protobuf_roundtrip": q_cdc_envelope_protobuf_roundtrip,
         "cdc_envelope_cloudevents_roundtrip": q_cdc_envelope_cloudevents_roundtrip,
+        "cdc_cloudevent_saveable_form": q_cdc_cloudevent_saveable_form,
         "cdc_envelope_cloudevents_proto_roundtrip":
             q_cdc_envelope_cloudevents_proto_roundtrip,
         "cdc_envelope_connect_json_roundtrip":
@@ -2283,6 +2310,17 @@ def oracle_sql() -> dict[str, str]:
                    user_id,
                    event_id AS pos,
                    event_id AS offset
+            FROM events
+        """,
+        "cdc_cloudevent_saveable_form": """
+            SELECT concat(CAST(user_id % 8 AS VARCHAR), ':',
+                          CAST(event_id AS VARCHAR)) AS ce_id,
+                   '/sparkcdc/source_code_repos' AS ce_source,
+                   'io.debezium.connector.spark.DataChangeEvent' AS ce_type,
+                   CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+                   event_id AS offset,
+                   user_id
             FROM events
         """,
         "cdc_kafka_envelopes": """

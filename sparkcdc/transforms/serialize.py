@@ -273,3 +273,55 @@ def parse_envelope_json_arrow(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(json_col).mapInPandas(parse, schema)
+
+
+#: the CloudEvent attributes the saveable-form transform may map
+#: (CloudEventsMaker.FieldName.* in the reference)
+CE_SAVEABLE_FIELDS = (
+    "id", "source", "specversion", "type", "datacontenttype",
+    "dataschema", "time", "data",
+)
+
+
+def convert_cloudevent_to_saveable_form(
+    df: DataFrame,
+    fields_mapping: list[str],
+    json_col: str = "value",
+) -> DataFrame:
+    """ConvertCloudEventToSaveableForm analog (reference:
+    debezium-connector-jdbc/.../transforms/
+    ConvertCloudEventToSaveableForm.java): flatten a CloudEvent into one
+    database column per mapped attribute so a JDBC-shaped sink can store
+    it.
+
+    ``fields_mapping`` uses the reference's config syntax — a list of
+    ``"cefield"`` or ``"cefield:column"`` pairs (``fields.mapping``);
+    unmapped attributes are dropped, mapped ones become columns in
+    mapping order. ``data`` arrives as its JSON text regardless of
+    whether the event nested it as a structure or a string (the
+    reference's JsonConverter does the same flatten); structured
+    consumers ``from_json`` it onward.
+
+    Serializer type ``json`` (the converter family this repo ships —
+    binary-payload events carry ``data_base64``, map that name to keep
+    the base64 text). One ``from_json`` + projection, zero UDFs.
+    """
+    if not fields_mapping:
+        return df
+    pairs: list[tuple[str, str]] = []
+    for raw in fields_mapping:
+        parts = raw.split(":", 1)
+        ce_field = parts[0]
+        if ce_field not in CE_SAVEABLE_FIELDS + ("data_base64",):
+            raise ValueError(
+                f"fields.mapping entry {raw!r}: unknown CloudEvent "
+                f"attribute {ce_field!r}"
+            )
+        pairs.append((ce_field, parts[1] if len(parts) > 1 else ce_field))
+    schema = ", ".join(
+        f"`{f}` string" for f in dict.fromkeys(f for f, _ in pairs)
+    )
+    e = F.from_json(F.col(json_col), schema).alias("e")
+    return df.select(e).select(
+        *[F.col("e")[f].alias(col) for f, col in pairs]
+    )

@@ -84,3 +84,47 @@ def test_failure_handling_and_drift_probe(spark):
     schemas = embedded_connect_schemas(good).collect()
     assert len(schemas) == 1
     assert json.loads(schemas[0]["schema_json"])["type"] == "struct"
+
+
+# ---------------------------------------------------------------------------
+# ConvertCloudEventToSaveableForm
+# ---------------------------------------------------------------------------
+
+
+def test_saveable_form_mapping_and_data(spark):
+    from sparkcdc.sources.events_adapter import events_to_envelopes
+    from sparkcdc.transforms import envelope_to_cloudevents
+    from sparkcdc.transforms.serialize import (
+        convert_cloudevent_to_saveable_form,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(20)
+    wire = envelope_to_cloudevents(events_to_envelopes(ev))
+    flat = convert_cloudevent_to_saveable_form(
+        wire, ["id:event_key", "type", "data:payload"]
+    )
+    assert flat.columns == ["event_key", "type", "payload"]
+    rows = flat.collect()
+    assert len(rows) == 20
+    # data column is the JSON text of the whole envelope
+    import json as _json
+    payload = _json.loads(rows[0].payload)
+    assert {"op", "offset", "source"} <= set(payload)
+    assert rows[0].type == "io.debezium.connector.spark.DataChangeEvent"
+
+
+def test_saveable_form_validation(spark):
+    import pytest as _pytest
+
+    from sparkcdc.transforms.serialize import (
+        convert_cloudevent_to_saveable_form,
+    )
+
+    df = spark.createDataFrame([("{}",)], "value string")
+    # empty mapping = pass-through (reference behavior)
+    assert convert_cloudevent_to_saveable_form(df, []) is df
+    with _pytest.raises(ValueError, match="unknown CloudEvent"):
+        convert_cloudevent_to_saveable_form(df, ["nope:col"])
+    # duplicate source attribute, two columns
+    out = convert_cloudevent_to_saveable_form(df, ["id:a", "id:b"])
+    assert out.columns == ["a", "b"]
