@@ -128,3 +128,68 @@ class IncrementalDeduper:
             batch_id=batch_id, id_col=id_col,
         )
         return fresh
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    root: str,
+    *,
+    corpus_fields: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    trigger_interval: str = "1 second",
+):
+    """Structured-Streaming ingest curation: a streaming document feed is
+    deduped per micro-batch against the persistent fingerprint index and
+    only first-seen docs land in the corpus table.
+
+    Commit order per micro-batch follows the module contract: corpus
+    append FIRST (keyless lake table, fenced per batch_id), then the
+    index commit with the same batch_id — so a crash between the two
+    re-derives the identical fresh set on redelivery, the corpus fence
+    eats the duplicate write, and the index catches up. Both tables live
+    under ``root`` (``corpus_docs`` / ``doc_fingerprints``).
+
+    Returns (query, deduper, corpus_table).
+    """
+    if LakeTable.exists(root, "corpus_docs"):
+        corpus = LakeTable.load(spark, root, "corpus_docs")
+    else:
+        corpus = LakeTable.create(
+            spark, root, "corpus_docs",
+            fields=corpus_fields, key_cols=[], n_buckets=n_buckets,
+        )
+    deduper = IncrementalDeduper.create_or_load(
+        spark, root, n_buckets=n_buckets
+    )
+    cols = [n for n, _ in corpus_fields]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = deduper.dedup_batch(
+            batch_df, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+        corpus.append(fresh.select(*cols), batch_id=batch_id,
+                      writer="dedup_stream")
+        deduper.commit_batch(
+            fresh.select("fingerprint", id_col),
+            batch_id=batch_id, id_col=id_col,
+        )
+
+    if checkpoint_dir is None:
+        import os
+
+        checkpoint_dir = os.path.join(root, "dedup_stream_ckpt")
+    writer = docs_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start(), deduper, corpus

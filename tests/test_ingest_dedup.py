@@ -70,3 +70,49 @@ def test_resume_across_deduper_instances(spark, tmp_root):
         _docs(spark, [(5, "alpha"), (6, "delta")]), batch_id=2
     )
     assert {r.doc_id for r in fresh.collect()} == {6}
+
+
+def test_streaming_dedup_two_waves(spark, tmp_path):
+    """readStream over a growing JSON dir; two availableNow passes. Wave 2
+    repeats wave-1 docs plus new ones — only first-seen docs reach the
+    corpus, across micro-batches AND across stream restarts."""
+    import json
+    import os
+
+    from sparkcdc.pipeline.ingest_dedup import start_dedup_stream
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    root = str(tmp_path / "lake")
+
+    def run_wave(rows, fname):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q, deduper, corpus = start_dedup_stream(
+            spark, stream, root,
+            corpus_fields=[("doc_id", "long"), ("text", "string")],
+            n_buckets=4, available_now=True,
+        )
+        q.awaitTermination(120)
+        return deduper, corpus
+
+    _, corpus = run_wave(
+        [{"doc_id": 0, "text": "alpha"}, {"doc_id": 1, "text": "beta"},
+         {"doc_id": 2, "text": "alpha"}],
+        "wave1.json",
+    )
+    got1 = {r.doc_id for r in corpus.read().collect()}
+    assert got1 == {0, 1}
+
+    deduper, corpus = run_wave(
+        [{"doc_id": 10, "text": "beta"}, {"doc_id": 11, "text": "gamma"}],
+        "wave2.json",
+    )
+    got2 = {r.doc_id for r in corpus.read().collect()}
+    assert got2 == {0, 1, 11}
+    assert deduper.table.read().count() == 3
