@@ -392,3 +392,41 @@ def test_semdedup_refined_centroids_consistent(spark):
     assert (base.groupBy("cell")
             .agg(F.max(F.col("keep").cast("int")).alias("m"))
             .filter("m = 0").count()) == 0
+
+
+def test_new_dedup_plan_shapes(spark):
+    """Plan assertions for the round-4 dedup operators: the scale
+    contracts hold in the executed plan, not just the docstrings."""
+    from sparkcdc.pipeline.dedup import dedup_lines, semdedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1 = (dedup_lines(docs, words_per_line=10)
+          ._jdf.queryExecution().executedPlan().toString())
+    # dup-set join-back is a broadcast; nothing quadratic anywhere
+    assert "BroadcastHashJoin" in p1
+    assert "CartesianProduct" not in p1
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p2 = (semdedup(emb, n_cells=8, threshold=0.3)
+          ._jdf.queryExecution().executedPlan().toString())
+    # centroid assignment is the only nested-loop (small broadcast side);
+    # the pairwise cosine joins on cell equality — never all-pairs
+    assert "CartesianProduct" not in p2
+    import re
+    pair_joins = [l for l in p2.splitlines() if "SortMergeJoin [cell" in l
+                  or re.search(r"ShuffledHashJoin \[cell", l)]
+    assert pair_joins, "within-cell self-join must key on cell"
+
+
+def test_ingest_dedup_plan_shape(spark, tmp_root):
+    from sparkcdc.pipeline.ingest_dedup import IncrementalDeduper
+
+    d = IncrementalDeduper.create_or_load(spark, tmp_root, n_buckets=4)
+    d.process_batch(
+        spark.createDataFrame([(0, "alpha")], "doc_id long, text string"),
+        batch_id=1,
+    )
+    batch = spark.createDataFrame([(1, "beta")], "doc_id long, text string")
+    plan = (d.dedup_batch(batch)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftAnti" in plan and "CartesianProduct" not in plan
