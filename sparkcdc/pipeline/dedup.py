@@ -466,7 +466,10 @@ def split_lines(
     Two segmentation modes:
 
     - ``delimiter`` (default ``\\n``): real line structure — one
-      ``F.split`` per doc, the RefinedWeb setting.
+      ``F.split`` per doc, the RefinedWeb setting. The delimiter is
+      LITERAL text (quoted with ``\\Q..\\E`` before hitting the Java
+      regex engine), matching its reuse as the literal join separator in
+      :func:`dedup_lines` — so ``'|'`` or ``'. '`` behave as typed.
     - ``words_per_line=k``: corpora *without* line structure (the synthetic
       word-soup tables) are segmented into fixed windows of ``k``
       whitespace tokens. The window array is built with
@@ -479,6 +482,8 @@ def split_lines(
     txt = F.coalesce(F.col(text_col), F.lit(""))
     if words_per_line is not None:
         k = int(words_per_line)
+        if k <= 0:
+            raise ValueError(f"words_per_line must be >= 1, got {k}")
         w = F.split(txt, " ")
         n_lines = F.ceil(F.size(w) / F.lit(k)).cast("int")
         lines = F.transform(
@@ -486,7 +491,7 @@ def split_lines(
             lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
         )
     else:
-        lines = F.split(txt, delimiter)
+        lines = F.split(txt, "\\Q" + delimiter + "\\E")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(lines).alias("line_no", "line"),
@@ -624,9 +629,13 @@ def semdedup(
         cents = refine_centroids(
             df, cents, iters=refine_iters, vec_col=vec_col, id_col=id_col
         )
+    # the assignment subtree (broadcast join + per-id rank window) is
+    # reused on BOTH sides of the self-join and in the final output —
+    # pin it once (same pattern as duplicate_clusters); O(corpus) rows of
+    # (id, cell), no vectors
     cells = assign_cells(
         df, cents, vec_col=vec_col, id_col=id_col, n_assign=1
-    ).select("id", "cell")
+    ).select("id", "cell").localCheckpoint(eager=True)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     member = cells.join(v, "id")
     a = member.alias("a")

@@ -94,13 +94,15 @@ class IncrementalDeduper:
         ``fresh`` is :meth:`dedup_batch` output (must still carry
         ``fingerprint`` and ``id_col``).
         """
-        index_id = [
-            f.name for f in self.table.manifest().fields
+        from ..lake import type_of
+
+        id_field = [
+            f for f in self.table.manifest().fields
             if f.name != "fingerprint"
         ][0]
         changes = fresh.select(
             F.col("fingerprint"),
-            F.col(id_col).cast("long").alias(index_id),
+            F.col(id_col).cast(type_of(id_field.type)).alias(id_field.name),
             F.lit("u").alias("_op"),
         )
         return self.table.merge(
@@ -113,16 +115,25 @@ class IncrementalDeduper:
         batch_id: int,
         text_col: str = "text",
         id_col: str = "doc_id",
+        sink=None,
     ) -> DataFrame:
-        """dedup_batch + commit_batch in one call, for callers whose corpus
-        sink fences on the same ``batch_id`` (see module contract). The
-        fresh set is pinned with an O(batch) ``localCheckpoint`` so the
-        returned DataFrame does not lazily re-read the index the commit
-        just advanced.
+        """dedup_batch + corpus sink + commit_batch in one call, in the
+        module contract's order: ``sink(fresh)`` — the corpus write,
+        fenced by the caller on the same ``batch_id`` — runs BEFORE the
+        index commit, so a crash at any point re-derives the identical
+        fresh set on redelivery and no document can be admitted to the
+        index yet lost from the corpus. Callers whose only state IS the
+        index (no separate corpus table) may omit ``sink``.
+
+        The fresh set is pinned with an O(batch) ``localCheckpoint`` so
+        neither the sink nor the returned DataFrame lazily re-reads the
+        index the commit advances.
         """
         fresh = self.dedup_batch(
             docs, text_col=text_col, id_col=id_col
         ).localCheckpoint(eager=True)
+        if sink is not None:
+            sink(fresh)
         self.commit_batch(
             fresh.select("fingerprint", id_col),
             batch_id=batch_id, id_col=id_col,

@@ -298,9 +298,20 @@ def decode_message_content(
 
     Output: the message metadata columns + the content fields flattened
     top-level (the SMT's record-value shape). Unparseable content becomes
-    NULL fields under ``skip``; aborts the batch under ``fail``.
+    NULL fields under ``skip``; aborts the batch under ``fail``. Content
+    field names that collide with the metadata columns are rejected
+    fail-fast (the flatten would otherwise emit ambiguous duplicates).
     """
     opts = failure_opts(failure_handling)
+    if isinstance(content_schema, str):
+        content_schema = T._parse_datatype_string(content_schema)
+    meta = {"offset", "lsn", "xid", "ts_ms", "transactional", "prefix"}
+    clash = sorted(meta & set(content_schema.fieldNames()))
+    if clash:
+        raise ValueError(
+            f"content schema fields {clash} collide with message "
+            "metadata columns — rename them in the content schema"
+        )
     parsed = F.from_json(F.col("content"), content_schema, opts)
     return msgs.select(
         "offset", "lsn", "xid", "ts_ms", "transactional", "prefix",

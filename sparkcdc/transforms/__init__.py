@@ -40,6 +40,7 @@ from .columns import (
 )
 from .reselect import reselect_columns
 from .serialize import (
+    convert_cloudevent_to_saveable_form,
     corrupt_json_records,
     envelope_to_cloudevents,
     envelope_to_json,

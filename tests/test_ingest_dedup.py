@@ -116,3 +116,34 @@ def test_streaming_dedup_two_waves(spark, tmp_path):
     got2 = {r.doc_id for r in corpus.read().collect()}
     assert got2 == {0, 1, 11}
     assert deduper.table.read().count() == 3
+
+
+def test_process_batch_sink_runs_before_index_commit(spark, tmp_root):
+    d = IncrementalDeduper.create_or_load(spark, tmp_root, n_buckets=4)
+    order = []
+
+    def sink(fresh):
+        # at sink time the index must NOT yet contain this batch
+        order.append(("sink", d.table.read().count()))
+
+    d.process_batch(_docs(spark, [(0, "alpha")]), batch_id=1, sink=sink)
+    order.append(("after", d.table.read().count()))
+    assert order == [("sink", 0), ("after", 1)]
+
+
+def test_string_id_index_table(spark, tmp_root):
+    from sparkcdc.lake import LakeTable
+    from sparkcdc.pipeline.ingest_dedup import IncrementalDeduper
+
+    t = LakeTable.create(
+        spark, tmp_root, "fps",
+        fields=[("fingerprint", "string"), ("first_uri", "string")],
+        key_cols=["fingerprint"], n_buckets=4,
+    )
+    d = IncrementalDeduper(t)
+    docs = spark.createDataFrame(
+        [("u://a", "alpha"), ("u://b", "alpha")], "uri string, text string"
+    )
+    d.process_batch(docs, batch_id=1, id_col="uri")
+    idx = {r.first_uri for r in t.read().collect()}
+    assert idx == {"u://a"}  # string id preserved, not NULLed by a cast

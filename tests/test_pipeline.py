@@ -430,3 +430,24 @@ def test_ingest_dedup_plan_shape(spark, tmp_root):
     plan = (d.dedup_batch(batch)
             ._jdf.queryExecution().executedPlan().toString())
     assert "LeftAnti" in plan and "CartesianProduct" not in plan
+
+
+def test_split_lines_literal_delimiter_and_guard(spark):
+    import pytest as _pytest
+
+    from sparkcdc.pipeline.dedup import dedup_lines, split_lines
+
+    # regex metacharacter as delimiter must be treated literally
+    df = spark.createDataFrame(
+        [(0, "shared|own zero"), (1, "shared|own one")],
+        "doc_id long, text string",
+    )
+    lines = {(r.doc_id, r.line_no, r.line)
+             for r in split_lines(df, delimiter="|").collect()}
+    assert (0, 0, "shared") in lines and (0, 1, "own zero") in lines
+
+    out = {r.doc_id: r for r in dedup_lines(df, delimiter="|").collect()}
+    assert out[0].clean_text == "own zero" and out[0].n_removed == 1
+
+    with _pytest.raises(ValueError, match="words_per_line"):
+        split_lines(df, words_per_line=0)

@@ -264,7 +264,7 @@ def test_decode_message_content_roundtrip(spark):
         msgs, "user_id bigint, event_type string, value double, props string"
     )
     assert out.count() == events.count()
-    got = {r.msg if False else r.offset: r for r in out.collect()}
+    got = {r.offset: r for r in out.collect()}
     want = {r.event_id: r for r in events.collect()}
     assert set(got) == set(want)
     k = min(got)
@@ -289,3 +289,16 @@ def test_read_to_insert_transform(spark):
     assert {r.op for r in out.select("op").distinct().collect()} == {"c"}
     # snapshot provenance preserved by default
     assert out.select(F.col("source")["snapshot"]).first()[0] == "true"
+
+
+def test_decode_message_content_rejects_metadata_collision(spark):
+    import pytest as _pytest
+
+    from sparkcdc.sources.wal2json import decode_message_content
+
+    msgs = spark.createDataFrame(
+        [], "offset long, lsn string, xid long, ts_ms long, "
+            "transactional boolean, prefix string, content string"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        decode_message_content(msgs, "offset long, amount double")
