@@ -1495,6 +1495,28 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_lines(corpus, words_per_line=10, min_docs=2)
 
 
+def q_cdc_crdt_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-based PN-counter merge (core/crdt): per-partition cumulative
+    count states derived from the event stream, with one partition's
+    states REDELIVERED — the CRDT max-merge absorbs the duplicates and
+    the read value equals the exact per-type event count."""
+    from pyspark.sql import Window
+
+    from sparkcdc.functions.crdt import merge_counter_states, pn_counter_value
+
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type", F.pmod("user_id", F.lit(4)))
+         .orderBy("event_id"))
+    states = ev.select(
+        F.col("event_type").alias("key"),
+        F.pmod("user_id", F.lit(4)).cast("int").alias("replica"),
+        F.row_number().over(w).cast("long").alias("adds"),
+        F.lit(0).cast("long").alias("removes"),
+    )
+    redelivered = merge_counter_states(states, states.filter("replica = 0"))
+    return pn_counter_value(redelivered, ["key"])
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time incremental dedup through a REAL fingerprint-index lake
     table: batch 1 (doc_id < 250), then batch 2 (the rest + exact copies of
@@ -1533,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mongo_changestream_replay": q_cdc_mongo_changestream_replay,
         "cdc_mongo_delta_fold": q_cdc_mongo_delta_fold,
         "cdc_logical_message_decode": q_cdc_logical_message_decode,
+        "cdc_crdt_counters": q_cdc_crdt_counters,
         "cdc_logminer_replay": q_cdc_logminer_replay,
         "cdc_sqlserver_cdc_replay": q_cdc_sqlserver_cdc_replay,
         "cdc_maxwell_binlog_replay": q_cdc_maxwell_binlog_replay,
@@ -2085,6 +2108,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                    CAST(round(cos * 1000000) AS BIGINT) AS cos_ppm
             FROM ranked WHERE rank <= 5
+        """,
+        "cdc_crdt_counters": """
+            SELECT event_type AS key,
+                   CAST(count(*) AS BIGINT) AS adds,
+                   CAST(0 AS BIGINT) AS removes,
+                   CAST(count(*) AS BIGINT) AS value
+            FROM events GROUP BY event_type
         """,
         "dedup_incremental": f"""
             WITH all_docs AS (
