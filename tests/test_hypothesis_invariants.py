@@ -143,3 +143,105 @@ def test_sink_differential_memory_vs_lake(spark, tmp_path_factory, ops):
     assert lake.manifest().epoch == mem.manifest().epoch
     assert (lake.manifest().summary.get("last_batch", {})
             == mem.manifest().summary.get("last_batch", {}))
+
+
+# ---------------------------------------------------------------------------
+# Round-4c operators vs pure-python references
+# ---------------------------------------------------------------------------
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=0, max_size=4),  # doc = list of lines
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs_strategy)
+def test_dedup_lines_matches_python_reference(spark, docs):
+    from sparkcdc.pipeline.dedup import dedup_lines
+
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+           for r in dedup_lines(df).collect()}
+
+    # python reference: a line is removed iff >= 2 distinct docs carry it
+    # (split of "" yields one empty line, mirroring F.split)
+    split = {i: ("\n".join(lines)).split("\n") for i, lines in enumerate(docs)}
+    from collections import defaultdict
+    docs_of = defaultdict(set)
+    for i, ls in split.items():
+        for l in ls:
+            docs_of[l].add(i)
+    dup = {l for l, d in docs_of.items() if len(d) >= 2}
+    for i, ls in split.items():
+        kept = [l for l in ls if l not in dup]
+        want = ("\n".join(kept), len(kept), len(ls) - len(kept))
+        assert got[i] == want, (i, got[i], want)
+
+
+patch_stream_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=1, max_value=3),          # key
+        st.sampled_from(["x", "y"]),                    # field touched
+        st.integers(min_value=0, max_value=9),          # value
+        st.booleans(),                                  # update removes?
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(patch_stream_strategy)
+def test_document_fold_matches_python_reference(spark, events):
+    import json
+
+    from sparkcdc.transforms.document import reduce_document_patches
+    from pyspark.sql import types as T
+
+
+    fields = [("k", T.LongType()), ("x", T.StringType()),
+              ("y", T.StringType())]
+    lines = []
+    for off, (op, key, field, val, rem) in enumerate(events):
+        doc = {
+            "_id": {"_data": f"{off:x}"},
+            "operationType": op,
+            "clusterTime": {"$timestamp": {"t": 100, "i": off}},
+            "ns": {"db": "d", "coll": "c"},
+            "documentKey": {"_id": key},
+        }
+        if op == "insert":
+            doc["fullDocument"] = {"k": key, "x": str(val), "y": str(val)}
+        elif op == "update":
+            doc["updateDescription"] = (
+                {"updatedFields": {}, "removedFields": [field]} if rem
+                else {"updatedFields": {field: str(val)},
+                      "removedFields": []}
+            )
+        lines.append(json.dumps(doc))
+    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    got = {r.k: (r.x, r.y)
+           for r in reduce_document_patches(df, fields, "k").collect()}
+
+    # python reference: sequential apply (order = offset order)
+    state: dict[int, dict | None] = {}
+    for op, key, field, val, rem in events:
+        if op == "insert":
+            state[key] = {"x": str(val), "y": str(val)}
+        elif op == "delete":
+            state[key] = None
+        elif state.get(key) is not None:
+            if rem:
+                state[key].pop(field, None)
+            else:
+                state[key][field] = str(val)
+    want = {k: (v.get("x"), v.get("y"))
+            for k, v in state.items() if v is not None}
+    assert got == want, (got, want)
