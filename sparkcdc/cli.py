@@ -110,6 +110,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="event.processing.failure.handling.mode at the "
                          "parse boundary")
 
+    sp = sub.add_parser(
+        "dedup-ingest",
+        help="one-shot incremental dedup: dedupe a document batch against "
+             "the persistent fingerprint index and append first-seen docs "
+             "to the corpus table (resumable; fenced per --batch-id)",
+    )
+    sp.add_argument("--root", required=True, help="lake root directory")
+    sp.add_argument("--master", default=None)
+    sp.add_argument("--buckets", type=int, default=16)
+    sp.add_argument("--path", required=True,
+                    help="input docs: .parquet dir/file or JSON-lines")
+    sp.add_argument("--json", action="store_true",
+                    help="input is JSON lines (default: parquet)")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--batch-id", type=int, required=True,
+                    help="monotone per-ingest fence token (redelivering a "
+                         "committed batch id is a no-op)")
+
     args = p.parse_args(argv)
     spark = get_spark("sparkcdc-cli", master=args.master)
 
@@ -132,6 +151,50 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakeTable.load(spark, args.root, args.table)
         print(json.dumps(t.compact()))
+        return 0
+
+    if args.cmd == "dedup-ingest":
+        from .lake import LakeTable
+        from .pipeline.ingest_dedup import IncrementalDeduper
+
+        docs = (spark.read.json(args.path) if args.json
+                else spark.read.parquet(args.path))
+        # corpus fields derive from the batch frame; Spark simpleString
+        # names map onto the manifest vocabulary (bigint -> long, ...)
+        _SQL_TO_MANIFEST = {"bigint": "long", "smallint": "int",
+                            "tinyint": "int", "real": "float"}
+        corpus_fields = [
+            (f.name,
+             _SQL_TO_MANIFEST.get(f.dataType.simpleString(),
+                                  f.dataType.simpleString()))
+            for f in docs.schema.fields
+        ]
+        if LakeTable.exists(args.root, "corpus_docs"):
+            corpus = LakeTable.load(spark, args.root, "corpus_docs")
+        else:
+            corpus = LakeTable.create(
+                spark, args.root, "corpus_docs", fields=corpus_fields,
+                key_cols=[], n_buckets=args.buckets,
+            )
+        ded = IncrementalDeduper.create_or_load(
+            spark, args.root, n_buckets=args.buckets
+        )
+        cols = [f.name for f in docs.schema.fields]
+        fresh = ded.process_batch(
+            docs, batch_id=args.batch_id,
+            text_col=args.text_col, id_col=args.id_col,
+            sink=lambda fr: corpus.append(
+                fr.select(*cols), batch_id=args.batch_id,
+                writer="dedup_ingest_cli",
+            ),
+        )
+        print(json.dumps({
+            "batch_id": args.batch_id,
+            "input_rows": docs.count(),
+            "admitted": fresh.count(),
+            "corpus_rows": corpus.read().count(),
+            "index_rows": ded.table.read().count(),
+        }))
         return 0
 
     cfg = EngineConfig(

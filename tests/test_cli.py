@@ -155,3 +155,34 @@ def test_ingest_sqlserver_boundary_tx_not_lost(spark, tmp_root, capsys):
     t = LakeTable.load(spark, root, "events_sink")
     rows = {r["user_id"]: r for r in t.read().collect()}
     assert rows[5]["event_type"] == "click" and rows[5]["props"] == "late"
+
+
+def test_dedup_ingest_two_batches_and_fence(spark, tmp_root, capsys):
+    import json as _json
+
+    docs1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")], "doc_id long, text string"
+    )
+    p1 = f"{tmp_root}/in1.parquet"
+    docs1.write.parquet(p1)
+    assert main(["dedup-ingest", "--root", f"{tmp_root}/lake",
+                 "--path", p1, "--batch-id", "1", "--buckets", "4"]) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["admitted"] == 2 and out1["corpus_rows"] == 2
+
+    docs2 = spark.createDataFrame(
+        [(9, "beta"), (10, "gamma")], "doc_id long, text string"
+    )
+    p2 = f"{tmp_root}/in2.parquet"
+    docs2.write.parquet(p2)
+    assert main(["dedup-ingest", "--root", f"{tmp_root}/lake",
+                 "--path", p2, "--batch-id", "2", "--buckets", "4"]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["admitted"] == 1 and out2["corpus_rows"] == 3
+
+    # redelivering batch 2 is a total no-op (both fences hold)
+    assert main(["dedup-ingest", "--root", f"{tmp_root}/lake",
+                 "--path", p2, "--batch-id", "2", "--buckets", "4"]) == 0
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["admitted"] == 0 and out3["corpus_rows"] == 3
+    assert out3["index_rows"] == 3
