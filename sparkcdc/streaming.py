@@ -335,3 +335,40 @@ def stateful_lww_stream(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def windowed_change_metrics(
+    env_stream: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    by_op: bool = True,
+) -> DataFrame:
+    """Watermarked per-window change-rate metrics over an envelope stream
+    (the streaming form of the reference's ChangeEventQueueMetrics /
+    StreamingChangeEventSourceMetrics counters: events per interval,
+    split by operation).
+
+    ``ts_ms`` (source event time, not arrival time) drives the window, so
+    the numbers mean "changes the DATABASE saw in that interval" even
+    when the tailer ships late or bursty. The watermark bounds state:
+    windows older than (max event time - watermark) finalize, emit once
+    in append mode, and evict; events arriving later than that are
+    DROPPED from the aggregation — the documented late-data contract, and
+    the right one for monitoring (a metric that silently rewrites history
+    is worse than one that admits a cutoff).
+
+    Output (append mode): window struct + [op +] events, distinct_keys.
+    Partial aggregation happens map-side; state is O(open windows × ops).
+    """
+    evt = env_stream.withColumn(
+        "__evt_ts", (F.col("ts_ms") / 1000).cast("timestamp")
+    ).withWatermark("__evt_ts", watermark)
+    keys = [F.window("__evt_ts", window).alias("window")]
+    if by_op:
+        keys.append(F.col("op"))
+    return evt.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.approx_count_distinct("part_id").alias("parts_seen"),
+        F.max("offset").alias("max_offset"),
+    )

@@ -124,3 +124,55 @@ def test_stateful_lww_state_survives_batches(spark, tmp_path):
     assert [r["offset"] for r in by_key[1]] == [10]
     assert by_key[1][0]["event_type"] == "signup"
     assert [r["offset"] for r in by_key[2]] == [11]
+
+
+def test_windowed_change_metrics_watermark_drops_late(spark, tmp_path):
+    """Append-mode windowed counts: wave 1 advances the watermark past
+    window W; a wave-2 event inside W (too late) is dropped; W's emitted
+    count stays the wave-1 truth."""
+    from sparkcdc.streaming import windowed_change_metrics
+
+    wire_dir = os.path.join(str(tmp_path), "wire")
+    os.makedirs(wire_dir)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    sink = os.path.join(str(tmp_path), "out")
+
+    BASE = 1_700_000_000_000  # ms
+
+    def run_wave(events, fname):
+        env, fields = _env_rows(spark, events)
+        from sparkcdc.transforms.serialize import envelope_to_json as tj
+
+        pdf = tj(env).toPandas()
+        with open(os.path.join(wire_dir, fname), "w") as f:
+            f.write("\n".join(pdf["value"]) + "\n")
+        raw = spark.readStream.text(wire_dir)
+        stream = parse_envelope_json(raw, fields).withColumn(
+            "ts_ms", F.lit(BASE) + F.col("offset") * 1000
+        )
+        out = windowed_change_metrics(
+            stream, window="1 minute", watermark="2 minutes", by_op=False
+        )
+        q = (out.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").json(sink))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # wave 1: 3 events in minute 0, then one far ahead (minute 10) that
+    # advances the watermark to ~minute 8 — finalizing minute-0's window
+    run_wave([("c", 1, "signup", 1.0, 0),
+              ("u", 1, "click", 1.0, 10),
+              ("c", 2, "signup", 1.0, 20),
+              ("u", 2, "view", 1.0, 600)], "w1.jsonl")
+    # wave 2: a LATE event back in minute 0 — beyond the watermark
+    run_wave([("u", 1, "late", 9.9, 30)], "w2.jsonl")
+
+    rows = [json.loads(l) for f in os.listdir(sink) if f.endswith(".json")
+            for l in open(os.path.join(sink, f))]
+    assert any(r["events"] == 3 for r in rows), rows
+    # the late event must not re-emit or bump the finalized window
+    assert not any(r["events"] == 4 for r in rows), rows
+    assert not any(r["events"] == 1 and r["max_offset"] == 30
+                   for r in rows), rows
