@@ -1546,6 +1546,16 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.semdedup(emb, n_cells=16, threshold=0.3)
 
 
+def q_curation_word_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality proxy: mean log word-frequency-rank
+    per document against the corpus-derived frequency vocabulary
+    (broadcast-joined). Low = natural common-word text, high = rare or
+    garbled vocabulary."""
+    from sparkcdc.pipeline import curation as cu
+
+    return cu.word_rank_score(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_snapshot_read": q_cdc_snapshot_read,
@@ -1616,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_stratified_sample": q_curation_stratified_sample,
         "curation_mixture_plan": q_curation_mixture_plan,
         "curation_quality_verdicts": q_curation_quality_verdicts,
+        "curation_word_rank_score": q_curation_word_rank_score,
     }
 
 
@@ -2497,6 +2508,26 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN 250000 WHEN 'es' THEN 500000
                             WHEN 'fr' THEN 750000 WHEN 'de' THEN 1000000
                             ELSE 100000 END
+        """,
+        "curation_word_rank_score": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array({norm_text}, ' ')) AS word
+              FROM documents),
+            tk AS (SELECT doc_id, word FROM t WHERE word <> ''),
+            vocab AS (
+              SELECT word,
+                     CAST(row_number() OVER (
+                       ORDER BY count(*) DESC, word ASC) AS BIGINT) AS rank
+              FROM tk GROUP BY word)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(floor(count(*) FILTER (WHERE v.rank IS NULL)
+                        * 1000000.0 / count(*)) AS BIGINT) AS oov_ppm,
+                   CAST(round(round(avg(ln(v.rank)), 6) * 10000) AS BIGINT)
+                     AS score_e4
+            FROM tk LEFT JOIN vocab v USING (word)
+            GROUP BY doc_id
         """,
         "curation_quality_verdicts": f"""
             WITH t AS (

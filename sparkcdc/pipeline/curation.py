@@ -313,3 +313,79 @@ def mixture_rates(
             ).cast("long"),
         ).alias("rate_ppm"),
     ).filter(target.isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency quality score (CCNet-style word-rank proxy)
+# ---------------------------------------------------------------------------
+
+
+def corpus_word_ranks(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Frequency-rank vocabulary derived from the corpus: (word, rank),
+    rank 1 = most frequent; ties broken by word for cross-engine
+    determinism.
+
+    The distinct-vocab aggregation is a partial-agg groupBy over tokens;
+    the global rank window runs over |vocab| rows only (vocab ≪ corpus —
+    at web scale this table is computed once offline, persisted, and
+    broadcast, exactly like CCNet's language-model vocabulary).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return counts.select(
+        "word", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def word_rank_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean log word-frequency-rank — the CCNet-style
+    statistical quality proxy (CCNet ranks documents by language-model
+    perplexity; mean log rank against a frequency vocabulary is its
+    lightweight stand-in): LOW score = common, natural word distribution;
+    HIGH score = rare/garbled vocabulary. Use with a threshold or as a
+    ranking key for head/middle/tail bucketing.
+
+    ``vocab`` (word, rank): pass a precomputed table at scale (broadcast
+    join — it is a vocabulary, not a corpus); defaults to
+    :func:`corpus_word_ranks` of the input itself. Out-of-vocabulary
+    words count via ``oov_ppm`` and are excluded from the mean.
+
+    Output: (doc_id, n_tokens, oov_ppm, score_e4) with
+    score_e4 = round(mean(ln rank), 4 dp) × 10^4 as BIGINT — the repo's
+    cross-engine float-stability idiom.
+    """
+    if vocab is None:
+        vocab = corpus_word_ranks(docs, text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("word"),
+    ).filter(F.col("word") != "")
+    joined = toks.join(F.broadcast(vocab), "word", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(
+                F.count(F.when(F.col("rank").isNull(), 1))
+                * 1_000_000
+                / F.count(F.lit(1))
+            ).cast("long").alias("oov_ppm"),
+            (F.round(F.round(F.avg(F.log(F.col("rank"))), 6) * 10_000)
+             .cast("long")).alias("score_e4"),
+        )
+    )

@@ -231,3 +231,31 @@ def test_quality_verdicts_plan_no_shuffle(spark):
     plan = cu.quality_verdicts(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_word_rank_score_ordering_and_vocab(spark):
+    from sparkcdc.pipeline.curation import corpus_word_ranks, word_rank_score
+
+    docs = spark.createDataFrame(
+        [
+            # common words repeated -> low ranks -> low score
+            (0, "the the the cat cat sat"),
+            # rare words -> high ranks -> higher score
+            (1, "zyx qwv jkl"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r.word: r.rank for r in corpus_word_ranks(docs).collect()}
+    assert vocab["the"] == 1 and vocab["cat"] == 2  # count desc, word asc
+    out = {r.doc_id: r for r in word_rank_score(docs).collect()}
+    assert out[0].n_tokens == 6 and out[1].n_tokens == 3
+    assert out[0].score_e4 < out[1].score_e4
+    assert out[0].oov_ppm == 0
+
+    # supplied (restricted) vocabulary: unseen words count as OOV and are
+    # excluded from the mean
+    small = spark.createDataFrame([("the", 1)], "word string, rank long")
+    out2 = {r.doc_id: r for r in word_rank_score(docs, vocab=small).collect()}
+    assert out2[0].oov_ppm == 500_000  # 3 of 6 tokens
+    assert out2[0].score_e4 == 0      # ln(1) = 0
+    assert out2[1].oov_ppm == 1_000_000 and out2[1].score_e4 is None
