@@ -1,7 +1,9 @@
 """Large-scale training-data pipeline operators over document / embedding
 tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
-embedding near-dup), similarity search (brute-force + IVF ANN), text
-statistics, and multimodal column plumbing.
+embedding near-dup, C4/RefinedWeb line-level, SemDeDup, incremental
+ingest-time against a persistent fingerprint index), similarity search
+(brute-force + IVF ANN), text statistics, corpus curation, and multimodal
+column plumbing.
 
 These are first-class engine operators alongside the CDC core: at 100 TB the
 CDC stream *is* a training-data pipeline (ingest code/documents → dedup →
@@ -11,14 +13,19 @@ small sides, all row logic in Catalyst expressions or Arrow-batched pandas.
 """
 
 from .dedup import (
+    dedup_lines,
+    duplicate_clusters,
+    duplicate_lines,
     embedding_near_duplicates,
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
-    duplicate_clusters,
     ngram_jaccard_pairs,
+    semdedup,
     simhash,
+    split_lines,
 )
+from .ingest_dedup import IncrementalDeduper, start_dedup_stream
 from .similarity import cosine_topk, hyperplane_lsh_buckets, ivf_topk
 from .textstats import document_stats
 from .multimodal import (
@@ -35,6 +42,12 @@ __all__ = [
     "duplicate_clusters",
     "ngram_jaccard_pairs",
     "embedding_near_duplicates",
+    "split_lines",
+    "duplicate_lines",
+    "dedup_lines",
+    "semdedup",
+    "IncrementalDeduper",
+    "start_dedup_stream",
     "cosine_topk",
     "ivf_topk",
     "hyperplane_lsh_buckets",

@@ -11,6 +11,8 @@ requires a key; ``kafka`` mode keys on the coordinates triple).
 
 from __future__ import annotations
 
+import re
+
 #: kafka-coordinates key (topic, partition, offset) → our lake analog:
 #: the source table plays the topic, part_id/offset are the coordinates
 KAFKA_KEY_COLS = ["part_id", "offset"]
@@ -152,3 +154,48 @@ def resolve_collection_name(
                 return None
             out = out.replace("${source." + m + "}", str(source[m]))
     return out
+
+
+# -- column.naming.strategy: sink column naming ------------------------------
+
+#: built-in column naming strategies (ColumnNamingStrategy SPI,
+#: debezium-sink/.../naming/DefaultColumnNamingStrategy.java — the default
+#: is a no-op; the SPI exists for dialects that need case folding or
+#: snake_case targets). Custom = pass any str -> str callable.
+COLUMN_NAMING_STRATEGIES = {
+    "none": lambda n: n,
+    "lower": str.lower,
+    "upper": str.upper,
+    # camelCase / PascalCase -> snake_case (common JDBC dialect ask)
+    "snake": lambda n: re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", n).lower(),
+}
+
+
+def resolve_column_name(field_name: str, strategy="none") -> str:
+    """Map an envelope field name to its sink column name.
+
+    ``strategy``: a key of :data:`COLUMN_NAMING_STRATEGIES` or a
+    callable. Identity by default, like the reference.
+    """
+    fn = (
+        strategy if callable(strategy)
+        else COLUMN_NAMING_STRATEGIES.get(strategy)
+    )
+    if fn is None:
+        raise ValueError(
+            f"unknown column naming strategy {strategy!r} "
+            f"(one of {sorted(COLUMN_NAMING_STRATEGIES)} or a callable)"
+        )
+    return fn(field_name)
+
+
+def rename_columns(df, strategy="none"):
+    """Apply a column naming strategy to a flat sink frame. Collisions
+    (two fields folding to one name) are rejected fail-fast."""
+    new = [resolve_column_name(c, strategy) for c in df.columns]
+    if len(set(new)) != len(new):
+        dupes = sorted({n for n in new if new.count(n) > 1})
+        raise ValueError(
+            f"column naming strategy folds distinct fields together: {dupes}"
+        )
+    return df.toDF(*new)

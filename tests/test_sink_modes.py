@@ -114,3 +114,29 @@ def test_snapshot_boundary_markers(spark):
     assert {r[0] for r in inc.select("source.snapshot").collect()} == {
         "incremental"
     }
+
+
+def test_column_naming_strategies(spark):
+    from sparkcdc.sinkconfig import (
+        COLUMN_NAMING_STRATEGIES,
+        rename_columns,
+        resolve_column_name,
+    )
+
+    assert resolve_column_name("UserId") == "UserId"          # default no-op
+    assert resolve_column_name("UserId", "lower") == "userid"
+    assert resolve_column_name("UserId", "snake") == "user_id"
+    assert resolve_column_name("orderHTTPCode", "snake") == "order_httpcode"
+    assert resolve_column_name("x", lambda n: "c_" + n) == "c_x"
+
+    df = spark.createDataFrame([(1, "a")], "UserId long, UserName string")
+    out = rename_columns(df, "snake")
+    assert out.columns == ["user_id", "user_name"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown column naming"):
+        resolve_column_name("x", "nope")
+    clash = spark.createDataFrame([(1, 2)], "a_b long, aB long")
+    with _pytest.raises(ValueError, match="folds distinct"):
+        rename_columns(clash, "snake")
+    assert set(COLUMN_NAMING_STRATEGIES) == {"none", "lower", "upper", "snake"}
