@@ -134,6 +134,26 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_cdc_lww_reduce(spark, sf_dir).filter(F.col("_op") != "d").drop("_op")
 
 
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (the downstream-consumer surface): net
+    per-key changes needed to move a checkpoint from offset max/2 to
+    max. One hash aggregation computes both endpoint LWW states
+    (max_by with a conditional ordering rides the same shuffle), so
+    intra-window churn collapses and create+delete inside the window
+    emits nothing."""
+    env = _env(spark, sf_dir)
+    ch = apply_mod.envelopes_to_changes(env, EVENT_ROW_COLS)
+    m = ch.agg(F.max("offset")).collect()[0][0]
+    feed = apply_mod.change_feed(ch, ["user_id"], lo=m // 2, hi=m)
+    return feed.select(
+        "user_id",
+        F.col("_change_op").alias("op"),
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        "props",
+    )
+
+
 def q_cdc_wal2json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 Postgres WAL wire format: events → deterministic wal2json v2
     lines (the synthetic WAL-decoder output) → pure-Catalyst parse back
@@ -962,6 +982,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022, k-token window form):
+    per-doc counts of k-windows that recur corpus-wide. The duplicated
+    corpus makes the first 100 docs (and their copies) fully duplicated;
+    self-repetition inside ordinary docs also registers."""
+    corpus = _dup_documents(spark, sf_dir)
+    return dd.duplicate_span_stats(corpus, k=5, fast=True)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via banded sign-LSH candidates (two 4-plane
     bands; a pair is a candidate if either band matches) + exact cosine
@@ -1561,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_read": q_cdc_snapshot_read,
         "cdc_lww_reduce": q_cdc_lww_reduce,
         "cdc_final_state": q_cdc_final_state,
+        "cdc_change_feed": q_cdc_change_feed,
         "cdc_wal2json_replay": q_cdc_wal2json_replay,
         "cdc_mongo_changestream_replay": q_cdc_mongo_changestream_replay,
         "cdc_mongo_delta_fold": q_cdc_mongo_delta_fold,
@@ -1593,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_span_stats": q_dedup_span_stats,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "dedup_lines": q_dedup_lines,
@@ -1851,6 +1882,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(value * 100) AS BIGINT) AS value_cents, props
             FROM last WHERE rn = 1 AND event_type <> 'error'
         """,
+        "cdc_change_feed": """
+            WITH mx AS (SELECT max(event_id) AS m FROM events),
+            hi AS (
+              SELECT user_id, event_type, value, props FROM (
+                SELECT user_id, event_type, value, props,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) rn
+                FROM events) WHERE rn = 1),
+            lo AS (
+              SELECT user_id, event_type, value, props FROM (
+                SELECT user_id, event_type, value, props,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) rn
+                FROM events, mx WHERE event_id <= m // 2) WHERE rn = 1),
+            j AS (
+              SELECT h.user_id,
+                     h.event_type AS h_et, h.value AS h_v, h.props AS h_p,
+                     l.event_type AS l_et, l.value AS l_v, l.props AS l_p,
+                     (l.user_id IS NOT NULL AND l.event_type <> 'error')
+                       AS live_lo,
+                     (h.event_type <> 'error') AS live_hi
+              FROM hi h LEFT JOIN lo l ON h.user_id = l.user_id),
+            typed AS (
+              SELECT user_id,
+                     CASE WHEN NOT live_lo AND live_hi THEN 'c'
+                          WHEN live_lo AND NOT live_hi THEN 'd'
+                          WHEN live_lo AND live_hi AND (
+                            h_et IS DISTINCT FROM l_et OR
+                            h_v  IS DISTINCT FROM l_v  OR
+                            h_p  IS DISTINCT FROM l_p) THEN 'u'
+                     END AS op,
+                     CASE WHEN live_lo AND NOT live_hi THEN l_et ELSE h_et END AS event_type,
+                     CASE WHEN live_lo AND NOT live_hi THEN l_v  ELSE h_v  END AS value,
+                     CASE WHEN live_lo AND NOT live_hi THEN l_p  ELSE h_p  END AS props
+              FROM j)
+            SELECT user_id, op, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents, props
+            FROM typed WHERE op IS NOT NULL
+        """,
         "cdc_extract_new_record_state": """
             SELECT user_id,
                    CASE WHEN event_type='error' THEN NULL ELSE event_type END AS event_type,
@@ -2073,6 +2143,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.5
+        """,
+        "dedup_span_stats": f"""
+            WITH corpus AS ({_DUP_DOCS_SQL}),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array({norm_text}, ' ') w
+              FROM corpus),
+            wins AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(w) - 4, 0) + 1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+                     )) AS win
+              FROM toks),
+            dc AS (SELECT doc_id, win, count(*) AS dc FROM wins GROUP BY 1, 2),
+            gc AS (SELECT win, sum(dc) AS c FROM dc GROUP BY 1),
+            per AS (
+              SELECT doc_id, sum(dc) AS n_windows,
+                     sum(CASE WHEN c > 1 THEN dc ELSE 0 END) AS dup_windows
+              FROM dc JOIN gc USING (win) GROUP BY 1)
+            SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+                   CAST(dup_windows AS BIGINT) AS dup_windows,
+                   CAST(round(dup_windows / n_windows * 1000000) AS BIGINT)
+                     AS dup_ppm
+            FROM per
         """,
         "dedup_embedding": _embedding_lsh_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),

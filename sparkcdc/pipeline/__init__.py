@@ -16,6 +16,8 @@ from .dedup import (
     dedup_lines,
     duplicate_clusters,
     duplicate_lines,
+    duplicate_span_stats,
+    duplicate_spans,
     embedding_near_duplicates,
     exact_duplicates,
     minhash_lsh_candidates,
@@ -45,6 +47,8 @@ __all__ = [
     "split_lines",
     "duplicate_lines",
     "dedup_lines",
+    "duplicate_span_stats",
+    "duplicate_spans",
     "semdedup",
     "IncrementalDeduper",
     "start_dedup_stream",

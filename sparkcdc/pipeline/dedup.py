@@ -660,3 +660,141 @@ def semdedup(
             F.col("__drop").isNull().alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better") — k-token window variant
+# ---------------------------------------------------------------------------
+
+
+def _hashed_windows(
+    df: DataFrame, text_col: str, id_col: str, k: int, fast: bool
+) -> DataFrame:
+    """(doc, pos, h): every k-token window of every document, hashed.
+
+    Positions are 0-based offsets into the *normalized* token stream
+    (the same normalization every other dedup operator shares), so a
+    span [pos, pos+k) names tokens, not raw characters.
+    """
+    from ..functions.text import ngram_windows, tokens
+
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")
+    )
+    wins = toked.select(
+        "doc", F.posexplode(ngram_windows(F.col("__toks"), k)).alias("pos", "win")
+    )
+    return wins.select("doc", "pos", _hash(F.col("win"), fast=fast).alias("h"))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    fast: bool = False,
+) -> DataFrame:
+    """Per-document exact-substring duplication stats: of a doc's k-token
+    windows, how many occur more than once corpus-wide (in ANY document,
+    including elsewhere in itself)?
+
+    The suffix-array pass of Lee et al. finds duplicated substrings of
+    length >= L; a k-token rolling-window hash is its scalable
+    approximation (every duplicated substring of >= k tokens produces
+    duplicated k-windows, so dup_ppm upper-bound-tracks the suffix-array
+    measure). Used as a corpus health metric and as the trigger for
+    :func:`duplicate_spans` removal.
+
+    Scale shape: windows are pre-aggregated to (doc, h) counts BEFORE the
+    global count — the shuffle carries one row per distinct window per
+    doc, never per position — and the global census is a second partial
+    aggregation on the 64-bit hash. The join-back runs on the same hash
+    key (no extra shuffle of the big side under AQE), and nothing ever
+    pairs documents.
+
+    Docs shorter than k tokens have no windows and are absent from the
+    output (they cannot contain a duplicated span).
+    """
+    hashed = _hashed_windows(df, text_col, id_col, int(k), fast)
+    dc = hashed.groupBy("doc", "h").agg(F.count("*").alias("dc"))
+    gc = dc.groupBy("h").agg(F.sum("dc").alias("c"))
+    per = (
+        dc.join(gc, "h")
+        .groupBy("doc")
+        .agg(
+            F.sum("dc").alias("n_windows"),
+            F.sum(F.when(F.col("c") > 1, F.col("dc")).otherwise(F.lit(0))).alias(
+                "dup_windows"
+            ),
+        )
+    )
+    return per.select(
+        F.col("doc").alias(id_col),
+        "n_windows",
+        "dup_windows",
+        F.round(F.col("dup_windows") / F.col("n_windows") * 1_000_000)
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    fast: bool = False,
+) -> DataFrame:
+    """Merged token spans to REMOVE so each duplicated k-token window
+    survives exactly once corpus-wide (the removal step of Lee et al.).
+
+    Canonical occurrence = the (doc, pos)-minimal one, so removal is
+    deterministic across partitionings and keeps whole documents intact
+    wherever possible (first doc wins). Overlapping or adjacent doomed
+    windows inside a doc are merged into maximal [start, end) token
+    ranges (gaps-and-islands over a per-doc window — per-doc state only,
+    so the sort never exceeds one document's spans).
+
+    Output: (doc_id, start, end) — half-open token offsets into the
+    normalized token stream; a downstream pass drops those tokens.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = _hashed_windows(df, text_col, id_col, int(k), fast)
+    groups = (
+        hashed.groupBy("h")
+        .agg(
+            F.min(F.struct("doc", "pos")).alias("keep"),
+            F.count("*").alias("c"),
+        )
+        .filter(F.col("c") > 1)
+        .select("h", "keep")
+    )
+    doomed = (
+        hashed.join(groups, "h")
+        .filter(
+            (F.col("doc") != F.col("keep.doc"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select("doc", "pos", (F.col("pos") + F.lit(int(k))).alias("end"))
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = doomed.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        islands.groupBy("doc", "island")
+        .agg(F.min("pos").alias("start"), F.max("end").alias("end"))
+        .select(F.col("doc").alias(id_col), "start", "end")
+    )

@@ -451,3 +451,110 @@ def test_split_lines_literal_delimiter_and_guard(spark):
 
     with _pytest.raises(ValueError, match="words_per_line"):
         split_lines(df, words_per_line=0)
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (k-token windows)
+# ---------------------------------------------------------------------------
+
+SPAN_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "xx yy the quick brown fox zz"),          # shares 2 windows w/ doc 0
+    (2, "completely different words here entirely"),
+    (3, "a b c a b c a b c"),                     # self-repetition
+    (4, "tiny doc"),                              # < k tokens: no windows
+]
+
+
+def _py_windows(text, k):
+    toks = text.split()
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def test_duplicate_span_stats_matches_python_reference(spark):
+    from collections import Counter
+
+    from sparkcdc.pipeline.dedup import duplicate_span_stats
+
+    k = 3
+    census = Counter(
+        w for _, text in SPAN_DOCS for w in _py_windows(text, k)
+    )
+    expect = {}
+    for doc_id, text in SPAN_DOCS:
+        wins = _py_windows(text, k)
+        if not wins:
+            continue
+        dup = sum(1 for w in wins if census[w] > 1)
+        expect[doc_id] = (len(wins), dup)
+
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_windows, r.dup_windows)
+        for r in duplicate_span_stats(df, k=k).collect()
+    }
+    assert got == expect
+    out = {r.doc_id: r for r in duplicate_span_stats(df, k=k).collect()}
+    assert 4 not in out                       # too short for any window
+    assert out[2].dup_windows == 0 and out[2].dup_ppm == 0
+    assert out[3].dup_windows == out[3].n_windows  # fully self-repeating
+
+
+def test_duplicate_spans_removal_set(spark):
+    from sparkcdc.pipeline.dedup import duplicate_spans
+
+    k = 3
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.start, r.end)
+        for r in duplicate_spans(df, k=k).collect()
+    }
+
+    # python reference: min-(doc,pos) occurrence survives, others merge
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for doc_id, text in SPAN_DOCS:
+        for pos, w in enumerate(_py_windows(text, k)):
+            occ[w].append((doc_id, pos))
+    doomed = defaultdict(list)
+    for w, places in occ.items():
+        if len(places) > 1:
+            keep = min(places)
+            for d, p in places:
+                if (d, p) != keep:
+                    doomed[d].append(p)
+    expect = set()
+    for d, poss in doomed.items():
+        poss.sort()
+        start, end = poss[0], poss[0] + k
+        for p in poss[1:]:
+            if p > end:
+                expect.add((d, start, end))
+                start, end = p, p + k
+            else:
+                end = max(end, p + k)
+        expect.add((d, start, end))
+    assert got == expect
+    # doc 0 holds every canonical first occurrence -> loses nothing
+    assert not any(d == 0 for d, _, _ in got)
+    # doc 3's later repetitions merge into one contiguous span
+    d3 = [(s, e) for d, s, e in got if d == 3]
+    assert len(d3) == 1
+
+
+def test_duplicate_span_plan_shapes(spark):
+    """The substring-dedup scale contract in the executed plan: hashes
+    only in the shuffles, no document pairing anywhere."""
+    from sparkcdc.pipeline.dedup import duplicate_span_stats, duplicate_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1 = (duplicate_span_stats(docs, k=5, fast=True)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in p1
+    # census join-back keys on the window hash, never doc pairs
+    assert "[h" in p1 or "h#" in p1
+
+    p2 = (duplicate_spans(docs, k=5, fast=True)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in p2

@@ -99,3 +99,43 @@ def test_random_sequence_with_midpoint_restart(spark, tmp_root):
     got = {(r["repo"], r["path"]): r["content"]
            for r in eng2.table.read().collect()}
     assert got == want
+
+
+def test_change_feed_semantics(spark):
+    """change_feed diffs LWW states at two offsets: churn collapses,
+    create+delete inside the window is invisible, deletes carry the
+    before-image."""
+    from sparkcdc.apply import change_feed
+
+    rows = [
+        # (user_id, event_type, value, props, _op, part_id, offset)
+        (1, "signup", 1.0, "a", "u", 0, 1),    # live at lo
+        (1, "click", 2.0, "b", "u", 0, 60),    # updated in window -> u
+        (2, "signup", 1.0, "x", "u", 0, 2),    # live at lo
+        (2, None, None, None, "d", 0, 70),     # deleted in window -> d
+        (3, "signup", 9.0, "n", "u", 0, 55),   # created in window -> c
+        (4, "signup", 5.0, "t", "u", 0, 52),   # created AND deleted
+        (4, None, None, None, "d", 0, 58),     #   inside window -> nothing
+        (5, "signup", 3.0, "s", "u", 0, 3),    # untouched -> nothing
+        (5, "click", 4.0, "s2", "u", 0, 40),   # (last change before lo)
+        (6, "signup", 7.0, "q", "u", 0, 61),   # created, churned 3x -> one c
+        (6, "click", 7.5, "q2", "u", 0, 62),
+        (6, "view", 7.9, "q3", "u", 0, 63),
+    ]
+    ch = spark.createDataFrame(
+        rows,
+        "user_id long, event_type string, value double, props string,"
+        "_op string, part_id int, offset long",
+    )
+    out = {
+        r.user_id: r
+        for r in change_feed(ch, ["user_id"], lo=50, hi=100).collect()
+    }
+    assert set(out) == {1, 2, 3, 6}
+    assert out[1]._change_op == "u" and out[1].props == "b"
+    assert out[2]._change_op == "d" and out[2].props == "x"  # before-image
+    assert out[3]._change_op == "c"
+    assert out[6]._change_op == "c" and out[6].props == "q3"  # final image
+
+    # identity window -> empty feed
+    assert change_feed(ch, ["user_id"], lo=100, hi=100).count() == 0
