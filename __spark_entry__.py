@@ -40,6 +40,7 @@ from sparkcdc.pipeline.multimodal import decode_image_stub, frame_sample
 from sparkcdc.pipeline.textstats import document_stats
 from sparkcdc.sources import events_to_envelopes
 from sparkcdc.transforms import (
+    build_chain,
     by_logical_table_router,
     content_based_router,
     extract_changed_record_state,
@@ -152,6 +153,29 @@ def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("value")).alias("value_cents"),
         "props",
     )
+
+
+def q_cdc_connect_smt_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka Connect common SMTs composed through the config-driven
+    chain (InsertField → Cast → RegexRouter → ReplaceField), the way a
+    production Debezium worker stacks them after flattening."""
+    env = _env(spark, sf_dir)
+    flat = env.filter(F.col("op") != "d").select(
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("offset"),
+        F.concat(F.lit("srv.app."), F.col("after.event_type")).alias("route"),
+    )
+    chain = build_chain([
+        {"type": "InsertField", "static_field": "src", "static_value": "cdc",
+         "offset_field": "__offset"},
+        {"type": "Cast", "spec": "user_id:string"},
+        {"type": "RegexRouter", "regex": r"srv\.app\.(.*)",
+         "replacement": "events_$1"},
+        {"type": "ReplaceField", "exclude": ["offset"],
+         "renames": "event_type:et"},
+    ])
+    return chain(flat)
 
 
 def q_cdc_wal2json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_reduce": q_cdc_lww_reduce,
         "cdc_final_state": q_cdc_final_state,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_connect_smt_chain": q_cdc_connect_smt_chain,
         "cdc_wal2json_replay": q_cdc_wal2json_replay,
         "cdc_mongo_changestream_replay": q_cdc_mongo_changestream_replay,
         "cdc_mongo_delta_fold": q_cdc_mongo_delta_fold,
@@ -1881,6 +1906,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type,
                    CAST(round(value * 100) AS BIGINT) AS value_cents, props
             FROM last WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_connect_smt_chain": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   event_type AS et,
+                   concat('events_', event_type) AS route,
+                   'cdc' AS src,
+                   event_id AS __offset
+            FROM events WHERE event_type <> 'error'
         """,
         "cdc_change_feed": """
             WITH mx AS (SELECT max(event_id) AS m FROM events),

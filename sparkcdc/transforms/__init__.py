@@ -38,6 +38,14 @@ from .columns import (
     truncate_columns,
     read_to_insert,
 )
+from .connect_common import (
+    cast_fields,
+    flatten_value,
+    insert_field,
+    regex_router,
+    replace_field,
+    timestamp_converter,
+)
 from .reselect import reselect_columns
 from .serialize import (
     convert_cloudevent_to_saveable_form,
@@ -85,6 +93,13 @@ TRANSFORMS = {
     "ReselectColumns": reselect_columns,
     "PropagateSourceColumnType": propagate_source_column_type,
     "ReadToInsertEvent": read_to_insert,
+    # Kafka Connect common SMTs (connect_common.py)
+    "InsertField": insert_field,
+    "ReplaceField": replace_field,
+    "Cast": cast_fields,
+    "RegexRouter": regex_router,
+    "Flatten": flatten_value,
+    "TimestampConverter": timestamp_converter,
 }
 
 def build_chain(specs: list[dict]):

@@ -1,0 +1,226 @@
+"""Kafka Connect's common SMTs — the non-Debezium transforms real
+Debezium pipelines chain in the same ``transforms=`` list (the reference
+runs on Connect, so InsertField / ReplaceField / Cast / RegexRouter /
+Flatten / TimestampConverter appear in virtually every production config
+alongside ExtractNewRecordState; Debezium's own docs route topics with
+RegexRouter).
+
+Re-expressed over FLAT frames (the post-ExtractNewRecordState shape the
+``$Value`` variants see), as pure Catalyst projections — each is a
+zero-shuffle map that fuses into the surrounding whole-stage-codegen
+span. References are the public Kafka Connect transform classes
+(org.apache.kafka.connect.transforms.InsertField/ReplaceField/Cast/
+RegexRouter/Flatten/TimestampConverter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Connect Cast spec types -> Spark SQL types (Cast.java VALID_TYPES)
+_CAST_TYPES = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "long",
+    "float32": "float",
+    "float64": "double",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+
+def insert_field(
+    static_field: str | None = None,
+    static_value: str | None = None,
+    offset_field: str | None = None,
+    timestamp_field: str | None = None,
+    topic_field: str | None = None,
+    topic_col: str = "route",
+):
+    """InsertField$Value: add static / coordinate fields to the value.
+
+    Connect's record coordinates map onto the engine's columns: the
+    record offset is the envelope ``offset``, the record timestamp is
+    ``ts_ms``, and the topic is the routing column (``route`` by
+    default — whatever an upstream router produced). Connect's ``!``
+    (required) / ``?`` (optional) suffixes are config-parse sugar, not
+    semantics, and are accepted and stripped here.
+    """
+
+    def _clean(name):
+        return name.rstrip("!?") if name else name
+
+    sf, of = _clean(static_field), _clean(offset_field)
+    tf, pf = _clean(timestamp_field), _clean(topic_field)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df
+        if sf is not None:
+            out = out.withColumn(sf, F.lit(static_value))
+        if of is not None:
+            src = F.col("offset") if "offset" in df.columns else F.lit(None)
+            out = out.withColumn(of, src.cast("long"))
+        if tf is not None:
+            src = F.col("ts_ms") if "ts_ms" in df.columns else F.lit(None)
+            out = out.withColumn(tf, src.cast("long"))
+        if pf is not None:
+            src = (
+                F.col(topic_col) if topic_col in df.columns
+                else F.lit(None).cast("string")
+            )
+            out = out.withColumn(pf, src)
+        return out
+
+    return _apply
+
+
+def replace_field(
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    renames: dict[str, str] | str | None = None,
+):
+    """ReplaceField$Value: drop, keep, and/or rename value fields.
+
+    ``renames`` accepts a dict or Connect's ``"old:new,old2:new2"``
+    string form. Include/exclude follow ReplaceField.java order:
+    exclusion first, then the include allowlist, then renames.
+    """
+    if isinstance(renames, str):
+        renames = dict(
+            pair.split(":", 1) for pair in renames.split(",") if pair
+        )
+    renames = renames or {}
+
+    def _apply(df: DataFrame) -> DataFrame:
+        cols = [c for c in df.columns if c not in (exclude or [])]
+        if include is not None:
+            cols = [c for c in cols if c in include]
+        return df.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in cols]
+        )
+
+    return _apply
+
+
+def cast_fields(spec: dict[str, str] | str):
+    """Cast$Value: re-type value fields. ``spec`` is a dict or Connect's
+    ``"col1:int64,col2:string"`` form; types are Connect schema types
+    (int8..int64, float32/64, boolean, string)."""
+    if isinstance(spec, str):
+        spec = dict(pair.split(":", 1) for pair in spec.split(",") if pair)
+    bad = sorted(t for t in spec.values() if t not in _CAST_TYPES)
+    if bad:
+        raise ValueError(
+            f"unknown Cast types {bad}; known: {sorted(_CAST_TYPES)}"
+        )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df
+        for col, t in spec.items():
+            if col in df.columns:
+                out = out.withColumn(col, F.col(col).cast(_CAST_TYPES[t]))
+        return out
+
+    return _apply
+
+
+def regex_router(regex: str, replacement: str, topic_col: str = "route"):
+    """RegexRouter: rewrite the routing column by Java regex. Only a
+    FULL match re-routes (RegexRouter.java uses Matcher.matches(), not
+    find()), so the pattern is anchored before the replace; non-matching
+    topics pass through unchanged. Backreferences are ``$1``-style in
+    both engines (Java regex under the hood)."""
+    anchored = f"^(?:{regex})$"
+
+    def _apply(df: DataFrame) -> DataFrame:
+        if topic_col not in df.columns:
+            raise ValueError(
+                f"regex_router needs a {topic_col!r} column; "
+                f"have {df.columns}"
+            )
+        c = F.col(topic_col)
+        return df.withColumn(
+            topic_col,
+            F.when(
+                c.rlike(anchored), F.regexp_replace(c, anchored, replacement)
+            ).otherwise(c),
+        )
+
+    return _apply
+
+
+def flatten_value(delimiter: str = "."):
+    """Flatten$Value: recursively flatten struct fields into top-level
+    columns named ``outer<delimiter>inner``. A NULL struct yields NULL
+    leaves (Spark's struct field access is already null-propagating)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        cols = []
+
+        def walk(name: str, path: str, dtype):
+            if hasattr(dtype, "fields"):
+                for f in dtype.fields:
+                    walk(name + delimiter + f.name, f"{path}.{f.name}",
+                         f.dataType)
+            else:
+                cols.append(F.col(path).alias(name))
+
+        for f in df.schema.fields:
+            walk(f.name, f.name, f.dataType)
+        return df.select(*cols)
+
+    return _apply
+
+
+def timestamp_converter(
+    field: str,
+    target_type: str = "string",
+    format: str | None = None,
+    unix_precision: str = "milliseconds",
+):
+    """TimestampConverter$Value: convert a field between epoch numbers,
+    formatted strings, and native timestamps/dates.
+
+    Source type is inferred from the column's Spark type (long = epoch
+    in ``unix_precision``; string parses with ``format``; timestamp/date
+    used as-is) — the same inference TimestampConverter.java does from
+    the Connect schema. Target ``string`` requires ``format``
+    (SimpleDateFormat in Connect; the equivalent Spark datetime pattern
+    here).
+    """
+    tt = target_type.lower()
+    if tt not in ("string", "unix", "timestamp", "date"):
+        raise ValueError(f"unknown TimestampConverter target {target_type!r}")
+    if tt == "string" and not format:
+        raise ValueError("target.type=string requires a format")
+    div = {
+        "milliseconds": 1000,
+        "microseconds": 1_000_000,
+        "nanoseconds": 1_000_000_000,
+        "seconds": 1,
+    }[unix_precision]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        st = df.schema[field].dataType.simpleString()
+        c = F.col(field)
+        if st in ("bigint", "int", "long"):
+            ts = F.timestamp_seconds(c.cast("double") / F.lit(div))
+        elif st == "string":
+            ts = F.to_timestamp(c, format) if format else F.to_timestamp(c)
+        else:
+            ts = c.cast("timestamp")
+        if tt == "string":
+            out = F.date_format(ts, format)
+        elif tt == "unix":
+            out = (F.unix_micros(ts) * F.lit(div) / F.lit(1_000_000)).cast(
+                "long"
+            )
+        elif tt == "date":
+            out = ts.cast("date")
+        else:
+            out = ts
+        return df.withColumn(field, out)
+
+    return _apply

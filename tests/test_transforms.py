@@ -424,3 +424,106 @@ def test_predicate_rejects_schema_changing_transform(fixture):
     ])
     with pytest.raises(ValueError, match="preserve the schema"):
         chain(fixture)
+
+
+# ---------------------------------------------------------------------------
+# Kafka Connect common SMTs (connect_common.py)
+# ---------------------------------------------------------------------------
+
+
+def test_connect_common_smts(spark):
+    from sparkcdc.transforms import (
+        cast_fields,
+        flatten_value,
+        insert_field,
+        regex_router,
+        replace_field,
+        timestamp_converter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "click", 2.5, 11, 1700000000123, "srv.app.events")],
+        "user_id long, event_type string, value double, offset long,"
+        "ts_ms long, route string",
+    )
+
+    out = insert_field(
+        static_field="src!", static_value="cdc",
+        offset_field="__offset", timestamp_field="__ts",
+        topic_field="__topic",
+    )(df).collect()[0]
+    assert (out["src"], out["__offset"], out["__ts"], out["__topic"]) == (
+        "cdc", 11, 1700000000123, "srv.app.events"
+    )
+
+    out = replace_field(
+        exclude=["value"], renames="event_type:et,user_id:uid"
+    )(df)
+    assert out.columns == ["uid", "et", "offset", "ts_ms", "route"]
+
+    out = cast_fields("value:int32,user_id:string")(df).collect()[0]
+    assert out.value == 2 and out.user_id == "1"
+    import pytest as _p
+    with _p.raises(ValueError, match="unknown Cast types"):
+        cast_fields({"value": "decimal"})
+
+    # full-match-only semantics: partial matches pass through
+    r = regex_router(r"srv\.(.*)\.events", "$1_events")
+    assert r(df).collect()[0].route == "app_events"
+    df2 = df.withColumn("route", F.lit("srv.app.events.extra"))
+    assert r(df2).collect()[0].route == "srv.app.events.extra"
+
+    nested = spark.createDataFrame(
+        [((1, ("x", 2)), "k")],
+        "rec struct<a:long, inner:struct<s:string, n:long>>, key string",
+    )
+    flat = flatten_value(delimiter="_")(nested)
+    assert flat.columns == ["rec_a", "rec_inner_s", "rec_inner_n", "key"]
+    row = flat.collect()[0]
+    assert (row.rec_a, row.rec_inner_s, row.rec_inner_n) == (1, "x", 2)
+
+
+def test_timestamp_converter_roundtrips(spark):
+    from sparkcdc.transforms import timestamp_converter
+
+    df = spark.createDataFrame([(1700000000123,)], "ts_ms long")
+    s = timestamp_converter(
+        "ts_ms", target_type="string", format="yyyy-MM-dd HH:mm:ss.SSS"
+    )(df).collect()[0].ts_ms
+    assert s == "2023-11-14 22:13:20.123"
+
+    # string -> unix(ms) inverts the formatting
+    sdf = spark.createDataFrame([(s,)], "ts_ms string")
+    back = timestamp_converter(
+        "ts_ms", target_type="unix", format="yyyy-MM-dd HH:mm:ss.SSS"
+    )(sdf).collect()[0].ts_ms
+    assert back == 1700000000123
+
+    d = timestamp_converter("ts_ms", target_type="date")(df).collect()[0].ts_ms
+    assert str(d) == "2023-11-14"
+
+    import pytest as _p
+    with _p.raises(ValueError, match="requires a format"):
+        timestamp_converter("ts_ms", target_type="string")
+    with _p.raises(ValueError, match="unknown TimestampConverter"):
+        timestamp_converter("ts_ms", target_type="bogus")
+
+
+def test_connect_common_in_build_chain(spark):
+    """The common SMTs compose through the Kafka-Connect-style chain
+    config exactly like the Debezium SMTs."""
+    from sparkcdc.transforms import build_chain
+
+    df = spark.createDataFrame(
+        [(1, "click", 2.5, "srv.app.events")],
+        "user_id long, event_type string, value double, route string",
+    )
+    chain = build_chain([
+        {"type": "InsertField", "static_field": "src", "static_value": "cdc"},
+        {"type": "Cast", "spec": "value:int64"},
+        {"type": "RegexRouter", "regex": r"srv\.(.*)", "replacement": "$1"},
+        {"type": "ReplaceField", "exclude": ["event_type"]},
+    ])
+    out = chain(df).collect()[0]
+    assert out.src == "cdc" and out.value == 2 and out.route == "app.events"
+    assert "event_type" not in chain(df).columns
