@@ -1011,7 +1011,12 @@ def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc counts of k-windows that recur corpus-wide. The duplicated
     corpus makes the first 100 docs (and their copies) fully duplicated;
     self-repetition inside ordinary docs also registers."""
-    corpus = _dup_documents(spark, sf_dir)
+    # the sandbox table is ONE parquet file -> the window explode would
+    # run as a single task; repartition the compact doc rows first (same
+    # artifact-fix as _wire_feed — production corpora have many files)
+    corpus = _dup_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dd.duplicate_span_stats(corpus, k=5, fast=True)
 
 

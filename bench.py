@@ -117,6 +117,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_lines",
+        "dedup_span_stats",
+        "cdc_change_feed",
         "ann_cosine_topk",
         "text_stats",
         "text_pack_sequences",
