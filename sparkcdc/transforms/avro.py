@@ -154,6 +154,24 @@ def adjust_avro_name(name: str, mode: str = "avro") -> str:
     return adjusted or "_"
 
 
+def adjust_field_names(df, mode: str = "avro"):
+    """``field.name.adjustment.mode`` — the sibling config of
+    ``schema.name.adjustment.mode`` that applies the same
+    SchemaNameAdjuster rules to every FIELD name of the value
+    (FieldNameSelector.java + FieldName*ReplacementFunction.java):
+    captured column names with dots/dashes/unicode become valid
+    Avro/Connect field names. Flat frames; collisions fail fast (two
+    source columns folding to one field name would build an invalid
+    record)."""
+    new = [adjust_avro_name(c, mode) for c in df.columns]
+    if len(set(new)) != len(new):
+        dupes = sorted({n for n in new if new.count(n) > 1})
+        raise ValueError(
+            f"field.name.adjustment folds distinct fields together: {dupes}"
+        )
+    return df.toDF(*new)
+
+
 def envelope_avro_schema(
     row_fields: list[tuple[str, T.DataType]],
     name_adjustment_mode: str = "none",
