@@ -137,6 +137,46 @@ def minhash_signatures(
     return hashed.groupBy("doc").agg(*mins)
 
 
+def doc_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """LSH band keys per document: (doc, band, band_sig), one row per
+    band of the MinHash signature. The shared banding of
+    :func:`minhash_lsh_candidates` (batch self-join) and the ingest-time
+    index of ``pipeline.ingest_dedup.IncrementalNearDeduper`` (join
+    against committed state) — same keys, so batch and incremental
+    agree on what collides."""
+    sig = minhash_signatures(
+        df, text_col, id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, fast=fast,
+    )
+    n_bands = num_hashes // band_size
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ])
+    return sig.select(
+        "doc", F.explode(band_structs).alias("bs")
+    ).select(
+        "doc",
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -155,24 +195,11 @@ def minhash_lsh_candidates(
     anywhere in the plan. Band rows are docs × n_bands (tiny next to the
     shingle stage).
     """
-    sig = minhash_signatures(
+    bands = doc_bands(
         df, text_col, id_col,
-        num_hashes=num_hashes, shingle_n=shingle_n, fast=fast,
+        num_hashes=num_hashes, band_size=band_size,
+        shingle_n=shingle_n, fast=fast,
     )
-    n_bands = num_hashes // band_size
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",",
-                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
-            ).alias("band_sig"),
-        )
-        for b in range(n_bands)
-    ])
-    bands = sig.select(
-        "doc", F.explode(band_structs).alias("bs")
-    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

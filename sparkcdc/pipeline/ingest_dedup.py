@@ -141,6 +141,222 @@ class IncrementalDeduper:
         return fresh
 
 
+class IncrementalNearDeduper:
+    """Ingest-time NEAR-dedup: arriving batches are MinHash/LSH-banded and
+    any document sharing a band signature with the committed corpus is
+    dropped; survivors register ALL their band keys in a persistent index.
+
+    Shares :func:`~sparkcdc.pipeline.dedup.doc_bands` with the batch
+    deduper (`minhash_lsh_candidates`), so the incremental path collides
+    on exactly the keys the batch path would — an ingest-time front-end
+    to the same LSH family (reference analog: the snapshot-window dedup
+    buffer of incremental snapshots, generalized from exact-key to
+    similarity keys; debezium-core
+    AbstractIncrementalSnapshotChangeEventSource.java window dedup).
+
+    Index table: keyed ``(band, band_sig) -> first_doc_id``. Only ADMITTED
+    documents register bands — a doc near-dup to a *dropped* doc but not
+    to any admitted doc is admitted (standard online/greedy corpus
+    curation semantics, e.g. the RefinedWeb/CCNet ingestion pipelines).
+
+    Intra-batch resolution (``intra=``):
+
+    - ``per_band_min`` (default): a doc survives iff it is the min id in
+      EVERY band it belongs to — one window + one groupBy, no iteration.
+      Equivalently: drop x iff some band-mate has a smaller id, applied
+      transitively down chains. Kept docs never share a band, so the
+      index merge is conflict-free.
+    - ``clusters``: exact connected-components via
+      :func:`~sparkcdc.pipeline.dedup.duplicate_clusters` (pointer
+      jumping), keep each component's min. Strictly fewer keepers than
+      ``per_band_min`` on chain topologies (A~B on band 1, B~C on band
+      2 with C minimal in its own bands: per_band_min keeps A and C,
+      clusters keeps only A); costs O(log diameter) joins per batch.
+
+    Exactly-once: same contract as :class:`IncrementalDeduper` —
+    ``dedup_batch`` is pure against the pinned committed manifest, the
+    corpus write is fenced by ``batch_id``, and ``commit_batch`` is
+    idempotent per (writer, batch_id) via the lake's commit fence.
+
+    Scale shape per batch: the minhash pass is O(batch tokens) with
+    map-side partial mins; the index probe is a band-key anti-join that
+    shuffles O(batch × n_bands + index keys) small rows — never document
+    payloads; the commit is the lake's O(batch) bucket-delta write.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        writer: str = "ingest_neardedup",
+        *,
+        num_hashes: int = 16,
+        band_size: int = 4,
+        shingle_n: int = 3,
+        fast: bool = True,
+    ):
+        self.table = table
+        self.writer = writer
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        self.shingle_n = shingle_n
+        self.fast = fast
+
+    @classmethod
+    def create_or_load(
+        cls,
+        spark: SparkSession,
+        root: str,
+        name: str = "doc_band_index",
+        n_buckets: int = 16,
+        writer: str = "ingest_neardedup",
+        **lsh_params,
+    ) -> "IncrementalNearDeduper":
+        if LakeTable.exists(root, name):
+            table = LakeTable.load(spark, root, name)
+        else:
+            table = LakeTable.create(
+                spark, root, name,
+                fields=[
+                    ("band", "int"),
+                    ("band_sig", "string"),
+                    ("first_doc_id", "long"),
+                ],
+                key_cols=["band", "band_sig"],
+                n_buckets=n_buckets,
+            )
+        return cls(table, writer=writer, **lsh_params)
+
+    def _bands(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        from .dedup import doc_bands
+
+        return doc_bands(
+            docs, text_col, id_col,
+            num_hashes=self.num_hashes, band_size=self.band_size,
+            shingle_n=self.shingle_n, fast=self.fast,
+        )
+
+    def dedup_batch(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        intra: str = "per_band_min",
+    ) -> DataFrame:
+        """Admitted documents of this batch: batch columns plus ``bands``
+        (array<struct<band,band_sig>> — every band key the doc will
+        register). Pure — commits nothing; deterministic on redelivery
+        because the index read is the pinned committed manifest."""
+        from pyspark.sql import Window
+
+        bands = self._bands(docs, text_col, id_col)
+        committed = self.table.read().select("band", "band_sig")
+        hit_docs = bands.join(
+            committed, ["band", "band_sig"], "left_semi"
+        ).select("doc").distinct()
+        surv = bands.join(hit_docs, "doc", "left_anti")
+
+        if intra == "per_band_min":
+            band_min = F.min("doc").over(
+                Window.partitionBy("band", "band_sig")
+            )
+            keep = (
+                surv.withColumn("__bmin", band_min)
+                .groupBy("doc")
+                .agg(
+                    F.min(F.col("doc") == F.col("__bmin")).alias("__all_min"),
+                    F.collect_list(
+                        F.struct("band", "band_sig")
+                    ).alias("bands"),
+                )
+                .filter("__all_min")
+                .select("doc", "bands")
+            )
+        elif intra == "clusters":
+            from .dedup import duplicate_clusters
+
+            a, b = surv.alias("a"), surv.alias("b")
+            pairs = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_sig") == F.col("b.band_sig"))
+                    & (F.col("a.doc") < F.col("b.doc")),
+                )
+                .select(
+                    F.col("a.doc").alias("doc_a"),
+                    F.col("b.doc").alias("doc_b"),
+                )
+                .distinct()
+            )
+            losers = (
+                duplicate_clusters(pairs, "doc_a", "doc_b")
+                .filter(F.col("doc") != F.col("cluster"))
+                .select("doc")
+            )
+            keep = (
+                surv.join(losers, "doc", "left_anti")
+                .groupBy("doc")
+                .agg(F.collect_list(F.struct("band", "band_sig")).alias("bands"))
+            )
+        else:
+            raise ValueError(
+                f"unknown intra-batch mode {intra!r}; "
+                "use 'per_band_min' or 'clusters'"
+            )
+
+        return docs.join(
+            keep.withColumnRenamed("doc", "__keep_id"),
+            F.col(id_col) == F.col("__keep_id"),
+        ).drop("__keep_id")
+
+    def commit_batch(
+        self, fresh: DataFrame, batch_id: int, id_col: str = "doc_id"
+    ) -> dict:
+        """Register an admitted batch's band keys — idempotent per
+        (writer, batch_id). ``fresh`` is :meth:`dedup_batch` output (must
+        still carry ``bands`` and ``id_col``)."""
+        from ..lake import type_of
+
+        id_field = [
+            f for f in self.table.manifest().fields
+            if f.name not in ("band", "band_sig")
+        ][0]
+        changes = (
+            fresh.select(F.col(id_col), F.explode("bands").alias("b"))
+            .select(
+                F.col("b.band").alias("band"),
+                F.col("b.band_sig").alias("band_sig"),
+                F.col(id_col).cast(type_of(id_field.type)).alias(id_field.name),
+                F.lit("u").alias("_op"),
+            )
+        )
+        return self.table.merge(
+            changes, batch_id=batch_id, writer=self.writer, mode="mor"
+        )
+
+    def process_batch(
+        self,
+        docs: DataFrame,
+        batch_id: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        sink=None,
+        intra: str = "per_band_min",
+    ) -> DataFrame:
+        """dedup_batch + corpus sink + commit_batch, in the module
+        contract's order (corpus write BEFORE the index commit — see
+        :meth:`IncrementalDeduper.process_batch`)."""
+        fresh = self.dedup_batch(
+            docs, text_col=text_col, id_col=id_col, intra=intra
+        ).localCheckpoint(eager=True)
+        if sink is not None:
+            sink(fresh)
+        self.commit_batch(
+            fresh.select(id_col, "bands"), batch_id=batch_id, id_col=id_col
+        )
+        return fresh
+
+
 def start_dedup_stream(
     spark: SparkSession,
     docs_stream: DataFrame,
@@ -153,10 +369,17 @@ def start_dedup_stream(
     checkpoint_dir: str | None = None,
     available_now: bool = False,
     trigger_interval: str = "1 second",
+    method: str = "exact",
+    **lsh_params,
 ):
     """Structured-Streaming ingest curation: a streaming document feed is
     deduped per micro-batch against the persistent fingerprint index and
     only first-seen docs land in the corpus table.
+
+    ``method='exact'`` (default) dedups on the document fingerprint;
+    ``method='minhash'`` dedups on LSH band collisions via
+    :class:`IncrementalNearDeduper` (extra ``lsh_params`` — num_hashes,
+    band_size, shingle_n, fast — are forwarded).
 
     Commit order per micro-batch follows the module contract: corpus
     append FIRST (keyless lake table, fenced per batch_id), then the
@@ -174,9 +397,18 @@ def start_dedup_stream(
             spark, root, "corpus_docs",
             fields=corpus_fields, key_cols=[], n_buckets=n_buckets,
         )
-    deduper = IncrementalDeduper.create_or_load(
-        spark, root, n_buckets=n_buckets
-    )
+    if method == "exact":
+        deduper = IncrementalDeduper.create_or_load(
+            spark, root, n_buckets=n_buckets
+        )
+    elif method == "minhash":
+        deduper = IncrementalNearDeduper.create_or_load(
+            spark, root, n_buckets=n_buckets, **lsh_params
+        )
+    else:
+        raise ValueError(
+            f"unknown dedup method {method!r}; use 'exact' or 'minhash'"
+        )
     cols = [n for n, _ in corpus_fields]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -187,10 +419,9 @@ def start_dedup_stream(
         ).localCheckpoint(eager=True)
         corpus.append(fresh.select(*cols), batch_id=batch_id,
                       writer="dedup_stream")
-        deduper.commit_batch(
-            fresh.select("fingerprint", id_col),
-            batch_id=batch_id, id_col=id_col,
-        )
+        # commit_batch selects the state columns it needs (fingerprint
+        # for exact, bands for minhash) from the full fresh frame
+        deduper.commit_batch(fresh, batch_id=batch_id, id_col=id_col)
 
     if checkpoint_dir is None:
         import os

@@ -131,6 +131,182 @@ def test_process_batch_sink_runs_before_index_commit(spark, tmp_root):
     assert order == [("sink", 0), ("after", 1)]
 
 
+# ---------------------------------------------------------------------------
+# IncrementalNearDeduper (MinHash/LSH band index)
+# ---------------------------------------------------------------------------
+
+
+def _near(spark, tmp_root, **kw):
+    from sparkcdc.pipeline.ingest_dedup import IncrementalNearDeduper
+
+    return IncrementalNearDeduper.create_or_load(
+        spark, tmp_root, n_buckets=4, **kw
+    )
+
+
+def _band_map(docs_df, deduper):
+    """{doc_id: set-of-(band, band_sig)} via the shared doc_bands keys."""
+    rows = deduper._bands(docs_df, "text", "doc_id").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.doc, set()).add((r.band, r.band_sig))
+    return out
+
+
+def _expected_keep(band_map, committed_bands, intra):
+    """Python reference for one batch: drop docs colliding with committed
+    bands, then resolve intra-batch per the chosen mode."""
+    surv = {
+        d: bs for d, bs in band_map.items()
+        if not (bs & committed_bands)
+    }
+    if intra == "per_band_min":
+        keep = set()
+        for d, bs in surv.items():
+            if all(
+                d == min(x for x, xb in surv.items() if b in xb)
+                for b in bs
+            ):
+                keep.add(d)
+        return keep
+    # clusters: connected components of the band-collision graph, keep min
+    parent = {d: d for d in surv}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = list(surv)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if surv[a] & surv[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for d in surv:
+        comps.setdefault(find(d), set()).add(d)
+    return {min(c) for c in comps.values()}
+
+
+def test_near_identical_cross_batch(spark, tmp_root):
+    d = _near(spark, tmp_root)
+    long = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = _docs(spark, [(0, long), (1, "completely different words here now")])
+    fresh1 = d.process_batch(b1, batch_id=1)
+    assert {r.doc_id for r in fresh1.collect()} == {0, 1}
+
+    # identical text shares every band -> dropped; novel text admitted
+    b2 = _docs(spark, [(10, long), (11, "nothing like either of those two")])
+    fresh2 = d.process_batch(b2, batch_id=2)
+    assert {r.doc_id for r in fresh2.collect()} == {11}
+    # index holds one row per (band, band_sig) of the three admitted docs
+    idx = d.table.read().collect()
+    assert {r.first_doc_id for r in idx} == {0, 1, 11}
+
+
+@pytest.mark.parametrize("intra", ["per_band_min", "clusters"])
+def test_near_dedup_matches_python_reference(spark, tmp_root, intra):
+    """Two batches of overlapping templated docs; the Spark keep-set must
+    equal a python reference computed from the same band keys, in both
+    intra-batch modes."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+
+    def text(i):
+        # rotate + perturb so some docs share most shingles, others none
+        rot = words[i % 4:] + words[:i % 4]
+        if i % 3 == 0:
+            rot[5] = f"tok{i}"
+        return " ".join(rot)
+
+    rows1 = [(i, text(i)) for i in range(12)]
+    rows2 = [(100 + i, text(i + 2)) for i in range(12)]
+    d = _near(spark, tmp_root)
+
+    b1 = _docs(spark, rows1)
+    bm1 = _band_map(b1, d)
+    exp1 = _expected_keep(bm1, set(), intra)
+    got1 = {r.doc_id for r in
+            d.process_batch(b1, batch_id=1, intra=intra).collect()}
+    assert got1 == exp1
+
+    committed = set().union(*(bm1[k] for k in exp1))
+    b2 = _docs(spark, rows2)
+    bm2 = _band_map(b2, d)
+    exp2 = _expected_keep(bm2, committed, intra)
+    got2 = {r.doc_id for r in
+            d.process_batch(b2, batch_id=2, intra=intra).collect()}
+    assert got2 == exp2
+
+
+def test_near_redelivery_is_fenced(spark, tmp_root):
+    d = _near(spark, tmp_root)
+    b1 = _docs(spark, [(0, "some document body"), (1, "another body")])
+    d.process_batch(b1, batch_id=1)
+    v_before = d.table.manifest().version
+
+    fresh = d.dedup_batch(b1)
+    assert fresh.count() == 0
+    res = d.commit_batch(fresh, batch_id=1)
+    assert res.get("skipped") is True
+    assert d.table.manifest().version == v_before
+
+
+def test_near_resume_across_instances(spark, tmp_root):
+    d1 = _near(spark, tmp_root)
+    d1.process_batch(_docs(spark, [(0, "shared corpus text")]), batch_id=1)
+
+    d2 = _near(spark, tmp_root)
+    fresh = d2.process_batch(
+        _docs(spark, [(5, "shared corpus text"), (6, "a brand new doc")]),
+        batch_id=2,
+    )
+    assert {r.doc_id for r in fresh.collect()} == {6}
+
+
+def test_streaming_near_dedup(spark, tmp_path):
+    import json
+
+    from sparkcdc.pipeline.ingest_dedup import start_dedup_stream
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    root = str(tmp_path / "lake")
+
+    def run_wave(rows, fname):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q, deduper, corpus = start_dedup_stream(
+            spark, stream, root,
+            corpus_fields=[("doc_id", "long"), ("text", "string")],
+            n_buckets=4, available_now=True, method="minhash",
+        )
+        q.awaitTermination(120)
+        return corpus
+
+    t = "one long body of text that minhashes stably across the waves"
+    corpus = run_wave(
+        [{"doc_id": 0, "text": t}, {"doc_id": 1, "text": t}],
+        "wave1.json",
+    )
+    assert {r.doc_id for r in corpus.read().collect()} == {0}
+
+    corpus = run_wave(
+        [{"doc_id": 10, "text": t},
+         {"doc_id": 11, "text": "entirely new material in wave two"}],
+        "wave2.json",
+    )
+    assert {r.doc_id for r in corpus.read().collect()} == {0, 11}
+
+
 def test_string_id_index_table(spark, tmp_root):
     from sparkcdc.lake import LakeTable
     from sparkcdc.pipeline.ingest_dedup import IncrementalDeduper
