@@ -1596,6 +1596,31 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ded.table.read().select("fingerprint", "first_doc_id")
 
 
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental NEAR-dedup through a persistent MinHash band
+    index: batch 1 (doc_id < 250), then batch 2 (the rest + exact copies of
+    the first 100 docs — every band collides, so all copies drop). Returns
+    the final band index: every (band, band_sig) key registered by an
+    admitted doc, labeled with the doc that registered it."""
+    from sparkcdc.pipeline.ingest_dedup import IncrementalNearDeduper
+
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_ingest_neardedup_")
+    ded = IncrementalNearDeduper.create_or_load(
+        spark, root, n_buckets=4, fast=False,
+        num_hashes=16, band_size=4, shingle_n=3,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250).unionByName(
+        docs.filter(F.col("doc_id") < 100).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    ded.process_batch(b1, batch_id=1)
+    ded.process_batch(b2, batch_id=2)
+    return ded.table.read().select("band", "band_sig", "first_doc_id")
+
+
 def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cell-scoped semantic dedup — cluster by the seeded
     centroids, drop any vector with a lower-id cell-mate at cosine >= 0.3,
@@ -1659,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_semdedup": q_dedup_semdedup,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_near": q_dedup_incremental_near,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_hyperplane_lsh": q_ann_hyperplane_lsh,
@@ -2276,6 +2302,72 @@ def oracle_sql() -> dict[str, str]:
               FROM fp)
             SELECT fingerprint, doc_id AS first_doc_id
             FROM ranked WHERE rn = 1
+        """,
+        # incremental NEAR-dedup: replays the two-batch ingest in SQL —
+        # batch-1 per-band-min admission, committed band keys, batch-2
+        # drop-on-collision then per-band-min — and emits the final index
+        "dedup_incremental_near": f"""
+            WITH all_docs AS (
+              SELECT doc_id, text, 1 AS batch FROM documents WHERE doc_id < 250
+              UNION ALL
+              SELECT doc_id, text, 2 FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 10000, text, 2 FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+              SELECT doc_id, batch, regexp_split_to_array({norm_text}, ' ') w
+              FROM all_docs),
+            sh AS (
+              SELECT DISTINCT doc_id, batch, shingle FROM (
+                SELECT doc_id, batch,
+                       unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                              i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+                FROM toks)),
+            hashed AS (
+              SELECT doc_id, batch, {h15.format(x="shingle")} % {MINHASH_P} AS h
+              FROM sh),
+            sig AS (
+              SELECT doc_id, batch,
+                     {", ".join(
+                        f"min((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+                        for i in range(16))}
+              FROM hashed GROUP BY doc_id, batch),
+            bands AS (
+              {" UNION ALL ".join(
+                f"SELECT doc_id, batch, {b} AS band, concat_ws(',', "
+                + ", ".join(f"mh{b * 4 + j}" for j in range(4))
+                + ") AS band_sig FROM sig"
+                for b in range(4))}
+            ),
+            b1 AS (SELECT doc_id, band, band_sig FROM bands WHERE batch = 1),
+            b1_min AS (
+              SELECT band, band_sig, min(doc_id) AS bmin
+              FROM b1 GROUP BY band, band_sig),
+            b1_keep AS (
+              SELECT b.doc_id FROM b1 b JOIN b1_min m USING (band, band_sig)
+              GROUP BY b.doc_id HAVING bool_and(b.doc_id = m.bmin)),
+            committed AS (
+              SELECT band, band_sig, doc_id FROM b1
+              WHERE doc_id IN (SELECT doc_id FROM b1_keep)),
+            b2 AS (SELECT doc_id, band, band_sig FROM bands WHERE batch = 2),
+            b2_surv AS (
+              SELECT * FROM b2 WHERE doc_id NOT IN (
+                SELECT DISTINCT b.doc_id FROM b2 b
+                JOIN committed c USING (band, band_sig))),
+            b2_min AS (
+              SELECT band, band_sig, min(doc_id) AS bmin
+              FROM b2_surv GROUP BY band, band_sig),
+            b2_keep AS (
+              SELECT b.doc_id FROM b2_surv b JOIN b2_min m USING (band, band_sig)
+              GROUP BY b.doc_id HAVING bool_and(b.doc_id = m.bmin)),
+            admitted AS (
+              SELECT band, band_sig, doc_id FROM committed
+              UNION ALL
+              SELECT band, band_sig, doc_id FROM b2_surv
+              WHERE doc_id IN (SELECT doc_id FROM b2_keep))
+            SELECT CAST(band AS INTEGER) AS band, band_sig,
+                   CAST(doc_id AS BIGINT) AS first_doc_id
+            FROM admitted
         """,
         "dedup_semdedup": """
             WITH cents AS (

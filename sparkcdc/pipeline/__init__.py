@@ -1,7 +1,8 @@
 """Large-scale training-data pipeline operators over document / embedding
 tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
 embedding near-dup, C4/RefinedWeb line-level, SemDeDup, incremental
-ingest-time against a persistent fingerprint index), similarity search
+ingest-time against a persistent fingerprint or MinHash band index),
+similarity search
 (brute-force + IVF ANN), text statistics, corpus curation, and multimodal
 column plumbing.
 
@@ -27,7 +28,12 @@ from .dedup import (
     simhash,
     split_lines,
 )
-from .ingest_dedup import IncrementalDeduper, start_dedup_stream
+from .dedup import doc_bands
+from .ingest_dedup import (
+    IncrementalDeduper,
+    IncrementalNearDeduper,
+    start_dedup_stream,
+)
 from .similarity import cosine_topk, hyperplane_lsh_buckets, ivf_topk
 from .textstats import document_stats
 from .multimodal import (
@@ -50,7 +56,9 @@ __all__ = [
     "duplicate_span_stats",
     "duplicate_spans",
     "semdedup",
+    "doc_bands",
     "IncrementalDeduper",
+    "IncrementalNearDeduper",
     "start_dedup_stream",
     "cosine_topk",
     "ivf_topk",

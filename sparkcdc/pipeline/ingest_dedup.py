@@ -158,6 +158,10 @@ class IncrementalNearDeduper:
     documents register bands — a doc near-dup to a *dropped* doc but not
     to any admitted doc is admitted (standard online/greedy corpus
     curation semantics, e.g. the RefinedWeb/CCNet ingestion pipelines).
+    Docs too short to produce a shingle have no band keys and ALWAYS pass
+    through (they cannot collide, and are not exactly-once under
+    redelivery) — route short docs through :class:`IncrementalDeduper`
+    if exact dedup of them matters.
 
     Intra-batch resolution (``intra=``):
 
@@ -304,10 +308,22 @@ class IncrementalNearDeduper:
                 "use 'per_band_min' or 'clusters'"
             )
 
-        return docs.join(
+        kept = docs.join(
             keep.withColumnRenamed("doc", "__keep_id"),
             F.col(id_col) == F.col("__keep_id"),
         ).drop("__keep_id")
+        # docs too short to shingle produce NO bands — they cannot collide
+        # with anything, so they are always admitted (with an empty band
+        # set, contributing nothing to the index)
+        bandless = docs.join(
+            bands.select(F.col("doc").alias("__banded_id")).distinct(),
+            F.col(id_col) == F.col("__banded_id"),
+            "left_anti",
+        ).withColumn(
+            "bands",
+            F.array().cast("array<struct<band:int,band_sig:string>>"),
+        )
+        return kept.unionByName(bandless)
 
     def commit_batch(
         self, fresh: DataFrame, batch_id: int, id_col: str = "doc_id"

@@ -242,9 +242,24 @@ def test_near_dedup_matches_python_reference(spark, tmp_root, intra):
     assert got2 == exp2
 
 
+def test_near_short_docs_always_admitted(spark, tmp_root):
+    """Docs with fewer tokens than the shingle width have no bands: they
+    cannot collide, so they are admitted (empty band set) rather than
+    silently dropped by the keep-join."""
+    d = _near(spark, tmp_root)
+    b = _docs(spark, [(0, "hi"), (1, "two tokens"),
+                      (2, "a full length document body here")])
+    fresh = d.process_batch(b, batch_id=1)
+    rows = {r.doc_id: r.bands for r in fresh.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0] == [] and rows[1] == [] and len(rows[2]) == 4
+    # short docs never pollute the index
+    assert d.table.read().count() == 4
+
+
 def test_near_redelivery_is_fenced(spark, tmp_root):
     d = _near(spark, tmp_root)
-    b1 = _docs(spark, [(0, "some document body"), (1, "another body")])
+    b1 = _docs(spark, [(0, "some document body"), (1, "another document body")])
     d.process_batch(b1, batch_id=1)
     v_before = d.table.manifest().version
 
