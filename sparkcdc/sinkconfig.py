@@ -192,10 +192,9 @@ def resolve_column_name(field_name: str, strategy="none") -> str:
 def rename_columns(df, strategy="none"):
     """Apply a column naming strategy to a flat sink frame. Collisions
     (two fields folding to one name) are rejected fail-fast."""
-    new = [resolve_column_name(c, strategy) for c in df.columns]
-    if len(set(new)) != len(new):
-        dupes = sorted({n for n in new if new.count(n) > 1})
-        raise ValueError(
-            f"column naming strategy folds distinct fields together: {dupes}"
-        )
-    return df.toDF(*new)
+    from .transforms.columns import rename_all_columns
+
+    return rename_all_columns(
+        df, lambda c: resolve_column_name(c, strategy),
+        "column naming strategy",
+    )

@@ -358,7 +358,9 @@ def windowed_change_metrics(
     the right one for monitoring (a metric that silently rewrites history
     is worse than one that admits a cutoff).
 
-    Output (append mode): window struct + [op +] events, distinct_keys.
+    Output (append mode): window struct + [op +] ``events`` (row count),
+    ``parts_seen`` (approx distinct source partitions — a liveness
+    signal, bounded by n_parts, NOT key cardinality), ``max_offset``.
     Partial aggregation happens map-side; state is O(open windows × ops).
     """
     evt = env_stream.withColumn(

@@ -170,9 +170,13 @@ def apply_topic_names(
 
     The distinct (db, table) set is collected and named driver-side —
     the exact boundedness the reference's per-collection LRU cache
-    assumes — then applied as a literal CASE map, keeping the row path
-    in codegen for BOTH replacement modes (per-char unicode escaping is
-    not expressible as one regexp_replace).
+    assumes — then applied as a FLAT literal map lookup, keeping the row
+    path in codegen for BOTH replacement modes (per-char unicode escaping
+    is not expressible as one regexp_replace). A flat ``create_map`` is
+    deliberate: a nested when/otherwise chain recurses one analyzer/
+    codegen stack level per table and overflows at the thousands of
+    tables a connector legitimately names; the map is one expression
+    with 2n children and an O(1)-ish per-row probe.
     """
     pairs = [
         (r[0], r[1])
@@ -184,10 +188,23 @@ def apply_topic_names(
         )
         for db, tb in pairs
     }
-    expr = F.lit(None).cast("string")
+    if not mapping:
+        return df.withColumn(out_col, F.lit(None).cast("string"))
+    # single-string map key; \x00 sentinel keeps NULL db/table addressable
+    # and \x01 keeps ("a","b.c") distinct from ("a.b","c")
+    NULL, SEP = "\x00", "\x01"
+
+    def key_of(db, tb):
+        return (NULL if db is None else db) + SEP + (NULL if tb is None else tb)
+
+    entries = []
     for (db, tb), name in mapping.items():
-        cond = F.col(db_col).eqNullSafe(F.lit(db)) & F.col(
-            table_col
-        ).eqNullSafe(F.lit(tb))
-        expr = F.when(cond, F.lit(name)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+        entries += [F.lit(key_of(db, tb)), F.lit(name)]
+    lookup = F.create_map(*entries)[
+        F.concat(
+            F.coalesce(F.col(db_col), F.lit(NULL)),
+            F.lit(SEP),
+            F.coalesce(F.col(table_col), F.lit(NULL)),
+        )
+    ]
+    return df.withColumn(out_col, lookup)

@@ -163,13 +163,11 @@ def adjust_field_names(df, mode: str = "avro"):
     Avro/Connect field names. Flat frames; collisions fail fast (two
     source columns folding to one field name would build an invalid
     record)."""
-    new = [adjust_avro_name(c, mode) for c in df.columns]
-    if len(set(new)) != len(new):
-        dupes = sorted({n for n in new if new.count(n) > 1})
-        raise ValueError(
-            f"field.name.adjustment folds distinct fields together: {dupes}"
-        )
-    return df.toDF(*new)
+    from .columns import rename_all_columns
+
+    return rename_all_columns(
+        df, lambda c: adjust_avro_name(c, mode), "field.name.adjustment"
+    )
 
 
 def envelope_avro_schema(

@@ -15,6 +15,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def rename_all_columns(df: DataFrame, fn, error_prefix: str) -> DataFrame:
+    """Rename every column of a flat frame through ``fn``, rejecting
+    fail-fast any two distinct columns that fold to one name (the shared
+    collision contract of sink column-naming strategies and Avro
+    field-name adjustment — a silent fold would build an invalid record
+    or an ambiguous sink schema)."""
+    new = [fn(c) for c in df.columns]
+    if len(set(new)) != len(new):
+        dupes = sorted({n for n in new if new.count(n) > 1})
+        raise ValueError(
+            f"{error_prefix} folds distinct fields together: {dupes}"
+        )
+    return df.toDF(*new)
+
+
 def header_to_value(headers: list[str], fields: list[str], operation: str = "copy"):
     """Copy/move 'header' columns into value fields. In the envelope model
     the headers are top-level columns; values live in after.*; here we add

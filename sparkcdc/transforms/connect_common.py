@@ -157,7 +157,7 @@ def flatten_value(delimiter: str = "."):
     leaves (Spark's struct field access is already null-propagating)."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        cols = []
+        cols, names = [], []
 
         def walk(name: str, path: str, dtype):
             if hasattr(dtype, "fields"):
@@ -166,9 +166,17 @@ def flatten_value(delimiter: str = "."):
                          f.dataType)
             else:
                 cols.append(F.col(path).alias(name))
+                names.append(name)
 
         for f in df.schema.fields:
             walk(f.name, f.name, f.dataType)
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                f"Flatten with delimiter {delimiter!r} folds distinct "
+                f"fields into {dupes} — rename the colliding fields or "
+                "pick another delimiter"
+            )
         return df.select(*cols)
 
     return _apply
@@ -195,18 +203,41 @@ def timestamp_converter(
         raise ValueError(f"unknown TimestampConverter target {target_type!r}")
     if tt == "string" and not format:
         raise ValueError("target.type=string requires a format")
-    div = {
-        "milliseconds": 1000,
-        "microseconds": 1_000_000,
-        "nanoseconds": 1_000_000_000,
-        "seconds": 1,
-    }[unix_precision]
+    if unix_precision not in (
+        "seconds", "milliseconds", "microseconds", "nanoseconds",
+    ):
+        raise ValueError(f"unknown unix.precision {unix_precision!r}")
+
+    # exact integer conversions in BOTH directions — a scale-then-divide
+    # like unix_micros(ts) * 1e6 / 1e6 overflows 64-bit for micro/nano
+    # precision on current-era epochs, and double division loses exactness
+    # beyond 2^53 (any nanosecond epoch after ~104 days)
+    def _epoch_to_ts(c):
+        if unix_precision == "seconds":
+            return F.timestamp_seconds(c)
+        if unix_precision == "milliseconds":
+            return F.timestamp_millis(c)
+        if unix_precision == "microseconds":
+            return F.timestamp_micros(c)
+        return F.timestamp_micros(
+            F.floor(c.cast("decimal(38,0)") / 1000).cast("long")
+        )
+
+    def _ts_to_epoch(ts):
+        if unix_precision == "seconds":
+            return F.unix_seconds(ts)
+        if unix_precision == "milliseconds":
+            return F.unix_millis(ts)
+        if unix_precision == "microseconds":
+            return F.unix_micros(ts)
+        # nanos overflow long past 2262, same bound as Connect's nanos
+        return F.unix_micros(ts) * F.lit(1000)
 
     def _apply(df: DataFrame) -> DataFrame:
         st = df.schema[field].dataType.simpleString()
         c = F.col(field)
         if st in ("bigint", "int", "long"):
-            ts = F.timestamp_seconds(c.cast("double") / F.lit(div))
+            ts = _epoch_to_ts(c.cast("long"))
         elif st == "string":
             ts = F.to_timestamp(c, format) if format else F.to_timestamp(c)
         else:
@@ -214,9 +245,7 @@ def timestamp_converter(
         if tt == "string":
             out = F.date_format(ts, format)
         elif tt == "unix":
-            out = (F.unix_micros(ts) * F.lit(div) / F.lit(1_000_000)).cast(
-                "long"
-            )
+            out = _ts_to_epoch(ts)
         elif tt == "date":
             out = ts.cast("date")
         else:

@@ -74,6 +74,21 @@ def test_apply_topic_names_per_row(spark):
     assert got[("other db", "t-1")] == "srv1.other_db.t-1"
 
 
+def test_apply_topic_names_thousands_of_tables(spark):
+    """The per-row lookup must be a flat map, not a nested when/otherwise
+    chain — a chain recurses one analyzer stack level per table and
+    overflows at connector-realistic table counts."""
+    rows = [(f"db{i % 40}", f"table_{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "db string, tbl string")
+    out = apply_topic_names(
+        df, TopicNamingStrategy("srv"), db_col="db", table_col="tbl"
+    )
+    got = {(r.db, r.tbl): r.topic for r in out.collect()}
+    assert len(got) == 3000
+    assert got[("db7", "table_7")] == "srv.db7.table_7"
+    assert got[("db39", "table_2999")] == "srv.db39.table_2999"
+
+
 def test_field_name_adjustment(spark):
     from sparkcdc.transforms.avro import adjust_field_names
 

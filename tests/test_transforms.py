@@ -509,6 +509,44 @@ def test_timestamp_converter_roundtrips(spark):
         timestamp_converter("ts_ms", target_type="bogus")
 
 
+def test_timestamp_converter_micro_nano_precision(spark):
+    """Micro/nano unix precisions must be exact: the old scale-then-divide
+    (unix_micros * div / 1e6) overflowed 64-bit on current-era epochs, and
+    double division loses exactness past 2^53."""
+    from sparkcdc.transforms import timestamp_converter
+
+    us = 1_700_000_000_123_456
+    df = spark.createDataFrame([(us,)], "ts long")
+    back = timestamp_converter(
+        "ts", target_type="unix", unix_precision="microseconds"
+    )(df).collect()[0].ts
+    assert back == us  # identity roundtrip, not wraparound garbage
+
+    ns = 1_700_000_000_123_456_789
+    dfn = spark.createDataFrame([(ns,)], "ts long")
+    backn = timestamp_converter(
+        "ts", target_type="unix", unix_precision="nanoseconds"
+    )(dfn).collect()[0].ts
+    assert backn == 1_700_000_000_123_456_000  # floored to µs resolution
+
+    with pytest.raises(ValueError, match="unknown unix.precision"):
+        timestamp_converter("ts", target_type="unix", unix_precision="weeks")
+
+
+def test_flatten_collision_fails_fast(spark):
+    """A flattened path colliding with an existing column must raise at
+    the transform, not produce a duplicate-name frame that breaks far
+    downstream."""
+    from sparkcdc.transforms import flatten_value
+
+    df = spark.createDataFrame([(1, (2,))], "rec_a long, rec struct<a: long>")
+    with pytest.raises(ValueError, match="folds distinct"):
+        flatten_value(delimiter="_")(df)
+    # the default '.' delimiter does not collide for the same frame
+    out = flatten_value()(df)
+    assert out.columns == ["rec_a", "rec.a"]
+
+
 def test_connect_common_in_build_chain(spark):
     """The common SMTs compose through the Kafka-Connect-style chain
     config exactly like the Debezium SMTs."""
