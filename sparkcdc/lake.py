@@ -458,6 +458,22 @@ class LakeTable:
         rec = [f for f in files if f["bucket"] in delta_buckets]
         return plain, rec
 
+    def touched_buckets(self, keys_df: DataFrame) -> set[int]:
+        """The distinct bucket ids the given rows' key columns hash into —
+        the driver-side pruning set for point-probe reads
+        (``read(buckets=touched)``). A probe row can only ever match an
+        index row in its own bucket (same key -> same hash -> same
+        bucket), so reading the other buckets is provably wasted I/O; at
+        64k buckets a small batch touches a tiny fraction of a 100 TB
+        index. The collect is O(distinct buckets), bounded by
+        ``n_buckets`` ints, never data."""
+        m = self.manifest()
+        b = self._bucket_expr(m.key_cols, m.n_buckets)
+        return {
+            r[0]
+            for r in keys_df.select(b.alias("__bucket")).distinct().collect()
+        }
+
     def read_appended(
         self, since_version: int, version: int | None = None
     ) -> DataFrame:

@@ -257,6 +257,41 @@ def test_near_short_docs_always_admitted(spark, tmp_root):
     assert d.table.read().count() == 4
 
 
+def test_bucket_pruned_probe_equals_full_read(spark, tmp_path):
+    """The bucket-pruned index probe (default) must admit exactly the
+    same docs as the full-index read, for both dedupers."""
+    texts = [
+        (i, f"document number {i % 7} with shared body text repeated")
+        for i in range(20)
+    ]
+    b1 = _docs(spark, texts[:10])
+    b2 = _docs(spark, texts[10:])
+
+    exact_p = IncrementalDeduper.create_or_load(
+        spark, str(tmp_path / "p"), n_buckets=8)
+    exact_f = IncrementalDeduper.create_or_load(
+        spark, str(tmp_path / "f"), n_buckets=8)
+    exact_p.process_batch(b1, batch_id=1)
+    exact_f.commit_batch(
+        exact_f.dedup_batch(b1, bucket_pruned=False).localCheckpoint(),
+        batch_id=1)
+    got_p = {r.doc_id for r in exact_p.dedup_batch(b2).collect()}
+    got_f = {r.doc_id
+             for r in exact_f.dedup_batch(b2, bucket_pruned=False).collect()}
+    assert got_p == got_f
+
+    near_p = _near(spark, str(tmp_path / "np"))
+    near_f = _near(spark, str(tmp_path / "nf"))
+    near_p.process_batch(b1, batch_id=1)
+    near_f.commit_batch(
+        near_f.dedup_batch(b1, bucket_pruned=False).localCheckpoint(),
+        batch_id=1)
+    ngot_p = {r.doc_id for r in near_p.dedup_batch(b2).collect()}
+    ngot_f = {r.doc_id
+              for r in near_f.dedup_batch(b2, bucket_pruned=False).collect()}
+    assert ngot_p == ngot_f
+
+
 def test_near_redelivery_is_fenced(spark, tmp_root):
     d = _near(spark, tmp_root)
     b1 = _docs(spark, [(0, "some document body"), (1, "another document body")])

@@ -153,6 +153,26 @@ def test_delete_where_prunes_untouched_buckets(spark, tmp_root):
     assert t.read().filter("path = 'p7'").count() == 0
 
 
+def test_touched_buckets_point_probe(spark, tmp_root):
+    """touched_buckets gives the exact pruning set for a point probe: a
+    probe key matches index state iff it matches in read(buckets=touched),
+    and the set is a strict subset for a small probe over many buckets."""
+    t = mk(spark, tmp_root, n_buckets=8)
+    data = [("r", f"p{i}", str(i), "u") for i in range(64)]
+    t.merge(ch(spark, data), batch_id=1)
+
+    probe = spark.createDataFrame(
+        [("r", "p7"), ("r", "p13"), ("zz", "nope")], ["repo", "path"]
+    )
+    touched = t.touched_buckets(probe)
+    assert touched and len(touched) <= 3 < 8
+    pruned = rows(t.read(buckets=touched).join(
+        probe, ["repo", "path"], "left_semi"))
+    full = rows(t.read().join(probe, ["repo", "path"], "left_semi"))
+    assert pruned == full
+    assert [r[1] for r in full] == ["p13", "p7"]
+
+
 def test_expire_versions_gc(spark, tmp_root):
     t = mk(spark, tmp_root)
     for i in range(1, 5):
