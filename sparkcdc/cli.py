@@ -128,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--batch-id", type=int, required=True,
                     help="monotone per-ingest fence token (redelivering a "
                          "committed batch id is a no-op)")
+    sp.add_argument("--method", default="exact",
+                    choices=["exact", "minhash"],
+                    help="exact: fingerprint index; minhash: LSH band "
+                         "index (near-duplicates also dropped)")
 
     args = p.parse_args(argv)
     spark = get_spark("sparkcdc-cli", master=args.master)
@@ -155,7 +159,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "dedup-ingest":
         from .lake import LakeTable
-        from .pipeline.ingest_dedup import IncrementalDeduper
+        from .pipeline.ingest_dedup import (
+            IncrementalDeduper,
+            IncrementalNearDeduper,
+        )
 
         docs = (spark.read.json(args.path) if args.json
                 else spark.read.parquet(args.path))
@@ -176,9 +183,9 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.root, "corpus_docs", fields=corpus_fields,
                 key_cols=[], n_buckets=args.buckets,
             )
-        ded = IncrementalDeduper.create_or_load(
-            spark, args.root, n_buckets=args.buckets
-        )
+        cls = (IncrementalNearDeduper if args.method == "minhash"
+               else IncrementalDeduper)
+        ded = cls.create_or_load(spark, args.root, n_buckets=args.buckets)
         cols = [f.name for f in docs.schema.fields]
         fresh = ded.process_batch(
             docs, batch_id=args.batch_id,

@@ -186,3 +186,33 @@ def test_dedup_ingest_two_batches_and_fence(spark, tmp_root, capsys):
     out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["admitted"] == 0 and out3["corpus_rows"] == 3
     assert out3["index_rows"] == 3
+
+
+def test_dedup_ingest_minhash_method(spark, tmp_root, capsys):
+    import json as _json
+
+    t = "one stable document body for the minhash ingest path"
+    docs1 = spark.createDataFrame(
+        [(0, t), (1, "entirely different material here")],
+        "doc_id long, text string",
+    )
+    p1 = f"{tmp_root}/nin1.parquet"
+    docs1.write.parquet(p1)
+    assert main(["dedup-ingest", "--root", f"{tmp_root}/lake",
+                 "--path", p1, "--batch-id", "1", "--buckets", "4",
+                 "--method", "minhash"]) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["admitted"] == 2
+
+    docs2 = spark.createDataFrame(
+        [(9, t), (10, "a third body unlike the others")],
+        "doc_id long, text string",
+    )
+    p2 = f"{tmp_root}/nin2.parquet"
+    docs2.write.parquet(p2)
+    assert main(["dedup-ingest", "--root", f"{tmp_root}/lake",
+                 "--path", p2, "--batch-id", "2", "--buckets", "4",
+                 "--method", "minhash"]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc 9 is a (near-)dup of committed doc 0 -> dropped
+    assert out2["admitted"] == 1 and out2["corpus_rows"] == 3
