@@ -274,8 +274,6 @@ class IncrementalNearDeduper:
         collect of bucket ids — noise next to the O(index) read it
         avoids.
         """
-        from pyspark.sql import Window
-
         # pin the band keys once: the subtree is referenced by the bucket
         # probe, the hit-join, and the survivor set — without the pin the
         # minhash (shingle explode + 16 mins) would run once per reference
@@ -293,11 +291,16 @@ class IncrementalNearDeduper:
         surv = bands.join(hit_docs, "doc", "left_anti")
 
         if intra == "per_band_min":
-            band_min = F.min("doc").over(
-                Window.partitionBy("band", "band_sig")
+            # groupBy + join-back rather than a window over (band,
+            # band_sig): the groupBy min combines map-side and the
+            # join-back is an equi-join AQE can skew-split, so a hot band
+            # key (thousands of identical docs in one batch) never pins
+            # all its rows on a single un-combined window task
+            band_min = surv.groupBy("band", "band_sig").agg(
+                F.min("doc").alias("__bmin")
             )
             keep = (
-                surv.withColumn("__bmin", band_min)
+                surv.join(band_min, ["band", "band_sig"])
                 .groupBy("doc")
                 .agg(
                     F.min(F.col("doc") == F.col("__bmin")).alias("__all_min"),
