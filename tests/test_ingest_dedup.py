@@ -292,6 +292,47 @@ def test_bucket_pruned_probe_equals_full_read(spark, tmp_path):
     assert ngot_p == ngot_f
 
 
+def test_near_dedup_property_random_corpora(spark, tmp_path):
+    """Hypothesis: for arbitrary tiny corpora over a small vocabulary
+    (high collision rate by construction), the two-batch incremental
+    keep-set equals the python reference computed from the same band
+    keys — shrinkage finds edge topologies (chains, cliques, repeated
+    docs) the structured test misses."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    doc = st.lists(st.sampled_from(vocab), min_size=3, max_size=7).map(
+        " ".join
+    )
+    corpus = st.lists(doc, min_size=1, max_size=8)
+
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts1=corpus, texts2=corpus)
+    def run(texts1, texts2):
+        counter[0] += 1
+        root = str(tmp_path / f"ex{counter[0]}")
+        d = _near(spark, root)
+        b1 = _docs(spark, list(enumerate(texts1)))
+        b2 = _docs(spark, [(100 + i, t) for i, t in enumerate(texts2)])
+
+        bm1 = _band_map(b1, d)
+        exp1 = _expected_keep(bm1, set(), "per_band_min")
+        got1 = {r.doc_id for r in d.process_batch(b1, batch_id=1).collect()}
+        assert got1 == exp1
+
+        committed = set().union(*(bm1[k] for k in exp1)) if exp1 else set()
+        bm2 = _band_map(b2, d)
+        exp2 = _expected_keep(bm2, committed, "per_band_min")
+        got2 = {r.doc_id for r in d.process_batch(b2, batch_id=2).collect()}
+        assert got2 == exp2
+
+    run()
+
+
 def test_near_redelivery_is_fenced(spark, tmp_root):
     d = _near(spark, tmp_root)
     b1 = _docs(spark, [(0, "some document body"), (1, "another document body")])
