@@ -207,6 +207,35 @@ def q_cdc_wal2json_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_pgoutput_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 Postgres pgoutput (the server's BUILT-IN logical replication
+    plugin, the reference's default decoder): events → deterministic
+    binary slot frames (Relation/Begin/DML/Commit per the public
+    protocol) → relation-registry collect + Arrow tuple decode +
+    pure-Catalyst Begin-timestamp join → per-key LWW reduce. Offsets are
+    pg LSNs, so last_lsn proves the binary wire roundtrips them."""
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.sources.pgoutput import (
+        events_to_pgoutput_frames,
+        pgoutput_to_envelopes,
+    )
+
+    frames = events_to_pgoutput_frames(_wire_feed(spark, sf_dir))
+    env = pgoutput_to_envelopes(
+        frames, EVENT_ROW_FIELDS, ["user_id"], table="events"
+    )
+    ch = apply_mod.envelopes_to_changes(env, EVENT_ROW_COLS)
+    red = apply_mod.reduce_last_write_wins(ch, ["user_id"])
+    return red.select(
+        "user_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        "props",
+        "_op",
+        F.col("offset").alias("last_lsn"),
+    )
+
+
 def q_cdc_mongo_changestream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 MongoDB change-stream wire format: events → deterministic
     change-stream documents (the synthetic watch() output, updateLookup
@@ -1647,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_connect_smt_chain": q_cdc_connect_smt_chain,
         "cdc_wal2json_replay": q_cdc_wal2json_replay,
+        "cdc_pgoutput_replay": q_cdc_pgoutput_replay,
         "cdc_mongo_changestream_replay": q_cdc_mongo_changestream_replay,
         "cdc_mongo_delta_fold": q_cdc_mongo_delta_fold,
         "cdc_logical_message_decode": q_cdc_logical_message_decode,
@@ -1816,6 +1846,20 @@ def oracle_sql() -> dict[str, str]:
             FROM last WHERE rn = 1
         """,
         "cdc_wal2json_replay": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id,
+                   CASE WHEN event_type='error' THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents,
+                   CASE WHEN event_type='error' THEN NULL ELSE props END AS props,
+                   CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op,
+                   event_id AS last_lsn
+            FROM last WHERE rn = 1
+        """,
+        "cdc_pgoutput_replay": """
             WITH last AS (
               SELECT user_id, event_type, value, props, event_id,
                      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn

@@ -109,6 +109,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "cdc_extract_new_record_state",
         "cdc_incremental_snapshot",
         "cdc_wal2json_replay",
+        "cdc_pgoutput_replay",
         "cdc_mongo_changestream_replay",
         "cdc_logminer_replay",
         "cdc_sqlserver_cdc_replay",

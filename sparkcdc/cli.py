@@ -235,7 +235,12 @@ def main(argv: list[str] | None = None) -> int:
                 key_cols=key_cols, n_buckets=args.buckets,
             )
         eng = CdcEngine(spark, table, cfg)
-        lines = spark.read.text(args.path)
+        # pgoutput is a binary protocol landed as (lsn, xid, data bytea)
+        # parquet rows (the pg_logical_slot_peek_binary_changes shape);
+        # every other shipped format is one JSON/text line per record
+        lines = (spark.read.parquet(args.path)
+                 if args.wire_format == "pgoutput"
+                 else spark.read.text(args.path))
         # ONE dispatch table shared with streaming.wire_envelope_stream;
         # n_parts = the engine's, so the committed per-partition offset
         # vector keys on the same hash granularity as every other writer

@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 
 #: the shipped wire formats the engine can ingest (one name per adapter)
-WIRE_FORMATS = ("wal2json", "mongo", "logminer", "sqlserver", "maxwell")
+WIRE_FORMATS = (
+    "wal2json", "mongo", "logminer", "sqlserver", "maxwell", "pgoutput",
+)
 
 
 def parse_wire_lines(
@@ -61,6 +63,19 @@ def parse_wire_lines(
 
         return change_table_to_envelopes(
             lines, row_fields, key_cols, capture_instance=source_table,
+            n_parts=n_parts, failure_handling=failure_handling)
+    if wire_format == "pgoutput":
+        if streaming:
+            raise ValueError(
+                "pgoutput attaches commit timestamps by joining DML rows "
+                "with their transaction's Begin row, and a tailer can "
+                "split the two across micro-batches; use the batch ingest "
+                "path (cli.py ingest --format pgoutput)"
+            )
+        from .pgoutput import pgoutput_to_envelopes
+
+        return pgoutput_to_envelopes(
+            lines, row_fields, key_cols, table=source_table,
             n_parts=n_parts, failure_handling=failure_handling)
     if wire_format == "wal2json":
         from .wal2json import wal2json_to_envelopes

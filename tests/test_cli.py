@@ -65,6 +65,34 @@ def test_ingest_mongo_format(spark, tmp_root, capsys):
     assert LakeTable.load(spark, root, "events_sink").read().count() > 0
 
 
+def test_ingest_pgoutput_format(spark, tmp_root, capsys):
+    """The one binary-protocol format: slot frames land as parquet
+    (lsn, xid, data bytea) and the CLI reads parquet instead of text."""
+    from sparkcdc.sources.pgoutput import events_to_pgoutput_frames
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = os.path.join(tmp_root, "pgout")
+    events_to_pgoutput_frames(events).write.mode("overwrite").parquet(path)
+    root = os.path.join(tmp_root, "lake_pg")
+    argv = ["ingest", "--root", root, "--table", "events_sink",
+            "--format", "pgoutput", "--path", path,
+            "--fields", FIELDS, "--key", "user_id",
+            "--source-table", "events", "--buckets", "4"]
+    assert main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skipped"] is False
+
+    from sparkcdc.lake import LakeTable
+
+    n = LakeTable.load(spark, root, "events_sink").read().count()
+    assert n > 0
+
+    # redelivery: committed offset excludes every frame -> no-op
+    assert main(argv) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["skipped"] is True
+
+
 def test_ingest_sqlserver_format(spark, tmp_root, capsys):
     from sparkcdc.sources.sqlserver import events_to_change_table_rows
 
