@@ -320,29 +320,74 @@ def mixture_rates(
 # ---------------------------------------------------------------------------
 
 
+#: monotonically_increasing_id's documented layout: partition id in the
+#: upper 31 bits, per-partition record index in the lower 33
+_MID_ROW_BITS = 33
+
+
 def corpus_word_ranks(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", *,
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """Frequency-rank vocabulary derived from the corpus: (word, rank),
     rank 1 = most frequent; ties broken by word for cross-engine
     determinism.
 
-    The distinct-vocab aggregation is a partial-agg groupBy over tokens;
-    the global rank window runs over |vocab| rows only (vocab ≪ corpus —
-    at web scale this table is computed once offline, persisted, and
-    broadcast, exactly like CCNet's language-model vocabulary).
+    The distinct-vocab aggregation is a partial-agg groupBy over tokens.
+    The global ranking itself is DISTRIBUTED — a global
+    ``row_number().over(Window.orderBy(...))`` would pull the whole
+    vocabulary through one task (the single-partition-sort trap, same
+    reason IVF seeding uses TakeOrderedAndProject). Instead:
+    ``repartitionByRange`` on the rank order splits the vocab into
+    ``rank_partitions`` globally-ordered slices, each slice sorts and
+    numbers locally (``monotonically_increasing_id`` after
+    ``sortWithinPartitions`` = partition id ``<<33 |`` local index), and
+    one control-plane job collects the per-slice row counts (≤ one row
+    per partition) to turn local indexes into exact global ranks. Two
+    narrow shuffles of (word, n) pairs, no single-task sort, and the
+    total order — (n desc, word asc), word unique — is deterministic, so
+    the ids agree across the sizes job and the output job.
     """
-    from pyspark.sql import Window
-
     counts = (
         docs.select(F.explode(tokens(text_col)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
-    return counts.select(
-        "word", F.row_number().over(w).cast("long").alias("rank")
+    spark = docs.sparkSession
+    parts = rank_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    order = [F.col("n").desc(), F.col("word").asc()]
+    # explicit numPartitions => AQE never re-coalesces this exchange, so
+    # partition ids are stable across the two jobs below
+    sliced = (
+        counts.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright(F.col("__mid"), _MID_ROW_BITS).cast("int")
+    sizes = sorted(
+        sliced.groupBy(pid.alias("__pid")).count().collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sizes:  # range slices are ordered, so pid order = rank order
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    if not offsets:
+        return counts.select("word", F.lit(None).cast("long").alias("rank"))
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    local_ix = F.col("__mid") - F.shiftleft(
+        pid.cast("long"), _MID_ROW_BITS
+    )
+    return sliced.select(
+        "word",
+        (local_ix + F.element_at(off_map, pid) + 1)
+        .cast("long").alias("rank"),
     )
 
 

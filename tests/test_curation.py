@@ -259,3 +259,23 @@ def test_word_rank_score_ordering_and_vocab(spark):
     assert out2[0].oov_ppm == 500_000  # 3 of 6 tokens
     assert out2[0].score_e4 == 0      # ln(1) = 0
     assert out2[1].oov_ppm == 1_000_000 and out2[1].score_e4 is None
+
+
+def test_corpus_word_ranks_distributed_and_dense(spark):
+    """Global ranking never plans a single-partition Window, and the
+    range-slice + offset composition yields a dense permutation 1..|vocab|
+    even when the vocab spans many slices (rank_partitions > 1)."""
+    from sparkcdc.pipeline.curation import corpus_word_ranks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j:03d}" for j in range(i + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    ranks = corpus_word_ranks(docs, rank_partitions=7)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # the single-partition-sort trap
+    rows = ranks.collect()
+    # w000 appears 40x, w001 39x, ... -> rank i+1 for w{i:03d}
+    assert sorted(r.rank for r in rows) == list(range(1, 41))
+    byword = {r.word: r.rank for r in rows}
+    assert byword["w000"] == 1 and byword["w039"] == 40

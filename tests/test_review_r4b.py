@@ -82,6 +82,7 @@ def test_parse_wire_lines_honors_n_parts(spark, fmt):
     from sparkcdc.sources.logminer import events_to_logminer_rows
     from sparkcdc.sources.maxwell import events_to_maxwell_lines
     from sparkcdc.sources.mongo import events_to_change_stream_docs
+    from sparkcdc.sources.pgoutput import events_to_pgoutput_frames
     from sparkcdc.sources.sqlserver import events_to_change_table_rows
     from sparkcdc.sources.wal2json import events_to_wal2json_lines
 
@@ -93,6 +94,7 @@ def test_parse_wire_lines_honors_n_parts(spark, fmt):
         "logminer": events_to_logminer_rows,
         "sqlserver": events_to_change_table_rows,
         "maxwell": events_to_maxwell_lines,
+        "pgoutput": events_to_pgoutput_frames,
     }[fmt]
     env = parse_wire_lines(
         emit(events), fmt, EVENT_ROW_FIELDS, ["user_id"], n_parts=4)
