@@ -91,7 +91,10 @@ def main(argv: list[str] | None = None) -> int:
         help="wire shape of the input lines",
     )
     sp.add_argument("--path", required=True,
-                    help="input file or glob of one-JSON-per-line records")
+                    help="input file or glob of one-JSON-per-line records; "
+                         "for --format pgoutput: a parquet file/dir of "
+                         "(lsn string, xid long, data binary) slot rows "
+                         "(the pg_logical_slot_peek_binary_changes shape)")
     sp.add_argument(
         "--fields", required=True,
         help="row fields as name:type,... (manifest type names, e.g. "

@@ -344,9 +344,13 @@ def corpus_word_ranks(
     ``sortWithinPartitions`` = partition id ``<<33 |`` local index), and
     one control-plane job collects the per-slice row counts (≤ one row
     per partition) to turn local indexes into exact global ranks. Two
-    narrow shuffles of (word, n) pairs, no single-task sort, and the
-    total order — (n desc, word asc), word unique — is deterministic, so
-    the ids agree across the sizes job and the output job.
+    narrow shuffles of (word, n) pairs and no single-task sort. The
+    sliced frame is PINNED (eager localCheckpoint, O(vocab)) before the
+    sizes job: range boundaries come from a reservoir SAMPLE of the
+    parent, so re-executing the exchange in the sizes job and the output
+    job could sample different boundaries once slices exceed the sample
+    size — and the pin also keeps the corpus tokenize+groupBy from
+    running twice.
     """
     counts = (
         docs.select(F.explode(tokens(text_col)).alias("word"))
@@ -365,6 +369,7 @@ def corpus_word_ranks(
         counts.repartitionByRange(parts, *order)
         .sortWithinPartitions(*order)
         .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
     pid = F.shiftright(F.col("__mid"), _MID_ROW_BITS).cast("int")
     sizes = sorted(

@@ -14,18 +14,22 @@ Spark-first decomposition of a stateful binary stream protocol:
 
 - **Relation messages ('R') are control plane**: one per captured table
   per connection, carrying the column names the tuple data is positional
-  against. They are collected driver-side (bounded by table count, like
-  the signal table) into a rel_id → (schema, table, columns) registry
-  that the data-plane decode closes over — the Spark analog of the
-  decoder's in-memory relation cache
+  against. They are collected driver-side (bounded by table count ×
+  schema epochs, like the signal table) into a rel_id → [(lsn, relation)
+  …] registry VERSIONED BY LSN that the data-plane decode closes over —
+  the Spark analog of the decoder's in-memory relation cache
   (PgOutputMessageDecoder's ``MessageDecoder#shouldMessageBeSkipped``
-  relation bookkeeping).
-- **Begin messages ('B') parse pure-Catalyst**: fixed layout (final_lsn
-  int64 ++ commit_ts int64 ++ xid int32), so the commit timestamp is one
-  substring/conv projection. DML envelopes get their ``ts_ms`` by an
-  equi-JOIN on the slot's xid column — high-cardinality, narrow,
-  order-independent — instead of the reference's "remember the last
-  Begin" serial stream state.
+  relation bookkeeping), except that where the serial decoder can only
+  hold the latest version, the versioned registry lets one landing span
+  a mid-stream schema change: each DML decodes against the relation
+  in effect AT ITS OWN LSN (a Relation message always precedes the rows
+  it describes in WAL order).
+- **Begin messages ('B') decode in the same pass as the tuple data**
+  (fixed layout: final_lsn int64 ++ commit_ts int64 ++ xid int32), and
+  DML envelopes get their ``ts_ms`` by a per-xid window max — high
+  cardinality, order-independent — instead of the reference's "remember
+  the last Begin" serial stream state. One decode pass over the landing
+  instead of a second scan for a Begin-side join.
 - **Tuple data ('I'/'U'/'D') is an Arrow-batched binary codec**
   (mapInPandas), the same boundary treatment as the Avro/proto3 codecs:
   variable-length cstrings and per-column loops are not reasonably
@@ -210,45 +214,61 @@ def parse_dml(b: bytes) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
-def collect_relations(frames: DataFrame, data_col: str = "data") -> dict:
-    """Driver-side relation registry: rel_id → parsed Relation message.
-    Control-plane collect, bounded by (captured tables × connections) —
-    the highest rel_id wins per id (a re-sent Relation after a schema
-    change supersedes, matching the decoder's cache overwrite)."""
+def pg_lsn_text_to_long(s: str) -> int:
+    """'X/Y' hex LSN → 64-bit int (python-side twin of the Catalyst
+    ``wal2json.pg_lsn_to_long``)."""
+    hi, lo = s.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def collect_relations(frames: DataFrame, data_col: str = "data",
+                      lsn_col: str = "lsn") -> dict:
+    """Driver-side relation registry, VERSIONED BY LSN:
+    rel_id → [(lsn_long, parsed Relation) …] ascending. Control-plane
+    collect, bounded by (captured tables × schema epochs × connections).
+    A landing that spans a mid-stream ALTER carries one Relation message
+    per epoch; keeping them all (rather than last-wins) lets each DML
+    decode against the relation in effect at its own LSN — see
+    :func:`relation_asof`."""
     rows = (
         frames.filter(F.substring(data_col, 1, 1) == F.lit(b"R"))
-        .select(data_col).collect()
+        .select(lsn_col, data_col).collect()
     )
-    rels: dict[int, dict] = {}
+    rels: dict[int, list[tuple[int, dict]]] = {}
     for r in rows:
-        p = parse_relation(bytes(r[0]))
-        rels[p["rel_id"]] = p
+        p = parse_relation(bytes(r[1]))
+        rels.setdefault(p["rel_id"], []).append(
+            (pg_lsn_text_to_long(str(r[0])), p)
+        )
+    for versions in rels.values():
+        versions.sort(key=lambda t: t[0])
     return rels
 
 
-def begin_timestamps(frames: DataFrame, *, xid_col: str = "xid",
-                     data_col: str = "data") -> DataFrame:
-    """(xid, ts_ms) from Begin messages, pure Catalyst: commit_ts is the
-    int64 at bytes 10..17 (µs since the pg epoch). One row per
-    transaction; DML envelopes join on xid."""
-    ts_us = F.conv(F.hex(F.substring(data_col, 10, 8)), 16, 10).cast("long")
-    return (
-        frames.filter(F.substring(data_col, 1, 1) == F.lit(b"B"))
-        .select(
-            F.col(xid_col).alias("__xid"),
-            ((ts_us + F.lit(PG_EPOCH_US)) / 1000)
-            .cast("long").alias("__ts_ms"),
-        )
-        .groupBy("__xid").agg(F.max("__ts_ms").alias("__ts_ms"))
-    )
+def relation_asof(registry: dict, rel_id: int, lsn_long: int) -> dict | None:
+    """The relation version in effect at ``lsn_long``: the last Relation
+    message at-or-before it (a Relation always precedes the rows it
+    describes in WAL order). None if the rel_id is unknown or every
+    version is later than the row — both are 'no Relation for this row'
+    conditions handled by failure_handling."""
+    versions = registry.get(rel_id)
+    if not versions:
+        return None
+    import bisect
+
+    i = bisect.bisect_right(versions, lsn_long, key=lambda t: t[0])
+    return versions[i - 1][1] if i else None
 
 
 #: arrays, not maps: the Arrow pandas serializer cannot convert python
 #: dicts to map<string,string>; the name→value zip happens Catalyst-side
-#: via map_from_arrays over the per-row column-name array
+#: via map_from_arrays over the per-row column-name array. ts_ms is set
+#: on 'B' rows only (their commit timestamp) and attached to the DML rows
+#: of the same xid by a window max.
 _DML_SCHEMA = (
     "lsn string, xid long, action string, db string, tbl string, "
-    "cols array<string>, before array<string>, after array<string>"
+    "cols array<string>, before array<string>, after array<string>, "
+    "ts_ms long"
 )
 
 
@@ -268,11 +288,16 @@ def pgoutput_to_envelopes(
     ``table`` filters to one captured relname (the include-list of a
     single-table engine). Truncates become op='t' envelopes (one per
     truncated relation). ``failure_handling``: ``skip`` drops malformed
-    messages, ``fail`` aborts the batch on the first one.
+    messages (parse errors, tuple arity not matching any Relation epoch,
+    DMLs with no Relation at-or-before their LSN), ``fail`` aborts the
+    batch on the first one.
 
-    Batch-shaped: the commit-timestamp attach is an equi-join between the
-    DML rows and the Begin rows of the same feed, which on a streaming
-    frame would be a stream-stream join (a tailer can split a
+    The input is scanned twice — once by the control-plane registry
+    collect, once by the decode (cache the landing if it is expensive to
+    produce). Begin rows decode IN the same pass and their commit
+    timestamp reaches the DML rows of the same transaction via a per-xid
+    window max — order-independent, no second scan, but on a streaming
+    frame it would need cross-batch state (a tailer can split a
     transaction's Begin and DMLs across micro-batches); use the batch
     ingest path, like the sqlserver pairing.
     """
@@ -289,9 +314,24 @@ def pgoutput_to_envelopes(
 
         for pdf in batches:
             out = {k: [] for k in ("lsn", "xid", "action", "db", "tbl",
-                                   "cols", "before", "after")}
+                                   "cols", "before", "after", "ts_ms")}
+
+            def add(lsn, xid, action, db=None, tbl=None, cols=None,
+                    before=None, after=None, ts_ms=None):
+                for k, v in (("lsn", lsn), ("xid", xid), ("action", action),
+                             ("db", db), ("tbl", tbl), ("cols", cols),
+                             ("before", before), ("after", after),
+                             ("ts_ms", ts_ms)):
+                    out[k].append(v)
+
             for lsn, xid, data in zip(pdf["lsn"], pdf["xid"], pdf["data"]):
                 b = bytes(data)
+                if b[:1] == b"B":
+                    # commit_ts int64 at bytes 9..16, µs since the pg epoch
+                    ts_us = struct.unpack_from(">q", b, 9)[0]
+                    add(lsn, xid, "B",
+                        ts_ms=(ts_us + PG_EPOCH_US) // 1000)
+                    continue
                 try:
                     d = parse_dml(b)
                 except Exception:
@@ -300,36 +340,54 @@ def pgoutput_to_envelopes(
                     continue
                 if d is None:
                     continue
+                row_lsn = pg_lsn_text_to_long(str(lsn))
                 for rid in d["rel_ids"]:
-                    rel = rels.get(rid)
+                    rel = relation_asof(rels, rid, row_lsn)
                     if rel is None:
                         if fail:
                             raise ValueError(
-                                f"no Relation message for rel_id {rid}"
+                                f"no Relation message at or before "
+                                f"{lsn} for rel_id {rid}"
                             )
                         continue
-                    out["lsn"].append(lsn)
-                    out["xid"].append(xid)
-                    out["action"].append(d["action"])
-                    out["db"].append(rel["namespace"])
-                    out["tbl"].append(rel["relname"])
-                    out["cols"].append(rel["columns"])
-                    out["before"].append(d["old"])
-                    out["after"].append(d["new"])
+                    ncols = len(rel["columns"])
+                    bad = [t for t in (d["old"], d["new"])
+                           if t is not None and len(t) != ncols]
+                    if bad:
+                        if fail:
+                            raise ValueError(
+                                f"tuple arity {len(bad[0])} does not "
+                                f"match relation {rid} at {lsn} "
+                                f"({ncols} columns) — epoch mismatch?"
+                            )
+                        continue
+                    add(lsn, xid, d["action"], db=rel["namespace"],
+                        tbl=rel["relname"], cols=rel["columns"],
+                        before=d["old"], after=d["new"])
             # never yield an empty frame: pandas gives empty columns
             # float64 dtype, which Arrow refuses to cast to list<string>
             if out["lsn"]:
                 yield pd.DataFrame(out)
 
-    work = frames.select("lsn", "xid", "data").mapInPandas(
+    from pyspark.sql import Window
+
+    parsed = frames.select("lsn", "xid", "data").mapInPandas(
         decode, _DML_SCHEMA
+    )
+    # per-xid window (high cardinality — one transaction per partition
+    # key), order-independent: the Begin may land before or after its
+    # DMLs in the frame
+    w = Window.partitionBy("xid")
+    work = (
+        parsed.withColumn(
+            "__ts_ms",
+            F.max(F.when(F.col("action") == "B", F.col("ts_ms"))).over(w),
+        )
+        .filter(F.col("action") != "B")
+        .drop("ts_ms")
     )
     if table is not None:
         work = work.filter(F.col("tbl") == table)
-    work = work.join(
-        begin_timestamps(frames),
-        work["xid"] == F.col("__xid"), "left",
-    ).drop("__xid")
 
     def typed_row(vals_col):
         m = F.map_from_arrays(F.col("cols"), vals_col)

@@ -1,7 +1,7 @@
 """pgoutput (PostgreSQL built-in logical replication plugin) source
-adapter: the binary message codec, the control-plane relation registry,
-the Catalyst Begin-timestamp join, and envelope parity with the direct
-events adapter."""
+adapter: the binary message codec, the LSN-versioned control-plane
+relation registry, the per-xid Begin-timestamp window attach, and
+envelope parity with the direct events adapter."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -199,16 +199,59 @@ def test_pgoutput_reduce_matches_events_reduce(spark, events_df):
     assert direct.exceptAll(red).count() == 0
 
 
-def test_registry_collects_last_relation_per_id(spark):
-    """A re-sent Relation message (post-ALTER) supersedes the cached one,
-    matching the decoder's cache overwrite."""
+def test_registry_versions_relations_by_lsn(spark):
+    """A re-sent Relation message (post-ALTER) supersedes the cached one
+    for rows AT OR AFTER its LSN, while earlier rows still decode against
+    the earlier epoch (the serial decoder's cache overwrite, made
+    position-aware so one landing can span a schema change)."""
+    from sparkcdc.sources.pgoutput import relation_asof
+
     rel_v2 = encode_relation(7, "app", "events", [
         ("user_id", 20, True), ("event_type", 25, False),
     ])
     rels = collect_relations(_frames(spark, [
-        ("0/0", 0, REL), ("0/1", 0, rel_v2),
+        ("0/0", 0, REL), ("0/20", 0, rel_v2),
     ]))
-    assert rels[7]["columns"] == ["user_id", "event_type"]
+    assert len(rels[7]) == 2
+    assert len(relation_asof(rels, 7, 0x10)["columns"]) == 4
+    assert relation_asof(rels, 7, 0x20)["columns"] == [
+        "user_id", "event_type"]
+    assert relation_asof(rels, 7, 0x99)["columns"] == [
+        "user_id", "event_type"]
+    assert relation_asof(rels, 9, 0x10) is None
+
+
+def test_mid_stream_schema_change_decodes_per_epoch(spark):
+    """A landing spanning an ALTER: pre-ALTER rows decode against the
+    4-column epoch, post-ALTER rows against the 2-column epoch — and a
+    tuple whose arity matches NO epoch at its LSN is skipped (or fails
+    in fail mode) instead of corrupting the map zip."""
+    rel_v2 = encode_relation(7, "app", "events", [
+        ("user_id", 20, True), ("event_type", 25, False),
+    ])
+    rows = [
+        ("0/0", 0, REL),
+        ("0/10", 1, encode_insert(7, ["42", "signup", "1.5", "p"])),
+        ("0/20", 0, rel_v2),
+        ("0/30", 2, encode_insert(7, ["43", "click"])),
+        # arity 4 against the 2-column epoch: malformed
+        ("0/40", 3, encode_insert(7, ["44", "click", "1.0", "q"])),
+    ]
+    env = pgoutput_to_envelopes(
+        _frames(spark, rows), EVENT_ROW_FIELDS, ["user_id"], table="events"
+    )
+    got = {r["offset"]: r for r in env.collect()}
+    assert set(got) == {0x10, 0x30}
+    assert got[0x10]["after"]["value"] == 1.5
+    assert got[0x30]["after"]["user_id"] == 43
+    assert got[0x30]["after"]["value"] is None  # not in the v2 epoch
+
+    strict = pgoutput_to_envelopes(
+        _frames(spark, rows), EVENT_ROW_FIELDS, ["user_id"],
+        table="events", failure_handling="fail",
+    )
+    with pytest.raises(Exception, match="arity|epoch"):
+        strict.collect()
 
 
 def test_wire_dispatch_and_streaming_refusal(spark):
