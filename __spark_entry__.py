@@ -220,7 +220,11 @@ def q_cdc_pgoutput_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         pgoutput_to_envelopes,
     )
 
-    frames = events_to_pgoutput_frames(_wire_feed(spark, sf_dir))
+    # pin the landing: the adapter scans it twice (registry collect +
+    # decode) and the per-row python emitter is the expensive part
+    frames = events_to_pgoutput_frames(
+        _wire_feed(spark, sf_dir)
+    ).localCheckpoint(eager=False)
     env = pgoutput_to_envelopes(
         frames, EVENT_ROW_FIELDS, ["user_id"], table="events"
     )
