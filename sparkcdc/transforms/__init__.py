@@ -40,11 +40,17 @@ from .columns import (
 )
 from .connect_common import (
     cast_fields,
+    drop_headers,
+    extract_field,
     flatten_value,
+    header_from,
+    hoist_field,
     insert_field,
+    insert_header,
     regex_router,
     replace_field,
     timestamp_converter,
+    value_to_key,
 )
 from .reselect import reselect_columns
 from .serialize import (
@@ -100,6 +106,12 @@ TRANSFORMS = {
     "RegexRouter": regex_router,
     "Flatten": flatten_value,
     "TimestampConverter": timestamp_converter,
+    "ExtractField": extract_field,
+    "HoistField": hoist_field,
+    "ValueToKey": value_to_key,
+    "InsertHeader": insert_header,
+    "HeaderFrom": header_from,
+    "DropHeaders": drop_headers,
 }
 
 def build_chain(specs: list[dict]):

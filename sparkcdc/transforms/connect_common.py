@@ -253,3 +253,97 @@ def timestamp_converter(
         return df.withColumn(field, out)
 
     return _apply
+
+
+def extract_field(field: str):
+    """ExtractField$Value: the record value BECOMES the named field
+    (ExtractField.java). A struct field expands to its members as the new
+    flat value (the Connect value would be that Struct); a scalar field
+    becomes a single column keeping its name; a missing field is a config
+    error (Connect throws on missing field when schemas are enabled)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        if field not in df.columns:
+            raise ValueError(
+                f"ExtractField: no field {field!r} in {df.columns}"
+            )
+        if hasattr(df.schema[field].dataType, "fields"):
+            return df.select(f"{field}.*")
+        return df.select(field)
+
+    return _apply
+
+
+def hoist_field(name: str):
+    """HoistField$Value: wrap the entire value in a single struct field
+    ``name`` (HoistField.java) — the inverse of ExtractField."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.struct(*[F.col(c) for c in df.columns]).alias(name)
+        )
+
+    return _apply
+
+
+def value_to_key(fields: list[str] | str):
+    """ValueToKey: replace the record key with a struct of the named
+    value fields (ValueToKey.java). The engine's record key is a column,
+    so the key lands as a ``__key`` struct column — the same column
+    contract ``sinkconfig.resolve_message_key`` consumes; the value
+    fields are kept (Connect copies, not moves)."""
+    if isinstance(fields, str):
+        fields = [f for f in fields.split(",") if f]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        missing = [f for f in fields if f not in df.columns]
+        if missing:
+            raise ValueError(
+                f"ValueToKey: no fields {missing} in {df.columns}"
+            )
+        return df.withColumn(
+            "__key", F.struct(*[F.col(f) for f in fields])
+        )
+
+    return _apply
+
+
+def insert_header(header: str, value_literal: str):
+    """InsertHeader: add a static header (InsertHeader.java). Headers are
+    columns in this model, so this is a literal column; chain with
+    ``header_to_value`` / ``drop_headers`` like any other column."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(header, F.lit(value_literal))
+
+    return _apply
+
+
+def header_from(fields: list[str], headers: list[str],
+                operation: str = "copy"):
+    """HeaderFrom$Value: copy/move value fields into headers
+    (HeaderFrom.java) — the inverse of the reference's HeaderToValue.
+    ``operation`` is ``copy`` or ``move`` (move drops the value field)."""
+    if operation not in ("copy", "move"):
+        raise ValueError(f"unknown HeaderFrom operation {operation!r}")
+    if len(fields) != len(headers):
+        raise ValueError("HeaderFrom: fields and headers must pair up")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df
+        for f_, h in zip(fields, headers):
+            out = out.withColumn(h, F.col(f_))
+            if operation == "move":
+                out = out.drop(f_)
+        return out
+
+    return _apply
+
+
+def drop_headers(headers: list[str]):
+    """DropHeaders: remove the named header columns (DropHeaders.java)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.drop(*headers)
+
+    return _apply

@@ -565,3 +565,66 @@ def test_connect_common_in_build_chain(spark):
     out = chain(df).collect()[0]
     assert out.src == "cdc" and out.value == 2 and out.route == "app.events"
     assert "event_type" not in chain(df).columns
+
+
+def test_extract_hoist_value_key_and_header_smts(spark):
+    """The second half of the common pack: ExtractField/HoistField are
+    inverses; ValueToKey lands the __key struct resolve_message_key
+    consumes; HeaderFrom is HeaderToValue's inverse; InsertHeader /
+    DropHeaders manage header columns."""
+    from sparkcdc.transforms import (
+        drop_headers,
+        extract_field,
+        header_from,
+        header_to_value,
+        hoist_field,
+        insert_header,
+        value_to_key,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "click", 2.5)], "user_id long, event_type string, value double"
+    )
+
+    hoisted = hoist_field("payload")(df)
+    assert hoisted.columns == ["payload"]
+    assert extract_field("payload")(hoisted).collect() == df.collect()
+    # scalar extract keeps the single column
+    assert extract_field("user_id")(df).columns == ["user_id"]
+    with pytest.raises(ValueError, match="no field"):
+        extract_field("nope")(df)
+
+    keyed = value_to_key("user_id,event_type")(df)
+    k = keyed.collect()[0]["__key"]
+    assert (k["user_id"], k["event_type"]) == (7, "click")
+    assert "user_id" in keyed.columns  # copy, not move
+    with pytest.raises(ValueError, match="no fields"):
+        value_to_key(["nope"])(df)
+
+    hdr = insert_header("h_src", "cdc")(df)
+    assert hdr.collect()[0]["h_src"] == "cdc"
+    assert drop_headers(["h_src"])(hdr).columns == df.columns
+
+    moved = header_from(["value"], ["h_value"], operation="move")(df)
+    assert "value" not in moved.columns
+    assert moved.collect()[0]["h_value"] == 2.5
+    back = header_to_value(["h_value"], ["value"], operation="move")(moved)
+    assert sorted(back.columns) == sorted(df.columns)
+    with pytest.raises(ValueError, match="pair up"):
+        header_from(["a"], ["x", "y"])
+
+
+def test_new_common_smts_in_build_chain(spark):
+    from sparkcdc.transforms import build_chain
+
+    df = spark.createDataFrame(
+        [(7, "click")], "user_id long, event_type string"
+    )
+    chain = build_chain([
+        {"type": "ValueToKey", "fields": "user_id"},
+        {"type": "InsertHeader", "header": "h", "value_literal": "x"},
+        {"type": "HoistField", "name": "payload"},
+        {"type": "ExtractField", "field": "payload"},
+    ])
+    out = chain(df)
+    assert set(out.columns) == {"user_id", "event_type", "__key", "h"}
