@@ -503,6 +503,43 @@ def q_cdc_mask_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_properties_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 configuration surface: a verbatim Debezium ``.properties``
+    text (EmbeddedEngineConfig / Transformations.java names, including the
+    LEGACY delete.handling.mode + drop.tombstones pair and connector-side
+    column.mask/truncate rules) resolves into the full transform chain via
+    sparkcdc.properties — same flat config a reference deployment runs."""
+    from sparkcdc.properties import pipeline_from_properties
+
+    spec = pipeline_from_properties("""
+name=app-connector
+connector.class=io.debezium.connector.mysql.MySqlConnector
+database.hostname=mysql
+database.port=3306
+topic.prefix=app
+table.include.list=app.events
+tombstones.on.delete=false
+column.mask.hash.SHA-256.with.salt.s3cr3t=props
+column.truncate.to.4.chars=event_type
+transforms=unwrap,filt
+transforms.unwrap.type=io.debezium.transforms.ExtractNewRecordState
+transforms.unwrap.delete.handling.mode=rewrite
+transforms.unwrap.drop.tombstones=true
+transforms.unwrap.add.fields=op,source.pos
+transforms.filt.type=io.debezium.transforms.Filter
+transforms.filt.condition=user_id % 7 != 3
+""")
+    flat = spec.chain()(_env(spark, sf_dir))
+    return flat.select(
+        F.col("__source_pos").alias("event_id"),
+        "user_id",
+        "event_type",
+        "props",
+        "__op",
+        "__deleted",
+    )
+
+
 def q_cdc_content_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 ContentBasedRouter: destination computed from record content."""
     env = _env(spark, sf_dir)
@@ -1692,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_extract_changed_state": q_cdc_extract_changed_state,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_mask_truncate": q_cdc_mask_truncate,
+        "cdc_properties_pipeline": q_cdc_properties_pipeline,
         "cdc_content_router": q_cdc_content_router,
         "cdc_logical_table_router": q_cdc_logical_table_router,
         "cdc_partition_routing": q_cdc_partition_routing,
@@ -2073,6 +2111,18 @@ def oracle_sql() -> dict[str, str]:
                    substr(event_type, 1, 4) AS event_type,
                    sha256(concat('s3cr3t', props)) AS props
             FROM events WHERE event_type <> 'error'
+        """,
+        "cdc_properties_pipeline": """
+            SELECT event_id, user_id,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE substr(event_type, 1, 4) END AS event_type,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE sha256(concat('s3cr3t', props)) END AS props,
+                   CASE WHEN event_type='signup' THEN 'c'
+                        WHEN event_type='error' THEN 'd' ELSE 'u' END AS __op,
+                   CASE WHEN event_type='error' THEN 'true'
+                        ELSE 'false' END AS __deleted
+            FROM events WHERE user_id % 7 <> 3
         """,
         "cdc_content_router": """
             SELECT CASE WHEN event_type='error' THEN 't.del'

@@ -136,7 +136,42 @@ def main(argv: list[str] | None = None) -> int:
                     help="exact: fingerprint index; minhash: LSH band "
                          "index (near-duplicates also dropped)")
 
+    sp = sub.add_parser(
+        "properties",
+        help="resolve a Debezium .properties file into the sparkcdc "
+             "pipeline it configures (engine kwargs, transform chain, "
+             "sink/serialization options) and print the plan as JSON — "
+             "the dry-run for porting a reference deployment",
+    )
+    sp.add_argument("--file", required=True, help=".properties path")
+    sp.add_argument("--no-strict", action="store_true",
+                    help="collect unknown keys instead of failing")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "properties":
+        from .properties import pipeline_from_properties
+
+        with open(args.file, encoding="utf-8") as fh:
+            spec = pipeline_from_properties(
+                fh.read(), strict=not args.no_strict)
+        print(json.dumps({
+            "engine_kwargs": spec.engine_kwargs,
+            "transforms": spec.transform_specs,
+            "table_include": spec.table_include,
+            "table_exclude": spec.table_exclude,
+            "message_key_columns": spec.message_key_columns,
+            "incremental_chunk_size": spec.incremental_chunk_size,
+            "failure_handling": spec.failure_handling,
+            "converter_modes": spec.converter_modes,
+            "serialization": spec.serialization,
+            "sink": spec.sink,
+            "topic": spec.topic,
+            "passthrough": spec.passthrough,
+            "unknown": spec.unknown,
+        }, indent=2))
+        return 0
+
     spark = get_spark("sparkcdc-cli", master=args.master)
 
     if args.cmd == "describe":
