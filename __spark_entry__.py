@@ -1709,6 +1709,43 @@ def q_curation_word_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.word_rank_score(_t(spark, sf_dir, "documents"))
 
 
+def q_curation_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/UT1-style URL curation: normalize (scheme/host case, www,
+    userinfo, port, fragment, tracking params), reduce host to its
+    registrable domain (eTLD+1 incl. multi-part suffixes like co.uk),
+    and gate against a domain blocklist via ONE broadcast equality join.
+    URLs are synthesized deterministically from (doc_id, source) so the
+    oracle rebuilds the identical inputs."""
+    from sparkcdc.pipeline import curation as cu
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(d % 4 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit("cdn"), s(d % 2), F.lit(".")))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 7 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.when(d % 6 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), s(d % 50),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("?utm_source=x&id="), s(d % 10),
+                        F.lit("&utm_medium=m"))).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    gated = cu.domain_gate(docs, ["src3.com", "WWW.src7.co.uk", "src5.com"])
+    return gated.select(
+        "doc_id",
+        "host",
+        "domain",
+        "blocked",
+        cu.normalize_url(F.col("url")).alias("norm_url"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_snapshot_read": q_cdc_snapshot_read,
@@ -1786,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_mixture_plan": q_curation_mixture_plan,
         "curation_quality_verdicts": q_curation_quality_verdicts,
         "curation_word_rank_score": q_curation_word_rank_score,
+        "curation_url_filter": q_curation_url_filter,
     }
 
 
@@ -1866,8 +1904,15 @@ def _dedup_clusters_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sparkcdc.pipeline.curation import (
+        MULTI_PART_SUFFIXES,
+        TRACKING_PARAM_RE,
+    )
+
     norm_text = _NORM.format(c="text")
     h15 = "CAST(concat('0x', substr(sha256({x}), 1, 15)) AS BIGINT)"
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
+    tracking_re = TRACKING_PARAM_RE.replace("\\", "\\\\")
     return {
         "cdc_snapshot_read": """
             SELECT c_custkey AS user_id, c_name AS name, c_nationkey AS nation,
@@ -2830,6 +2875,74 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN 250000 WHEN 'es' THEN 500000
                             WHEN 'fr' THEN 750000 WHEN 'de' THEN 1000000
                             ELSE 100000 END
+        """,
+        "curation_url_filter": f"""
+            WITH u AS (
+              SELECT doc_id,
+                concat(
+                  CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END,
+                  '://',
+                  CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN concat('cdn', CAST(doc_id % 2 AS VARCHAR), '.')
+                       ELSE '' END,
+                  source,
+                  CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END,
+                  CASE WHEN doc_id % 6 = 0 THEN ':8080' ELSE '' END,
+                  '/p/', CAST(doc_id % 50 AS VARCHAR),
+                  CASE WHEN doc_id % 2 = 0
+                       THEN concat('?utm_source=x&id=',
+                                   CAST(doc_id % 10 AS VARCHAR),
+                                   '&utm_medium=m')
+                       ELSE '' END,
+                  CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END
+                ) AS url
+              FROM documents),
+            parts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_replace(lower(regexp_replace(
+                  regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                  '^[^@]*@', '')), ':[0-9]+$', ''), '\\.$', '') AS host,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+                coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+              FROM u),
+            dom AS (
+              SELECT *,
+                string_split(host, '.') AS ls,
+                len(string_split(host, '.')) AS n
+              FROM parts),
+            dom2 AS (
+              SELECT *,
+                array_to_string(ls[n-1:n], '.') AS last2,
+                array_to_string(ls[n-2:n], '.') AS last3
+              FROM dom),
+            dom3 AS (
+              SELECT *,
+                coalesce(array_to_string(list_filter(
+                  string_split(query, '&'),
+                  x -> x <> '' AND NOT regexp_matches(lower(x),
+                    '{tracking_re}')), '&'), '') AS q
+              FROM dom2),
+            res AS (
+              SELECT doc_id, host,
+                CASE WHEN n >= 3 AND last2 IN ({suffixes}) THEN last3
+                     WHEN n >= 2 THEN last2
+                     ELSE host END AS domain,
+                concat(
+                  scheme, '://', regexp_replace(host, '^www\\.', ''),
+                  CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+                  CASE WHEN q = '' THEN '' ELSE concat('?', q) END
+                ) AS norm_url
+              FROM dom3)
+            SELECT doc_id, host, domain,
+                   domain IN ('src3.com', 'src7.co.uk', 'src5.com')
+                     AS blocked,
+                   norm_url
+            FROM res
         """,
         "curation_word_rank_score": f"""
             WITH t AS (

@@ -129,6 +129,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "curation_repetition",
         "curation_stratified_sample",
         "curation_mixture_plan",
+        "curation_url_filter",
     ]
     qs = em.queries()
     out: dict[str, float] = {}

@@ -439,3 +439,158 @@ def word_rank_score(
              .cast("long")).alias("score_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL normalization / domain filtering / URL-level dedup
+# ---------------------------------------------------------------------------
+
+#: query parameters that carry tracking state, not content identity —
+#: the standard strip set of web-corpus pipelines (utm_* campaign tags,
+#: per-platform click ids). One alternation, anchored, lowercase-matched.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|mc_eid|igshid|yclid"
+    r"|wbraid|gbraid|_ga|ref|ref_src)="
+)
+
+#: two-label public suffixes under which the registrable domain is the
+#: LAST THREE labels (a deliberately small embedded subset of the public
+#: suffix list covering the common ccTLD second-level registries; the
+#: full Mozilla PSL is a drop-in replacement for the membership test).
+MULTI_PART_SUFFIXES = [
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "com.br", "com.cn", "com.mx", "com.ar", "com.tr",
+    "co.in", "co.kr", "co.za", "com.sg", "com.hk", "com.tw",
+]
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of *url*: authority minus userinfo, port, and any
+    trailing dot. Pure codegen (three anchored regexes + lower)."""
+    auth = F.regexp_extract(url, _SCHEME_RE + r"([^/?#]*)", 2)
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    no_port = F.regexp_replace(no_user, r":[0-9]+$", "")
+    return F.regexp_replace(F.lower(no_port), r"\.$", "")
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 of a host: last two labels, or last three when the last two
+    are a multi-part public suffix (:data:`MULTI_PART_SUFFIXES`). The
+    domain-blocklist join key — subdomain variants (``cdn.x.com``,
+    ``www.x.com``) collapse to one equality key, so a blocklist gate is
+    an exact broadcast hash join, never a ``LIKE '%.domain'`` scan."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    return (
+        F.when((n >= 3) & last2.isin(MULTI_PART_SUFFIXES), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def normalize_url(
+    url: Column, *, strip_params: bool = True, collapse_scheme: bool = False
+) -> Column:
+    """Canonical form of a URL for exact URL-level dedup:
+
+    - scheme and host lowercased; ``www.`` prefix, userinfo, port, and
+      trailing host dot stripped;
+    - fragment dropped;
+    - empty path becomes ``/``;
+    - with *strip_params*, tracking query parameters
+      (:data:`TRACKING_PARAM_RE`) and empty pairs are removed (remaining
+      params keep their order — reordering would conflate distinct
+      server semantics);
+    - with *collapse_scheme*, ``https`` folds to ``http`` (the dedup-key
+      setting: the same page crawled over both schemes is one document).
+
+    One codegen projection — no shuffle, no UDF; the same spelling in
+    DuckDB SQL is the driver oracle's twin.
+    """
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    if collapse_scheme:
+        scheme = F.when(scheme == "https", F.lit("http")).otherwise(scheme)
+    host = F.regexp_replace(url_host(url), r"^www\.", "")
+    path = F.regexp_extract(url, _SCHEME_RE + r"[^/?#]*([^?#]*)", 2)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    if strip_params:
+        kept = F.filter(
+            F.split(query, "&"),
+            lambda kv: (kv != "") & ~F.lower(kv).rlike(TRACKING_PARAM_RE),
+        )
+    else:
+        kept = F.filter(F.split(query, "&"), lambda kv: kv != "")
+    q = F.array_join(kept, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def domain_gate(
+    docs: DataFrame,
+    blocklist: DataFrame | list[str],
+    *,
+    url_col: str = "url",
+    out_col: str = "blocked",
+) -> DataFrame:
+    """Mark documents whose URL's registrable domain is on a blocklist
+    (the C4/UT1-style domain filter). Adds ``host``/``domain`` columns
+    and a boolean *out_col*.
+
+    Scale shape: the blocklist — even the multi-million-entry UT1 set is
+    ~100 MB — is the broadcast side of ONE hash join on the equality key
+    ``domain``; the corpus side is a pure projection (no corpus shuffle,
+    no regex-per-blocklist-entry). Blocklist entries are themselves
+    normalized through :func:`registrable_domain`, so ``www.x.com`` in a
+    raw list file gates the same key as ``x.com``."""
+    spark = docs.sparkSession
+    if isinstance(blocklist, list):
+        blocklist = spark.createDataFrame(
+            [(d,) for d in blocklist], "entry string")
+    else:
+        entry = blocklist.columns[0]
+        blocklist = blocklist.select(F.col(entry).alias("entry"))
+    bl = blocklist.select(
+        registrable_domain(F.lower(F.col("entry"))).alias("domain")
+    ).distinct().withColumn("__blocked", F.lit(True))
+    host = url_host(F.col(url_col))
+    with_dom = docs.withColumn("host", host).withColumn(
+        "domain", registrable_domain(F.col("host"))
+    )
+    return (
+        with_dom.join(F.broadcast(bl), "domain", "left")
+        .withColumn(out_col, F.coalesce(F.col("__blocked"), F.lit(False)))
+        .drop("__blocked")
+    )
+
+
+def url_dedup(
+    docs: DataFrame,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_params: bool = True,
+) -> DataFrame:
+    """Keep one document per normalized URL — the first-seen (minimum
+    *id_col*) occurrence, the deterministic tie-break every dedup
+    operator in this package uses. One hash-partial ``min_by`` aggregate
+    keyed on the normalized URL (same single-shuffle shape as
+    ``dedup.distinct_documents``); no join-back, no window. The dedup key
+    collapses https/http (``collapse_scheme``)."""
+    norm = normalize_url(
+        F.col(url_col), strip_params=strip_params, collapse_scheme=True)
+    keyed = docs.withColumn("__norm_url", norm)
+    row = F.struct(*[F.col(c) for c in keyed.columns if c != "__norm_url"])
+    return (
+        keyed.groupBy("__norm_url")
+        .agg(F.min_by(row, F.col(id_col)).alias("__row"))
+        .select(F.col("__norm_url").alias("norm_url"), "__row.*")
+    )

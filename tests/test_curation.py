@@ -279,3 +279,82 @@ def test_corpus_word_ranks_distributed_and_dense(spark):
     assert sorted(r.rank for r in rows) == list(range(1, 41))
     byword = {r.word: r.rank for r in rows}
     assert byword["w000"] == 1 and byword["w039"] == 40
+
+
+# -- URL normalization / domain filtering / URL dedup ---------------------------
+
+
+def _urls_df(spark):
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b?utm_source=x&id=7&utm_medium=m#frag"),
+        (2, "http://example.com/a/b?id=7"),
+        (3, "http://user:pw@cdn.example.com./p"),
+        (4, "https://news.bbc.co.uk/story?gclid=abc"),
+        (5, "http://bbc.co.uk"),
+        (6, "https://other.org/x?ref=tw&q=1"),
+        (7, "http://localhost:8080/"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_normalize_url_canonical_form(spark):
+    df = _urls_df(spark)
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", cu.normalize_url(F.col("url")).alias("n")
+        ).collect()
+    }
+    # scheme+host lowered, www/port/userinfo/fragment/tracking params gone,
+    # empty path -> /, surviving params keep order
+    assert out[1] == "https://example.com/a/b?id=7"
+    assert out[2] == "http://example.com/a/b?id=7"
+    assert out[3] == "http://cdn.example.com/p"
+    assert out[4] == "https://news.bbc.co.uk/story"
+    assert out[5] == "http://bbc.co.uk/"
+    assert out[6] == "https://other.org/x?q=1"
+    assert out[7] == "http://localhost/"
+
+
+def test_registrable_domain_multi_part_suffixes(spark):
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("news.bbc.co.uk",), ("bbc.co.uk",),
+         ("co.uk",), ("localhost",), ("x.com.au",)],
+        "host string",
+    )
+    got = [r["d"] for r in df.select(
+        cu.registrable_domain(F.col("host")).alias("d")).collect()]
+    assert got == ["example.com", "bbc.co.uk", "bbc.co.uk",
+                   "co.uk", "localhost", "x.com.au"]
+
+
+def test_domain_gate_blocklist_and_subdomains(spark):
+    df = _urls_df(spark)
+    # raw blocklist entries normalize through registrable_domain too
+    out = cu.domain_gate(df, ["www.example.com", "BBC.co.uk"])
+    blocked = {r["doc_id"]: r["blocked"] for r in out.collect()}
+    assert blocked == {1: True, 2: True, 3: True, 4: True, 5: True,
+                       6: False, 7: False}
+    # the blocklist side is the broadcast side of one equality join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_url_dedup_first_seen_min_id(spark):
+    df = _urls_df(spark)
+    kept = cu.url_dedup(df)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1 and 2 normalize identically -> min id 1 survives; others unique
+    assert ids == [1, 3, 4, 5, 6, 7]
+    norm = {r["doc_id"]: r["norm_url"] for r in kept.collect()}
+    assert norm[1] == "http://example.com/a/b?id=7"  # scheme collapsed
+
+
+def test_url_ops_single_projection_no_shuffle(spark):
+    df = _urls_df(spark)
+    proj = df.select(
+        cu.normalize_url(F.col("url")).alias("n"),
+        cu.registrable_domain(cu.url_host(F.col("url"))).alias("d"),
+    )
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
