@@ -1709,6 +1709,33 @@ def q_curation_word_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.word_rank_score(_t(spark, sf_dir, "documents"))
 
 
+def q_cdc_scalar_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3/§2.7 scalar converter registry (JdbcValueConverters.java:154-267
+    dispatch table): unsigned widening, decimal handling modes, adaptive
+    temporal precisions (epoch ms/µs/days, ISO zoned string), and
+    binary.handling.mode hex/base64 — every converter a builtin Catalyst
+    expression, zero Python in the row path."""
+    from sparkcdc.functions import converters as cv
+
+    ev = _t(spark, sf_dir, "events")
+    c_int = (F.col("user_id") - 50).cast("int")
+    dec = (F.col("event_id") % 100000).cast("decimal(18,4)")
+    bin_props = F.encode(F.col("props"), "UTF-8")
+    return ev.select(
+        "event_id",
+        cv.unsigned_widen_int(c_int).alias("uw_int"),
+        cv.decimal_string(dec).alias("dec_str"),
+        cv.decimal_double(dec).alias("dec_dbl"),
+        cv.ts_to_epoch_millis(F.col("ts")).alias("ts_ms"),
+        cv.ts_to_epoch_micros(F.col("ts")).alias("ts_us"),
+        cv.date_to_epoch_days(F.col("ts")).alias("epoch_days"),
+        cv.zoned_timestamp(F.col("ts")).alias("ts_iso"),
+        cv.binary_hex(bin_props).alias("props_hex"),
+        cv.binary_base64(bin_props).alias("props_b64"),
+        cv.enum_string(F.col("event_type")).alias("etype"),
+    )
+
+
 def q_curation_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/UT1-style URL curation: normalize (scheme/host case, www,
     userinfo, port, fragment, tracking params), reduce host to its
@@ -1824,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_quality_verdicts": q_curation_quality_verdicts,
         "curation_word_rank_score": q_curation_word_rank_score,
         "curation_url_filter": q_curation_url_filter,
+        "cdc_scalar_converters": q_cdc_scalar_converters,
     }
 
 
@@ -2875,6 +2903,25 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN 250000 WHEN 'es' THEN 500000
                             WHEN 'fr' THEN 750000 WHEN 'de' THEN 1000000
                             ELSE 100000 END
+        """,
+        "cdc_scalar_converters": """
+            SELECT event_id,
+                   CASE WHEN CAST(user_id - 50 AS INTEGER) < 0
+                        THEN CAST(user_id - 50 AS BIGINT) + 4294967296
+                        ELSE CAST(user_id - 50 AS BIGINT) END AS uw_int,
+                   CAST(CAST(event_id % 100000 AS DECIMAL(18,4)) AS VARCHAR)
+                     AS dec_str,
+                   CAST(CAST(event_id % 100000 AS DECIMAL(18,4)) AS DOUBLE)
+                     AS dec_dbl,
+                   epoch_ms(ts) AS ts_ms,
+                   epoch_us(ts) AS ts_us,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS INTEGER) AS epoch_days,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_iso,
+                   lower(hex(encode(props))) AS props_hex,
+                   to_base64(encode(props)) AS props_b64,
+                   event_type AS etype
+            FROM events
         """,
         "curation_url_filter": f"""
             WITH u AS (

@@ -57,7 +57,10 @@ def decimal_string(c: Column) -> Column:
 
 
 def ts_to_epoch_millis(c: Column) -> Column:
-    return (F.unix_micros(c.cast("timestamp")) / 1000).cast("long")
+    # unix_millis, not unix_micros/1000: `/` is double division and a
+    # cast truncates while an oracle engine's cast may round — the exact
+    # builtin keeps both engines on integer arithmetic
+    return F.unix_millis(c.cast("timestamp"))
 
 
 def ts_to_epoch_micros(c: Column) -> Column:
