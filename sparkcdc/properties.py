@@ -171,7 +171,10 @@ TRANSFORM_CLASSES: dict[str, tuple[str, dict[str, str]]] = {
         "ByLogicalTableRouter",
         {"topic.regex": "topic_regex",
          "topic.replacement": "topic_replacement",
-         "key.enforce.uniqueness": "key_enforce_uniqueness"},
+         "key.enforce.uniqueness": "key_enforce_uniqueness",
+         "key.field.name": "key_field_name",
+         "key.field.regex": "key_field_regex",
+         "key.field.replacement": "key_field_replacement"},
     ),
     "io.debezium.transforms.partitions.PartitionRouting": (
         "PartitionRouting",

@@ -35,10 +35,23 @@ def by_logical_table_router(
     topic_replacement: str,
     key_enforce_uniqueness: bool = True,
     route_col: str = ROUTE_COL,
+    key_field_name: str = PHYSICAL_TABLE_COL,
+    key_field_regex: str | None = None,
+    key_field_replacement: str | None = None,
 ):
     """Merge physical shard tables (customers_shard_1, _2, ...) into one
     logical route; keep the physical id as an extra key column so rows from
-    different shards with the same PK don't collide."""
+    different shards with the same PK don't collide.
+
+    ``key_field_name`` / ``key_field_regex`` / ``key_field_replacement``
+    are the reference's ``key.field.*`` configs
+    (ByLogicalTableRouter.java:87-115): rename the physical-id key column
+    and/or rewrite its value (e.g. keep only the shard number instead of
+    the full ``db.table`` identifier)."""
+    if key_field_regex and not key_field_replacement:
+        raise ValueError(
+            "key.field.regex requires a non-empty key.field.replacement"
+        )
 
     def _apply(df: DataFrame) -> DataFrame:
         full = F.concat_ws(".", F.col("source.db"), F.col("source.table"))
@@ -46,7 +59,11 @@ def by_logical_table_router(
             route_col, F.regexp_replace(full, topic_regex, topic_replacement)
         )
         if key_enforce_uniqueness:
-            out = out.withColumn(PHYSICAL_TABLE_COL, full)
+            keyval = full
+            if key_field_regex:
+                keyval = F.regexp_replace(
+                    full, key_field_regex, key_field_replacement)
+            out = out.withColumn(key_field_name, keyval)
         return out
 
     return _apply

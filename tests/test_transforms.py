@@ -128,6 +128,24 @@ def test_by_logical_table_router(fixture):
     assert shard["__dbz__physicalTableIdentifier"] == "db.customers_shard_2"
 
 
+def test_by_logical_table_router_key_field_rewrite(fixture):
+    import pytest as _pytest
+
+    out = by_logical_table_router(
+        r"db\.customers(_shard_\d+)?", "db.customers_all",
+        key_field_name="shard",
+        key_field_regex=r"db\.customers_shard_(\d+)",
+        key_field_replacement="$1",
+    )(fixture)
+    shard = out.filter("source.table = 'customers_shard_2'").first()
+    assert shard["shard"] == "2"
+    # a value the regex doesn't match keeps the full identifier
+    plain = out.filter("source.table = 'customers'").first()
+    assert plain["shard"] == "db.customers"
+    with _pytest.raises(ValueError, match="key.field.replacement"):
+        by_logical_table_router("a", "b", key_field_regex="x")
+
+
 # ---- T6 PartitionRouting ---------------------------------------------------------
 
 def test_partition_routing(fixture):
