@@ -2955,7 +2955,8 @@ def oracle_sql() -> dict[str, str]:
                   '^[^@]*@', '')), ':[0-9]+$', ''), '\\.$', '') AS host,
                 regexp_extract(url,
                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-                coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+                coalesce(regexp_extract(url, '^[^#]*\\?([^#]*)', 1), '')
+                  AS query
               FROM u),
             dom AS (
               SELECT *,

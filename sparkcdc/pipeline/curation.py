@@ -519,7 +519,9 @@ def normalize_url(
     host = F.regexp_replace(url_host(url), r"^www\.", "")
     path = F.regexp_extract(url, _SCHEME_RE + r"[^/?#]*([^?#]*)", 2)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the '?' must precede any '#': an unanchored match would resurrect a
+    # '?' from inside the (dropped) fragment as a fabricated query
+    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
     if strip_params:
         kept = F.filter(
             F.split(query, "&"),

@@ -56,22 +56,30 @@ __all__ = [
 # java.util.Properties text format
 # ---------------------------------------------------------------------------
 
-_U_ESC = re.compile(r"\\u([0-9a-fA-F]{4})")
+_HEX = set("0123456789abcdefABCDEF")
 
 
 def _unescape(s: str) -> str:
-    s = _U_ESC.sub(lambda m: chr(int(m.group(1), 16)), s)
+    # single left-to-right pass, as Java's load() does: '\\' consumes the
+    # next char FIRST, so an escaped backslash followed by uXXXX stays a
+    # literal backslash + text ('\\u0041' -> 'A', not 'A')
     out = []
     i = 0
     while i < len(s):
         ch = s[i]
-        if ch == "\\" and i + 1 < len(s):
-            nxt = s[i + 1]
-            out.append({"n": "\n", "t": "\t", "r": "\r", "f": "\f"}.get(nxt, nxt))
-            i += 2
-        else:
+        if ch != "\\" or i + 1 >= len(s):
             out.append(ch)
             i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt == "u" and i + 6 <= len(s) and all(
+            c in _HEX for c in s[i + 2:i + 6]
+        ):
+            out.append(chr(int(s[i + 2:i + 6], 16)))
+            i += 6
+        else:
+            out.append({"n": "\n", "t": "\t", "r": "\r", "f": "\f"}.get(nxt, nxt))
+            i += 2
     return "".join(out)
 
 
@@ -297,11 +305,13 @@ def _resolve_class(cls: str, table: dict, kind: str):
     base = _strip_variant(cls)
     if base in table:
         return table[base]
-    # native registry names are accepted directly (sparkcdc configs)
+    # native registry names are accepted directly (sparkcdc configs) —
+    # but ONLY undotted ones: a fully-qualified third-party class that
+    # happens to end in a registry name (com.acme.custom.Filter) has its
+    # own semantics and must error, not silently run the builtin
     reg = TRANSFORMS if kind == "transform" else PREDICATES
-    short = base.rsplit(".", 1)[-1]
-    if short in reg:
-        return short, {}
+    if "." not in base and base in reg:
+        return base, {}
     raise ValueError(
         f"unknown {kind} class {cls!r}; known classes: "
         f"{sorted(table)} or registry names {sorted(reg)}"
@@ -413,6 +423,12 @@ def transform_specs_from_config(props: dict[str, str]) -> list[dict]:
                     f"predicates={sorted(preds)}"
                 ) from None
             spec["negate"] = params.get("negate", "false").lower() == "true"
+        elif "negate" in params:
+            # Connect raises ConfigException here; a silently-dropped
+            # negate would invert nothing without a sound
+            raise ValueError(
+                f"transforms.{tn}.negate set but no transforms.{tn}.predicate"
+            )
         specs.append(spec)
     return specs
 
@@ -462,6 +478,35 @@ _PASSTHROUGH_PREFIXES = (
 _MASK_RE = re.compile(r"^column\.mask\.with\.(\d+)\.chars$")
 _MASK_HASH_RE = re.compile(r"^column\.mask\.hash\.([^.]+)\.with\.salt\.(.+)$")
 _TRUNC_RE = re.compile(r"^column\.truncate\.to\.(\d+)\.chars$")
+
+
+#: a dot acts as a db/table/column QUALIFIER separator when what follows
+#: starts an identifier or a regex group/class/any-char — so the column
+#: part of ``db.tab..*`` is ``.*`` (the final dot is the separator, the
+#: ``.*`` the column pattern), of ``db.tab.(id|name)`` is ``(id|name)``,
+#: and a bare ``.*`` entry (no qualifier) is left whole
+_QUAL_DOT = re.compile(r"\.(?=[\w.(\[])")
+
+
+def _bare_columns(raw: str) -> list[str]:
+    """Debezium column rules name columns FULLY-QUALIFIED —
+    ``databaseName.tableName.columnName`` literals for mask/truncate,
+    regexes over the qualified name for include/exclude
+    (RelationalDatabaseConnectorConfig.java:306-330) — while the
+    chain-level column transforms here match bare row-field names (one
+    resolved chain serves one captured table, the engine's
+    table-include list does the table scoping). Reduce each entry to its
+    column part: the text after the last qualifier dot
+    (:data:`_QUAL_DOT`; note java.util.Properties already collapses the
+    ``\\.``-escaped spelling to plain dots before this sees it). Bare
+    names pass through unchanged."""
+    out = []
+    for c in (x.strip() for x in raw.split(",")):
+        if not c:
+            continue
+        ms = list(_QUAL_DOT.finditer(c))
+        out.append(c[ms[-1].end():] if ms else c)
+    return out
 
 _CONVERTER_MODES = {
     "decimal.handling.mode": ("precise", "double", "string"),
@@ -531,12 +576,25 @@ def pipeline_from_properties(
             consumed.add(key)
         return v
 
-    # -- transforms / predicates sections (consume whole prefixes) ---------
+    # -- transforms / predicates sections -----------------------------------
+    # consume only DECLARED aliases: a fully-configured transforms.X.*
+    # block whose alias is missing from transforms= is a config mistake
+    # that must surface in strict mode, not vanish from the chain
     spec.transform_specs = transform_specs_from_config(props)
+    declared = {
+        ("transforms", n.strip())
+        for n in props.get("transforms", "").split(",") if n.strip()
+    } | {
+        ("predicates", n.strip())
+        for n in props.get("predicates", "").split(",") if n.strip()
+    }
     for k in props:
-        if k == "transforms" or k == "predicates" or \
-                k.startswith(("transforms.", "predicates.")):
+        if k in ("transforms", "predicates"):
             consumed.add(k)
+        elif k.startswith(("transforms.", "predicates.")):
+            section, rest = k.split(".", 1)
+            if (section, rest.split(".", 1)[0]) in declared:
+                consumed.add(k)
 
     # -- engine scalars -----------------------------------------------------
     for key, (fld, cast) in _ENGINE_KEYS.items():
@@ -573,7 +631,7 @@ def pipeline_from_properties(
         if m:
             col_specs.append({
                 "type": "MaskStrings",
-                "columns": [c.strip() for c in props[k].split(",")],
+                "columns": _bare_columns(props[k]),
                 "length": int(m.group(1)),
             })
             consumed.add(k)
@@ -588,7 +646,7 @@ def pipeline_from_properties(
                 )
             col_specs.append({
                 "type": "MaskStrings",
-                "columns": [c.strip() for c in props[k].split(",")],
+                "columns": _bare_columns(props[k]),
                 "salt": salt,
             })
             consumed.add(k)
@@ -597,8 +655,8 @@ def pipeline_from_properties(
         if m:
             col_specs.append({
                 "type": "TruncateColumns",
-                "columns": {c.strip(): int(m.group(1))
-                            for c in props[k].split(",")},
+                "columns": {c: int(m.group(1))
+                            for c in _bare_columns(props[k])},
             })
             consumed.add(k)
     inc_cols = take("column.include.list")
@@ -606,10 +664,8 @@ def pipeline_from_properties(
     if inc_cols or exc_cols:
         col_specs.append({
             "type": "IncludeExcludeColumns",
-            "include": [c.strip() for c in inc_cols.split(",")]
-            if inc_cols else None,
-            "exclude": [c.strip() for c in exc_cols.split(",")]
-            if exc_cols else None,
+            "include": _bare_columns(inc_cols) if inc_cols else None,
+            "exclude": _bare_columns(exc_cols) if exc_cols else None,
         })
     spec.transform_specs[:0] = col_specs
 
@@ -690,13 +746,23 @@ def pipeline_from_properties(
             spec.topic["replacement"] = "unicode"
 
     # -- classify the rest ------------------------------------------------------
+    # custom-converter blocks (CustomConverter SPI): `converters=a,b`
+    # declares names whose `<name>.*` subkeys configure the converter
+    custom_converters = tuple(
+        f"{n.strip()}."
+        for n in props.get("converters", "").split(",") if n.strip()
+    )
     for k, v in props.items():
         if k in consumed:
             continue
-        if k.startswith(_PASSTHROUGH_PREFIXES) or k in (
-                "key.converter", "value.converter.schemas.enable"):
+        if k.startswith(_PASSTHROUGH_PREFIXES) or k == "key.converter":
             spec.passthrough[k] = v
-        elif k.startswith("key.converter."):
+        elif k.startswith(("key.converter.", "value.converter.")):
+            # converter subkeys (schema.registry.url, enhanced.avro.schema
+            # .support, ...) configure the wire layer the engine's
+            # serializers replace; accepted, recorded
+            spec.passthrough[k] = v
+        elif custom_converters and k.startswith(custom_converters):
             spec.passthrough[k] = v
         else:
             spec.unknown[k] = v

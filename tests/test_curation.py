@@ -358,3 +358,14 @@ def test_url_ops_single_projection_no_shuffle(spark):
     )
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_normalize_url_question_mark_inside_fragment_ignored(spark):
+    df = spark.createDataFrame(
+        [(1, "http://x.com/p#sec?b=1"), (2, "http://x.com/p?a=1#sec?b=2")],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", cu.normalize_url(F.col("url")).alias("n")).collect()}
+    assert out[1] == "http://x.com/p"      # fragment fully dropped
+    assert out[2] == "http://x.com/p?a=1"  # real query kept

@@ -466,3 +466,82 @@ def test_cli_properties_plan(tmp_path, capsys):
     }]
     assert plan["passthrough"] == {"database.hostname": "mysql"}
     assert plan["unknown"] == {}
+
+
+# -- review-finding regressions -------------------------------------------------
+
+
+def test_unescape_escaped_backslash_before_u_stays_literal():
+    # java.util.Properties consumes '\\' FIRST: '\\u0041' is a literal
+    # backslash + 'u0041', never decoded to 'A'
+    assert parse_properties(r"k=C\\u0041dir")["k"] == "C\\u0041dir"
+    assert parse_properties(r"k=A") == {"k": "A"}
+
+
+def test_fully_qualified_column_rules_reduce_to_bare_names():
+    spec = pipeline_from_properties(
+        "column.mask.hash.SHA-256.with.salt.x=inventory.customers.email\n"
+        "column.truncate.to.8.chars=inventory\\.customers\\.bio\n"
+        "column.include.list=inventory\\.customers\\.(id|name), plain\n"
+        "column.exclude.list=db\\.tab\\..*\n"
+        "column.mask.with.4.chars=db.tab.ssn\n"
+    )
+    by_type = {}
+    for s in spec.transform_specs:
+        by_type.setdefault(s["type"], []).append(s)
+    assert by_type["MaskStrings"][0]["columns"] == ["email"]
+    assert by_type["MaskStrings"][1]["columns"] == ["ssn"]
+    assert by_type["TruncateColumns"][0]["columns"] == {"bio": 8}
+    # escaped-dot regex form keeps the column-part pattern intact
+    assert by_type["IncludeExcludeColumns"][0]["include"] == \
+        ["(id|name)", "plain"]
+    assert by_type["IncludeExcludeColumns"][0]["exclude"] == [".*"]
+
+
+def test_converter_subkeys_pass_through():
+    spec = pipeline_from_properties(
+        "value.converter=io.confluent.connect.avro.AvroConverter\n"
+        "value.converter.schema.registry.url=http://sr:8081\n"
+        "converters=isbn\n"
+        "isbn.type=com.acme.IsbnConverter\n"
+        "isbn.schema.name=io.acme.ISBN\n"
+    )
+    assert spec.serialization["format"] == "avro"
+    assert "value.converter.schema.registry.url" in spec.passthrough
+    assert "isbn.type" in spec.passthrough
+    assert "isbn.schema.name" in spec.passthrough
+    assert spec.unknown == {}
+
+
+def test_qualified_thirdparty_class_never_resolves_to_builtin():
+    with pytest.raises(ValueError, match="unknown transform class"):
+        transform_specs_from_config({
+            "transforms": "f",
+            "transforms.f.type": "com.acme.custom.Filter",
+            "transforms.f.condition": "1=1",
+        })
+
+
+def test_orphan_transform_block_is_unknown_in_strict_mode():
+    text = (
+        "transforms=u\n"
+        "transforms.u.type=io.debezium.transforms.ExtractNewRecordState\n"
+        "transforms.extra.type=io.debezium.transforms.Filter\n"
+        "transforms.extra.condition=1=1\n"
+    )
+    with pytest.raises(ValueError, match="transforms.extra.type"):
+        pipeline_from_properties(text)
+    spec = pipeline_from_properties(text, strict=False)
+    assert "transforms.extra.type" in spec.unknown
+    assert [s["type"] for s in spec.transform_specs] == \
+        ["ExtractNewRecordState"]
+
+
+def test_negate_without_predicate_rejected():
+    with pytest.raises(ValueError, match="negate set but no"):
+        transform_specs_from_config({
+            "transforms": "u",
+            "transforms.u.type":
+                "io.debezium.transforms.ExtractNewRecordState",
+            "transforms.u.negate": "true",
+        })
