@@ -172,3 +172,47 @@ class MemoryOffsetStore(OffsetStore):
 
     def load(self) -> dict | None:
         return dict(self._offsets) if self._offsets is not None else None
+
+
+class TableOffsetStore(OffsetStore):
+    """Offset snapshots in a keyless lake table — the analog of
+    JdbcOffsetBackingStore's ``debezium_offset_storage`` table
+    (debezium-storage-jdbc/.../offset/JdbcOffsetBackingStore.java: the
+    offset map as plain rows, re-read on restart): the mirror lands
+    wherever the data lake lives, with no extra service, and the offset
+    trail is queryable with SQL (lag dashboards come free). One row per
+    flush ``(seq, ts_ms, offsets-json)``; ``load()`` reads only the
+    max-seq row, so recovery work stays bounded no matter how long the
+    engine has run. Old rows ride the table's version GC. Single-writer
+    by contract, same as the history table; the (writer, seq) fence
+    turns a redelivered flush into a no-op."""
+
+    SCHEMA = [("seq", "long"), ("ts_ms", "long"), ("offsets", "string")]
+
+    def __init__(self, table):
+        self.table = table
+
+    @staticmethod
+    def create_offset_table(spark, root: str, name: str = "offset_mirror"):
+        from .lake import LakeTable
+
+        return LakeTable.create(
+            spark, root, name,
+            fields=TableOffsetStore.SCHEMA, key_cols=[], n_buckets=1,
+        )
+
+    def save(self, offsets: dict) -> None:
+        last = self.table.manifest().summary.get("last_batch", {}).get(
+            "offset-mirror", -1)
+        seq = int(last) + 1
+        df = self.table.spark.createDataFrame(
+            [(seq, int(time.time() * 1000), json.dumps(offsets))],
+            "seq long, ts_ms long, offsets string",
+        )
+        self.table.append(df, batch_id=seq, writer="offset-mirror")
+
+    def load(self) -> dict | None:
+        from pyspark.sql import functions as F
+
+        rows = self.table.read().orderBy(F.desc("seq")).limit(1).collect()
+        return json.loads(rows[0]["offsets"]) if rows else None

@@ -147,3 +147,42 @@ def test_memory_offset_store_contract():
     assert got == {"next": 7}
     got["next"] = 99  # load() hands out a copy, not the internal dict
     assert s.load() == {"next": 7}
+
+
+def test_table_offset_store_mirror_and_migration(spark, tmp_root):
+    """TableOffsetStore: the JdbcOffsetBackingStore analog — offset
+    snapshots as lake-table rows, latest-seq wins, engine-integrated the
+    same as the file store (post-commit mirror, migration resume)."""
+    from sparkcdc.storage import TableOffsetStore
+
+    mirror_t = TableOffsetStore.create_offset_table(
+        spark, os.path.join(tmp_root, "meta"))
+    store = TableOffsetStore(mirror_t)
+    eng = default_engine(spark, os.path.join(tmp_root, "a"), config=CFG,
+                         n_buckets=4, offset_store=store)
+    eng.replay(1000)
+    assert store.load()["next"] == 1000
+    # one row per flush, monotone seq, queryable with SQL
+    rows = mirror_t.read().orderBy("seq").collect()
+    assert [r["seq"] for r in rows] == list(range(len(rows)))
+    assert len(rows) >= 1
+
+    # fresh sink with no committed summary resumes from the table mirror
+    eng2 = default_engine(spark, os.path.join(tmp_root, "b"), config=CFG,
+                          n_buckets=4, offset_store=store)
+    assert eng2.committed_offset() == 1000
+
+    # save() is fenced per seq: a reopened store continues the sequence
+    store2 = TableOffsetStore(
+        __import__("sparkcdc.lake", fromlist=["LakeTable"]).LakeTable.load(
+            spark, os.path.join(tmp_root, "meta"), "offset_mirror"))
+    store2.save({"next": 2000, "lo": 1000})
+    assert store2.load()["next"] == 2000
+
+
+def test_table_offset_store_empty_load(spark, tmp_root):
+    from sparkcdc.storage import TableOffsetStore
+
+    t = TableOffsetStore.create_offset_table(
+        spark, tmp_root, name="empty_mirror")
+    assert TableOffsetStore(t).load() is None
