@@ -245,3 +245,61 @@ def test_document_fold_matches_python_reference(spark, events):
     want = {k: (v.get("x"), v.get("y"))
             for k, v in state.items() if v is not None}
     assert got == want, (got, want)
+
+
+# -- properties text format: serialize -> parse round trip ----------------------
+
+#: characters exercising every escape class: separators, comment leaders,
+#: backslash, whitespace, unicode, and the '\\'+'uXXXX' adjacency corner
+_PROP_CHARS = st.text(
+    alphabet=st.sampled_from(
+        list("abzAZ09_.-:=# !\\\tééu4071f") + ["\n"]
+    ),
+    max_size=12,
+)
+
+
+def _java_escape_key(k: str) -> str:
+    out = []
+    for ch in k:
+        if ch in "=:# !\\":
+            out.append("\\" + ch)
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\t":
+            out.append("\\t")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _java_escape_val(v: str) -> str:
+    out = []
+    for i, ch in enumerate(v):
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == " " and i == 0:
+            out.append("\\ ")  # leading space must be escaped
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(
+    _PROP_CHARS.filter(lambda k: k != ""), _PROP_CHARS, max_size=6))
+def test_properties_roundtrip_store_then_load(pairs):
+    """Any map serialized with java.util.Properties store() escaping
+    parses back identically — the exact porting contract: what a Java
+    deployment wrote, this parser reads."""
+    from sparkcdc.properties import parse_properties
+
+    text = "".join(
+        f"{_java_escape_key(k)}={_java_escape_val(v)}\n"
+        for k, v in pairs.items()
+    )
+    assert parse_properties(text) == pairs
