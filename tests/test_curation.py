@@ -369,3 +369,81 @@ def test_normalize_url_question_mark_inside_fragment_ignored(spark):
         "doc_id", cu.normalize_url(F.col("url")).alias("n")).collect()}
     assert out[1] == "http://x.com/p"      # fragment fully dropped
     assert out[2] == "http://x.com/p?a=1"  # real query kept
+
+
+# -- URL ops: hypothesis differential vs a pure-python reference ----------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_host(url):
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)", url)
+    auth = m.group(2) if m else ""
+    auth = _re.sub(r"^[^@]*@", "", auth)
+    auth = _re.sub(r":[0-9]+$", "", auth)
+    return _re.sub(r"\.$", "", auth.lower())
+
+
+def _py_norm(url):
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", url)
+    scheme = m.group(1).lower() if m else ""
+    host = _re.sub(r"^www\.", "", _py_host(url))
+    pm = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", url)
+    path = (pm.group(1) if pm else "") or "/"
+    qm = _re.match(r"^[^#]*\?([^#]*)", url)
+    query = qm.group(1) if qm else ""
+    kept = [kv for kv in query.split("&")
+            if kv != "" and not _re.match(cu.TRACKING_PARAM_RE, kv.lower())]
+    q = "&".join(kept)
+    return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+
+def _py_domain(host):
+    ls = host.split(".")
+    if len(ls) >= 3 and ".".join(ls[-2:]) in cu.MULTI_PART_SUFFIXES:
+        return ".".join(ls[-3:])
+    if len(ls) >= 2:
+        return ".".join(ls[-2:])
+    return host
+
+
+_URL_BITS = st.builds(
+    lambda scheme, user, www, sub, dom, suf, port, path, q, frag: (
+        f"{scheme}://{user}{www}{sub}{dom}{suf}{port}{path}{q}{frag}"
+    ),
+    scheme=st.sampled_from(["http", "HTTPS", "ftp", "Http"]),
+    user=st.sampled_from(["", "u@", "a:b@"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    sub=st.sampled_from(["", "cdn.", "a.b."]),
+    dom=st.sampled_from(["ex", "Ex-1", "x9"]),
+    suf=st.sampled_from([".com", ".co.uk", ".org", ""]),
+    port=st.sampled_from(["", ":80", ":8443"]),
+    path=st.sampled_from(["", "/", "/p", "/a/b.c", "/p."]),
+    q=st.sampled_from(["", "?", "?a=1", "?utm_source=x", "?a=1&utm_x=2&b=",
+                       "?&a=1"]),
+    frag=st.sampled_from(["", "#f", "#f?x=1", "#?"]),
+)
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(urls=st.lists(_URL_BITS, min_size=1, max_size=12))
+def test_url_ops_match_python_reference(spark, urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    got = df.select(
+        "doc_id",
+        cu.url_host(F.col("url")).alias("h"),
+        cu.registrable_domain(cu.url_host(F.col("url"))).alias("d"),
+        cu.normalize_url(F.col("url")).alias("n"),
+    ).collect()
+    for r in got:
+        u = urls[r["doc_id"]]
+        assert r["h"] == _py_host(u), u
+        assert r["d"] == _py_domain(_py_host(u)), u
+        assert r["n"] == _py_norm(u), u
