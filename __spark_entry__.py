@@ -1736,6 +1736,31 @@ def q_cdc_scalar_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-mix detection for multilingual corpus cleaning: per-script
+    character ppm (Latin/CJK/Cyrillic/Arabic/digit/space/other) + dominant
+    script, pure codegen (one regexp_replace + two lengths per script —
+    Java \\p{IsX} classes on the Spark side, RE2 \\p{X} in the oracle).
+    Non-Latin runs are injected deterministically so the signal is real."""
+    from sparkcdc.functions.text import dominant_script, script_ratios
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(" 漢字テスト 한국")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit(" привет мир")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" مرحبا")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" 42 007")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.length(injected).alias("n_chars"),
+        *script_ratios(injected),
+        dominant_script(injected).alias("dominant"),
+    )
+
+
 def q_curation_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/UT1-style URL curation: normalize (scheme/host case, www,
     userinfo, port, fragment, tracking params), reduce host to its
@@ -1852,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_word_rank_score": q_curation_word_rank_score,
         "curation_url_filter": q_curation_url_filter,
         "cdc_scalar_converters": q_cdc_scalar_converters,
+        "text_script_mix": q_text_script_mix,
     }
 
 
@@ -2922,6 +2948,53 @@ def oracle_sql() -> dict[str, str]:
                    to_base64(encode(props)) AS props_b64,
                    event_type AS etype
             FROM events
+        """,
+        "text_script_mix": """
+            WITH t AS (
+              SELECT doc_id,
+                concat(text,
+                  CASE WHEN doc_id % 3 = 0 THEN ' 漢字テスト 한국' ELSE '' END,
+                  CASE WHEN doc_id % 4 = 0 THEN ' привет мир' ELSE '' END,
+                  CASE WHEN doc_id % 5 = 0 THEN ' مرحبا' ELSE '' END,
+                  CASE WHEN doc_id % 7 = 0 THEN ' 42 007' ELSE '' END
+                ) AS s
+              FROM documents),
+            c AS (
+              SELECT doc_id, length(s) AS n,
+                length(s) - length(regexp_replace(s, '[\\p{Latin}]', '', 'g')) AS latin_c,
+                length(s) - length(regexp_replace(s,
+                  '[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]', '', 'g')) AS cjk_c,
+                length(s) - length(regexp_replace(s, '[\\p{Cyrillic}]', '', 'g')) AS cyrillic_c,
+                length(s) - length(regexp_replace(s, '[\\p{Arabic}]', '', 'g')) AS arabic_c,
+                length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS digit_c,
+                length(s) - length(regexp_replace(s, '[\\s]', '', 'g')) AS space_c
+              FROM t),
+            c2 AS (
+              SELECT *,
+                n - (latin_c + cjk_c + cyrillic_c + arabic_c
+                     + digit_c + space_c) AS other_c,
+                greatest(latin_c, cjk_c, cyrillic_c, arabic_c, digit_c,
+                         space_c,
+                         n - (latin_c + cjk_c + cyrillic_c + arabic_c
+                              + digit_c + space_c)) AS m
+              FROM c)
+            SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
+                   CAST(CASE WHEN n > 0 THEN floor(latin_c * 1000000.0 / n) ELSE 0 END AS BIGINT) AS latin_ppm,
+                   CAST(CASE WHEN n > 0 THEN floor(cjk_c * 1000000.0 / n) ELSE 0 END AS BIGINT) AS cjk_ppm,
+                   CAST(CASE WHEN n > 0 THEN floor(cyrillic_c * 1000000.0 / n) ELSE 0 END AS BIGINT) AS cyrillic_ppm,
+                   CAST(CASE WHEN n > 0 THEN floor(arabic_c * 1000000.0 / n) ELSE 0 END AS BIGINT) AS arabic_ppm,
+                   CAST(CASE WHEN n > 0 THEN floor(digit_c * 1000000.0 / n) ELSE 0 END AS BIGINT) AS digit_ppm,
+                   CAST(CASE WHEN n > 0 THEN floor(space_c * 1000000.0 / n) ELSE 0 END AS BIGINT) AS space_ppm,
+                   CAST(CASE WHEN n > 0 THEN floor(other_c * 1000000.0 / n) ELSE 0 END AS BIGINT) AS other_ppm,
+                   CASE WHEN m = 0 THEN 'none'
+                        WHEN latin_c = m THEN 'latin'
+                        WHEN cjk_c = m THEN 'cjk'
+                        WHEN cyrillic_c = m THEN 'cyrillic'
+                        WHEN arabic_c = m THEN 'arabic'
+                        WHEN digit_c = m THEN 'digit'
+                        WHEN space_c = m THEN 'space'
+                        ELSE 'other' END AS dominant
+            FROM c2
         """,
         "curation_url_filter": f"""
             WITH u AS (

@@ -183,3 +183,67 @@ def pii_counts(col: Column | str) -> list[Column]:
         F.regexp_count(_c(col), F.lit(pat)).alias(f"{name}_n")
         for name, pat in PII_PATTERNS
     ]
+
+
+# -- script detection ---------------------------------------------------------
+
+#: Unicode script classes for corpus script-mix detection. Values are
+#: (java_regex_class, re2_class): Spark's JVM regexes spell a script
+#: \p{IsHan}, DuckDB's RE2 spells it \p{Han} — the pair keeps the engine
+#: and its SQL oracle on the same character sets. Order is the
+#: deterministic dominance tie-break.
+SCRIPT_CLASSES: list[tuple[str, str, str]] = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cjk", r"\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}",
+     r"\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("digit", "0-9", "0-9"),
+    ("space", r"\s", r"\s"),
+]
+
+
+def _script_count(col: Column, java_class: str) -> Column:
+    # chars IN the class = total minus chars left after deleting them
+    return F.length(col) - F.length(
+        F.regexp_replace(col, f"[{java_class}]", "")
+    )
+
+
+def script_ratios(col: Column | str) -> list[Column]:
+    """Per-script character fractions as exact ppm longs (aliased
+    ``<script>_ppm`` + ``other_ppm``) — the script-mix signal multilingual
+    corpus cleaning filters on (wrong-script spam, mixed-script
+    homoglyph attacks, mojibake). Pure codegen: one regexp_replace and
+    two lengths per script, zero shuffles; integer fixed-point so the
+    DuckDB oracle hashes identically."""
+    c = _c(col)
+    n = F.length(c)
+    out, covered = [], None
+    for name, jcls, _ in SCRIPT_CLASSES:
+        cnt = _script_count(c, jcls)
+        covered = cnt if covered is None else covered + cnt
+        out.append(
+            F.when(n > 0, F.floor(cnt * F.lit(1_000_000) / n))
+            .otherwise(F.lit(0)).cast("long").alias(f"{name}_ppm")
+        )
+    out.append(
+        F.when(n > 0, F.floor((n - covered) * F.lit(1_000_000) / n))
+        .otherwise(F.lit(0)).cast("long").alias("other_ppm")
+    )
+    return out
+
+
+def dominant_script(col: Column | str) -> Column:
+    """Name of the script with the most characters ('other'/'none' when
+    unscripted/empty); ties break by SCRIPT_CLASSES order."""
+    c = _c(col)
+    counts = [(name, _script_count(c, jcls))
+              for name, jcls, _ in SCRIPT_CLASSES]
+    other = F.length(c) - sum(cnt for _, cnt in counts)
+    counts.append(("other", other))
+    m = F.greatest(*[cnt for _, cnt in counts])
+    expr = F.lit("none")
+    for name, cnt in reversed(counts):
+        expr = F.when((m > 0) & (cnt == m), F.lit(name)).otherwise(expr)
+    return expr

@@ -558,3 +558,33 @@ def test_duplicate_span_plan_shapes(spark):
     p2 = (duplicate_spans(docs, k=5, fast=True)
           ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in p2
+
+
+def test_script_ratios_and_dominant(spark):
+    from sparkcdc.functions.text import dominant_script, script_ratios
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "привет мир"), (3, "漢字テスト"),
+         (4, "12345"), (5, ""), (6, "héllo мир x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *script_ratios("text"),
+        dominant_script("text").alias("dom")).collect()}
+    assert out[1]["latin_ppm"] == 1_000_000 and out[1]["dom"] == "latin"
+    assert out[2]["cyrillic_ppm"] == 900_000  # 9 of 10 chars
+    assert out[2]["dom"] == "cyrillic"
+    assert out[3]["cjk_ppm"] == 1_000_000 and out[3]["dom"] == "cjk"
+    assert out[4]["digit_ppm"] == 1_000_000 and out[4]["dom"] == "digit"
+    assert out[5]["dom"] == "none" and out[5]["other_ppm"] == 0
+    # tie latin(6: héllox) vs... latin wins by count; mixed doc sums to 1e6
+    r6 = out[6]
+    total = sum(r6[f"{s}_ppm"] for s in
+                ("latin", "cjk", "cyrillic", "arabic", "digit", "space",
+                 "other"))
+    assert 999_998 <= total <= 1_000_000  # floor rounding only
+    assert r6["dom"] == "latin"
+    # pure projection: no shuffle, no python
+    plan = df.select(*script_ratios("text"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
