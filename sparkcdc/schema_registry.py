@@ -111,6 +111,16 @@ def check_compatibility(new: dict, old: dict, mode: str = "BACKWARD") -> list[st
     raise ValueError(f"unknown compatibility mode {mode!r}")
 
 
+#: *_TRANSITIVE modes gate against EVERY stored version, not just the
+#: latest (Confluent's BACKWARD_TRANSITIVE family): a v3 that re-breaks
+#: v1 readers passes plain BACKWARD (v3 vs v2) but not the transitive gate
+TRANSITIVE_MODES = {
+    "BACKWARD_TRANSITIVE": "BACKWARD",
+    "FORWARD_TRANSITIVE": "FORWARD",
+    "FULL_TRANSITIVE": "FULL",
+}
+
+
 class FileSchemaRegistry:
     """Subjects as directories of ``v<N>.json`` under ``root`` — the same
     durable-metadata posture as the schema-history journal. The real
@@ -155,7 +165,18 @@ class FileSchemaRegistry:
             version, latest = cur
             if latest == schema:
                 return version
-            errs = check_compatibility(schema, latest, self.compatibility)
+            base = TRANSITIVE_MODES.get(self.compatibility)
+            if base is not None:
+                # gate against EVERY stored version, oldest first so the
+                # error names the earliest reader the change breaks
+                errs = []
+                for v in self.versions(subject):
+                    for e in check_compatibility(
+                            schema, self.get(subject, v), base):
+                        errs.append(f"v{v}: {e}")
+            else:
+                errs = check_compatibility(
+                    schema, latest, self.compatibility)
             if errs:
                 raise IncompatibleSchema(
                     f"subject {subject!r} {self.compatibility}: "

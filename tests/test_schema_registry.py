@@ -104,3 +104,25 @@ def test_engine_registers_schema_epochs(spark, tmp_root):
     assert "stars" in names
     # v2 reads v1 data (BACKWARD) — the gate that admitted it
     assert check_compatibility(v2, reg.get("t-value", 1)) == []
+
+
+def test_backward_transitive_gates_all_versions(tmp_path):
+    """*_TRANSITIVE modes check every stored version: a v3 that is
+    compatible with v2 but re-breaks v1 readers must be rejected (and
+    plain BACKWARD, latest-only, must admit it — the Confluent split)."""
+    v1 = env_schema([("a", T.StringType()), ("size", T.IntegerType())])
+    v2 = env_schema([("a", T.StringType())])                # drop: bwd-ok
+    v3 = env_schema([("a", T.StringType()), ("size", T.StringType())])
+
+    plain = FileSchemaRegistry(str(tmp_path / "plain"))
+    plain.register("s-value", v1)
+    plain.register("s-value", v2)
+    assert plain.register("s-value", v3) == 3  # latest-only gate admits
+
+    trans = FileSchemaRegistry(
+        str(tmp_path / "trans"), compatibility="BACKWARD_TRANSITIVE")
+    trans.register("s-value", v1)
+    trans.register("s-value", v2)
+    with pytest.raises(IncompatibleSchema, match="v1:"):
+        trans.register("s-value", v3)
+    assert trans.versions("s-value") == [1, 2]  # rejection left no state
