@@ -159,6 +159,53 @@ class TableSignalChannel(_AckStateChannel):
         return out
 
 
+class KafkaSignalChannel(_AckStateChannel):
+    """Signals from a Kafka-record-shaped frame — the reference's signal
+    topic (core/pipeline/signal/channels/KafkaSignalChannel.java:36:
+    key = signal id, value = JSON ``{"type":..., "data":...}``).
+
+    ``frame_provider`` returns the topic's records as a DataFrame with
+    ``(key string, value string, partition int, offset long)`` — a
+    ``spark.read.format("kafka")`` batch read over the signal topic in
+    production (with ``startingOffsets`` from :mod:`sources.kafka`'s
+    codec), any record-shaped frame in tests. Per-partition offset
+    watermarks make each poll O(new records); they are deliberately
+    in-memory — a restart rescans once and the durable acked-id filter
+    suppresses handled signals (at-least-once, same contract as the
+    file/table channels and the reference's consumer-offset tracking)."""
+
+    def __init__(self, frame_provider, state_path: str | None = None):
+        self.frame_provider = frame_provider
+        self._init_ack_state(state_path)
+        self._watermarks: dict[int, int] = {}
+
+    def read_new(self) -> list[dict]:
+        from pyspark.sql import functions as F
+
+        df = self.frame_provider()
+        if self._watermarks:
+            seen_parts = list(self._watermarks)
+            cond = ~F.col("partition").isin(seen_parts)
+            for p, o in self._watermarks.items():
+                cond = cond | ((F.col("partition") == p) & (F.col("offset") > o))
+            df = df.filter(cond)
+        if self._acked:
+            # acked-watermark filter: handled ids never reach the driver
+            df = df.filter(~F.col("key").isin(sorted(self._acked)))
+        rows = df.select("key", "value", "partition", "offset").collect()
+        out = []
+        for r in sorted(rows, key=lambda r: (r["partition"], r["offset"])):
+            self._watermarks[r["partition"]] = max(
+                self._watermarks.get(r["partition"], -1), r["offset"])
+            if r["key"] in self._seen:
+                continue
+            self._seen.add(r["key"])
+            val = json.loads(r["value"]) if r["value"] else {}
+            out.append({"id": r["key"], "type": val.get("type"),
+                        "data": val.get("data") or {}})
+        return out
+
+
 class SignalProcessor:
     """Drains channels and mutates engine control state; called by the
     engine between micro-batches (the poll boundary)."""

@@ -389,3 +389,43 @@ def test_unacked_signal_redelivered_after_restart(tmp_root):
     # next restart: nothing left
     sp3 = SignalProcessor([FileSignalChannel(sig_path, state_path)])
     assert sp3.process() == []
+
+
+def test_kafka_signal_channel(spark, tmp_root):
+    """KafkaSignalChannel: key = signal id, value = JSON {type,data};
+    per-partition offset watermarks make repolls incremental; the durable
+    acked set survives a channel restart so handled signals are
+    suppressed while unacked ones redeliver (at-least-once)."""
+    import json as _json
+
+    from sparkcdc.signals import KafkaSignalChannel, SignalProcessor
+
+    records = [
+        ("sig-1", _json.dumps({"type": "pause"}), 0, 0),
+        ("sig-2", _json.dumps(
+            {"type": "execute-snapshot",
+             "data": {"data-collections": ["t"]}}), 1, 0),
+    ]
+
+    def provider():
+        return spark.createDataFrame(
+            records, "key string, value string, partition int, offset long")
+
+    state = f"{tmp_root}/kafka_sig_state.json"
+    ch = KafkaSignalChannel(provider, state_path=state)
+    sp = SignalProcessor([ch])
+    sp.process()
+    assert sp.state.paused is True
+    assert sp.state.snapshot_requests[0]["data-collections"] == ["t"]
+    # watermark: a repoll with no new records delivers nothing
+    assert ch.read_new() == []
+    # new record past the watermark on an existing partition delivers
+    records.append(("sig-3", _json.dumps({"type": "resume"}), 0, 1))
+    assert [s["id"] for s in ch.read_new()] == ["sig-3"]
+
+    # pause was an immediate action -> acked by the processor; the
+    # execute-snapshot is deferred (unacked until its backfill runs) and
+    # sig-3 was drained without acting. A RESTARTED channel rescans:
+    # acked sig-1 stays suppressed, unacked sig-2/sig-3 redeliver.
+    ch2 = KafkaSignalChannel(provider, state_path=state)
+    assert sorted(s["id"] for s in ch2.read_new()) == ["sig-2", "sig-3"]
