@@ -2967,7 +2967,7 @@ def oracle_sql() -> dict[str, str]:
                 length(s) - length(regexp_replace(s, '[\\p{Cyrillic}]', '', 'g')) AS cyrillic_c,
                 length(s) - length(regexp_replace(s, '[\\p{Arabic}]', '', 'g')) AS arabic_c,
                 length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS digit_c,
-                length(s) - length(regexp_replace(s, '[\\s]', '', 'g')) AS space_c
+                length(s) - length(regexp_replace(s, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS space_c
               FROM t),
             c2 AS (
               SELECT *,

@@ -199,15 +199,19 @@ SCRIPT_CLASSES: list[tuple[str, str, str]] = [
     ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
     ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
     ("digit", "0-9", "0-9"),
-    ("space", r"\s", r"\s"),
+    # spelled explicitly, NOT \s: Java's \s includes vertical tab U+000B,
+    # RE2's does not — the explicit class keeps both engines identical
+    ("space", r" \t\n\x0B\f\r", r" \t\n\x0B\f\r"),
 ]
 
 
 def _script_count(col: Column, java_class: str) -> Column:
-    # chars IN the class = total minus chars left after deleting them
-    return F.length(col) - F.length(
-        F.regexp_replace(col, f"[{java_class}]", "")
-    )
+    # chars IN the class = total minus chars left after deleting them;
+    # long from the start — an int count * 1e6 overflows int32 at ~2.1k
+    # chars, a perfectly ordinary document length
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, f"[{java_class}]", ""))
+    ).cast("long")
 
 
 def script_ratios(col: Column | str) -> list[Column]:

@@ -182,16 +182,21 @@ class KafkaSignalChannel(_AckStateChannel):
     def read_new(self) -> list[dict]:
         from pyspark.sql import functions as F
 
-        df = self.frame_provider()
+        # null-key records are malformed signals (the id IS the key in
+        # the reference's topic contract): dropped consistently here —
+        # an isin() filter would drop them only when the acked set is
+        # non-empty (three-valued logic), flip-flopping the behavior
+        df = self.frame_provider().filter(F.col("key").isNotNull())
         if self._watermarks:
             seen_parts = list(self._watermarks)
             cond = ~F.col("partition").isin(seen_parts)
             for p, o in self._watermarks.items():
                 cond = cond | ((F.col("partition") == p) & (F.col("offset") > o))
             df = df.filter(cond)
-        if self._acked:
-            # acked-watermark filter: handled ids never reach the driver
-            df = df.filter(~F.col("key").isin(sorted(self._acked)))
+        # the acked filter runs driver-side AFTER watermark bookkeeping:
+        # filtering acked ids out of the frame would keep the watermarks
+        # from ever advancing past an all-acked history, re-scanning the
+        # whole topic on every poll after a restart
         rows = df.select("key", "value", "partition", "offset").collect()
         out = []
         for r in sorted(rows, key=lambda r: (r["partition"], r["offset"])):

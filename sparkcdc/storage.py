@@ -181,11 +181,14 @@ class TableOffsetStore(OffsetStore):
     offset map as plain rows, re-read on restart): the mirror lands
     wherever the data lake lives, with no extra service, and the offset
     trail is queryable with SQL (lag dashboards come free). One row per
-    flush ``(seq, ts_ms, offsets-json)``; ``load()`` reads only the
-    max-seq row, so recovery work stays bounded no matter how long the
-    engine has run. Old rows ride the table's version GC. Single-writer
-    by contract, same as the history table; the (writer, seq) fence
-    turns a redelivered flush into a no-op."""
+    flush ``(seq, ts_ms, offsets-json)``; ``load()`` scans only the rows
+    of the LATEST commit (one flush = one commit = one row), so recovery
+    work stays bounded no matter how long the engine has run. The full
+    trail accumulates in the live table by design — it IS the
+    SQL-queryable offset history; trim it like any table
+    (``delete_where("seq < ...")``) if months of flushes ever matter.
+    Single-writer by contract, same as the history table; the
+    (writer, seq) fence turns a redelivered flush into a no-op."""
 
     SCHEMA = [("seq", "long"), ("ts_ms", "long"), ("offsets", "string")]
 
@@ -214,5 +217,15 @@ class TableOffsetStore(OffsetStore):
     def load(self) -> dict | None:
         from pyspark.sql import functions as F
 
-        rows = self.table.read().orderBy(F.desc("seq")).limit(1).collect()
+        m = self.table.manifest()
+        if m.version < 0:
+            return None
+        # latest commit only (each save() is one single-row commit) —
+        # a full-table scan would grow with every flush ever made
+        rows = (
+            self.table.read_appended(m.version - 1)
+            .orderBy(F.desc("seq")).limit(1).collect()
+        )
+        if not rows:  # latest commit wasn't a flush (e.g. a trim)
+            rows = self.table.read().orderBy(F.desc("seq")).limit(1).collect()
         return json.loads(rows[0]["offsets"]) if rows else None

@@ -274,10 +274,12 @@ def _java_escape_key(k: str) -> str:
 
 
 def _java_escape_val(v: str) -> str:
+    # saveConvert escapes separators and comment leaders in VALUES too
+    # ('a=b' stores as 'a\=b') — real Java-written files carry these
     out = []
     for i, ch in enumerate(v):
-        if ch == "\\":
-            out.append("\\\\")
+        if ch in "=:#!\\":
+            out.append("\\" + ch)
         elif ch == "\n":
             out.append("\\n")
         elif ch == "\t":

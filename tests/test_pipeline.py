@@ -588,3 +588,16 @@ def test_script_ratios_and_dominant(spark):
     plan = df.select(*script_ratios("text"))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_script_ratios_long_document_no_overflow(spark):
+    # >2147 chars of one class: int32 count * 1e6 would overflow
+    from sparkcdc.functions.text import dominant_script, script_ratios
+
+    df = spark.createDataFrame([(1, "a" * 5000 + "\x0b")],
+                               "doc_id long, text string")
+    r = df.select(*script_ratios("text"),
+                  dominant_script("text").alias("dom")).collect()[0]
+    assert r["latin_ppm"] == 999_800  # floor(5000e6/5001)
+    assert r["space_ppm"] == 199     # vertical tab counts as space (Java \s)
+    assert r["dom"] == "latin"
