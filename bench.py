@@ -13,6 +13,13 @@ Usage:
 
 Env knobs: SPARKCDC_REDUCE_STRATEGY (fat|narrow|narrow_cached|refetch),
 SPARKCDC_COMMIT_MODE (mor|cow), SPARKCDC_BENCH_EVENTS / _BATCH / _KEYS.
+
+NOTE for --scaling series runs: set _EVENTS AND _BATCH together. The
+official refetch series measures ONE 256M-event batch
+(SPARKCDC_BENCH_EVENTS=256000000 SPARKCDC_BENCH_BATCH=256000000); raising
+_EVENTS alone keeps the default 16M batches, whose fixed per-batch serial
+cost caps the ratio near 0.4 regardless of host health (measured: r4-14,
+r4-20 in BASELINE.md).
 """
 
 from __future__ import annotations
