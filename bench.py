@@ -138,7 +138,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "curation_mixture_plan",
         "curation_url_filter",
     ]
-    qs = em.queries()
+    # granular registry: bench keys stay stable round-over-round even
+    # though queries() folds these into driver-window composites
+    qs = em.granular_queries()
     out: dict[str, float] = {}
     for name in names:
         t0 = time.time()
