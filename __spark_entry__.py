@@ -3477,6 +3477,185 @@ def q_curation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sa.unionByName(mx)
 
 
+def q_cdc_snapshot_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot/streaming progress-metrics parity
+    (core/pipeline/metrics/{Snapshot,Streaming}ChangeEventSourceMetricsMXBean.java):
+    snapshot the customer table as table 1-of-2, chunked-backfill it in a
+    ceil(n/4) chunk grid, then replay one 5000-event generator batch on a
+    second engine; emit the folded MXBean fields. Everything but the lag
+    sign is closed-form in count(customer), so the oracle is exact; the
+    lag itself is wall-clock and surfaces as the always-true
+    ``lag_positive`` probe (generator event time is in the past)."""
+    from sparkcdc.engine import CdcEngine
+
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_progress_")
+    t = LakeTable.create(
+        spark, root, "t",
+        fields=[("user_id", "long"), ("name", "string")],
+        key_cols=["user_id"], n_buckets=8,
+    )
+    eng = CdcEngine(spark, t, EngineConfig(n_parts=8))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("name")
+    )
+    eng.run_snapshot(cust, tables_total=2, tables_completed=1)
+    # chunk grid of exactly 4 recorded chunks for any n >= 4: ceil(n/4)
+    # sized chunks; an n divisible by the size adds only the empty probe
+    cnt = cust.count()
+    chunk = -(-cnt // 4)
+    empty_window = _env(spark, sf_dir).filter(F.col("offset") < 0)
+    eng.run_incremental_snapshot(
+        cust, 0, 1, stream_window=empty_window, chunk_size=chunk,
+    )
+    sp = eng.metrics.snapshot_progress()
+
+    root2 = tempfile.mkdtemp(prefix="sparkcdc_q_progress_replay_")
+    eng2 = default_engine(
+        spark, root2, n_buckets=8,
+        config=EngineConfig(batch_size=5000, n_keys=500, n_parts=8),
+    )
+    eng2.replay(5000)
+    st = eng2.metrics.streaming_status()
+    lag = st["milliseconds_behind_source"]
+    rows = [
+        ("snapshot", "t", sp["total_table_count"],
+         sp["completed_table_count"], sp["rows_scanned"]["t"],
+         None, None, None, None, None),
+        ("backfill", "t", None, None, None,
+         sp["current_chunk_id"], sp["chunk_rows_total"],
+         None, None, None),
+        ("streaming", "source_code_repos", None, None, None, None, None,
+         st["number_of_committed_batches"],
+         st["total_number_of_events_seen"],
+         lag is not None and lag > 0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "phase string, table_name string, tables_total long, "
+        "tables_completed long, rows_scanned long, chunk_id long, "
+        "chunk_rows long, batches long, events_seen long, "
+        "lag_positive boolean",
+    )
+
+
+def q_cdc_streaming_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 Structured-Streaming semantics, driver-verified end-to-end:
+    the envelope stream serialized to JSON-lines files and streamed back
+    through BOTH stateful operators —
+
+    - ``stateful_lww_stream`` (applyInPandasWithState): final per-key
+      emission must equal the batch LWW reduce (kind='lww'; deletes are
+      tombstone emissions with _op='d' and NULL fields);
+    - ``windowed_change_metrics`` (watermarked 1-minute windows, append
+      mode): two far-future sentinel waves push the watermark past every
+      real window, so each finalizes and emits exactly once (kind='win';
+      the sentinels' own windows never finalize and the sentinel key is
+      excluded from the LWW output).
+
+    Wave files keep determinism: the file source takes each wave as one
+    micro-batch, so no real event is ever late against the watermark its
+    own wave established."""
+    from sparkcdc.envelope import envelope_schema
+    from sparkcdc.sources.events_adapter import EVENT_ROW_FIELDS
+    from sparkcdc.streaming import (
+        stateful_lww_stream,
+        windowed_change_metrics,
+    )
+    from sparkcdc.transforms import envelope_to_json, parse_envelope_json
+
+    root = tempfile.mkdtemp(prefix="sparkcdc_q_stream_")
+    wire = os.path.join(root, "wire")
+    os.makedirs(wire)
+    env = _env(spark, sf_dir)
+    hi = env.agg(F.max("ts_ms"), F.max("offset")).first()
+    max_ts, max_off = int(hi[0]), int(hi[1])
+    day_ms = 86_400_000
+
+    def write_wave(name: str, df: DataFrame) -> None:
+        pdf = envelope_to_json(df).toPandas()
+        with open(os.path.join(wire, name), "w") as fh:
+            fh.write("\n".join(pdf["value"]) + "\n")
+
+    def sentinel(ts_ms: int, off: int) -> DataFrame:
+        return spark.createDataFrame(
+            [("c", ts_ms, None, (-1, "sentinel", 0.0, "s"), None, None,
+              0, off, False)],
+            envelope_schema(EVENT_ROW_FIELDS),
+        )
+
+    win_rows: list = []
+    ckpt = os.path.join(root, "ckpt_win")
+
+    def run_win_wave() -> None:
+        raw = spark.readStream.text(wire)
+        stream = parse_envelope_json(raw, EVENT_ROW_FIELDS)
+        out = windowed_change_metrics(
+            stream, window="1 minute", watermark="10 minutes", by_op=False
+        )
+        q = (out.writeStream.foreachBatch(
+                lambda df, bid: win_rows.extend(
+                    df.selectExpr(
+                        "CAST(window.start AS LONG) * 1000 AS k",
+                        "events", "max_offset",
+                    ).collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    write_wave("w1.jsonl", env)
+    run_win_wave()
+    write_wave("w2.jsonl", sentinel(max_ts + day_ms, max_off + 1))
+    run_win_wave()
+    write_wave("w3.jsonl", sentinel(max_ts + 2 * day_ms, max_off + 2))
+    run_win_wave()
+
+    lww_rows: list = []
+    raw = spark.readStream.text(wire)
+    stream = parse_envelope_json(raw, EVENT_ROW_FIELDS)
+    out = stateful_lww_stream(stream, EVENT_ROW_FIELDS, ["user_id"])
+    q = (out.writeStream.foreachBatch(
+            lambda df, bid: lww_rows.extend(df.collect()))
+         .option("checkpointLocation", os.path.join(root, "ckpt_lww"))
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    best: dict = {}
+    for r in lww_rows:
+        if r["user_id"] == -1:
+            continue
+        cur = best.get(r["user_id"])
+        if cur is None or r["offset"] > cur["offset"]:
+            best[r["user_id"]] = r
+    # cents conversion in Spark (not python round) so the double→int
+    # rounding expression tree matches the oracle's exactly
+    lww_df = spark.createDataFrame(
+        [
+            ("lww", int(r["user_id"]), r["event_type"], r["value"],
+             r["props"], r["_op"], int(r["offset"]))
+            for r in best.values()
+        ],
+        "kind string, k long, event_type string, value double, "
+        "props string, _op string, offset long",
+    ).select(
+        "kind", "k", "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        "props", "_op", "offset",
+    )
+    win_df = spark.createDataFrame(
+        [
+            ("win", int(w["k"]), None, int(w["events"]), None, None,
+             int(w["max_offset"]))
+            for w in win_rows
+            if int(w["k"]) <= max_ts
+        ],
+        "kind string, k long, event_type string, value_cents long, "
+        "props string, _op string, offset long",
+    )
+    return lww_df.unionByName(win_df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: ≤50 entries, one per operator family
     (composites fold same-family granular queries; see their docstrings
@@ -3495,6 +3674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_backfill_modes": q_cdc_backfill_modes,
         "cdc_blocking_snapshot": g["cdc_blocking_snapshot"],
         "cdc_offsets_progress": g["cdc_offsets_progress"],
+        "cdc_snapshot_progress": q_cdc_snapshot_progress,
+        "cdc_streaming_lww": q_cdc_streaming_lww,
         "cdc_tx_metadata": g["cdc_tx_metadata"],
         "cdc_crdt_counters": g["cdc_crdt_counters"],
         # --- wire sources ---
@@ -3604,6 +3785,49 @@ def oracle_sql() -> dict[str, str]:
             FROM ({g["cdc_chunk_query"]})
         """,
         "cdc_wire_replays": wire,
+        "cdc_snapshot_progress": """
+            SELECT 'snapshot' AS phase, 't' AS table_name,
+                   CAST(2 AS BIGINT) AS tables_total,
+                   CAST(1 AS BIGINT) AS tables_completed,
+                   (SELECT count(*) FROM customer) AS rows_scanned,
+                   CAST(NULL AS BIGINT) AS chunk_id,
+                   CAST(NULL AS BIGINT) AS chunk_rows,
+                   CAST(NULL AS BIGINT) AS batches,
+                   CAST(NULL AS BIGINT) AS events_seen,
+                   CAST(NULL AS BOOLEAN) AS lag_positive
+            UNION ALL
+            SELECT 'backfill', 't', NULL, NULL, NULL,
+                   CAST(4 AS BIGINT), (SELECT count(*) FROM customer),
+                   NULL, NULL, NULL
+            UNION ALL
+            SELECT 'streaming', 'source_code_repos', NULL, NULL, NULL,
+                   NULL, NULL, CAST(1 AS BIGINT), CAST(5000 AS BIGINT),
+                   true
+        """,
+        "cdc_streaming_lww": """
+            WITH last AS (
+              SELECT user_id, event_type, value, props, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT 'lww' AS kind, user_id AS k,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE event_type END AS event_type,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE CAST(round(value * 100) AS BIGINT)
+                        END AS value_cents,
+                   CASE WHEN event_type='error' THEN NULL
+                        ELSE props END AS props,
+                   CASE WHEN event_type='error' THEN 'd' ELSE 'u' END AS _op,
+                   event_id AS offset
+            FROM last WHERE rn = 1
+            UNION ALL
+            SELECT 'win', (epoch_ms(ts) // 60000) * 60000,
+                   CAST(NULL AS VARCHAR), CAST(count(*) AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   max(event_id)
+            FROM events GROUP BY 2
+        """,
         "cdc_routers": f"""
             SELECT 'content' AS router, route,
                    CAST(NULL AS VARCHAR) AS detail, n

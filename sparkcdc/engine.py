@@ -298,13 +298,22 @@ class CdcEngine:
         )
         return out
 
-    def run_snapshot(self, source_df: DataFrame) -> dict:
+    def run_snapshot(
+        self, source_df: DataFrame, *,
+        tables_total: int = 1, tables_completed: int = 1,
+    ) -> dict:
         """Initial consistent snapshot (S1): read the pinned source state,
         wrap as op='r' envelopes, apply as batch 0.
 
         ``snapshot_select_overrides`` (snapshot.select.statement.overrides)
         replaces the read for THIS table with a custom SELECT over the
-        source, registered as temp view ``src`` / the table name."""
+        source, registered as temp view ``src`` / the table name.
+
+        ``tables_total`` / ``tables_completed`` position this table inside
+        a multi-table snapshot for the progress metrics (the reference's
+        SnapshotChangeEventSourceMetricsMXBean TotalTableCount /
+        RemainingTableCount); rows scanned are observed on the envelope
+        plan itself (``DataFrame.observe`` — no extra scan job)."""
         override = self.cfg.snapshot_select_overrides.get(self.table.name)
         if override:
             source_df.createOrReplaceTempView("src")
@@ -325,9 +334,22 @@ class CdcEngine:
         # committed_batch()+1 so an `always`-mode re-snapshot isn't fenced
         self.notifications.notify("Initial Snapshot", "STARTED")
         self._register_schema()  # baseline (v1) subject registration
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        env = env.observe(obs, F.count(F.lit(1)).alias("rows_scanned"))
         res = self._apply_batch(
             env, batch_id=self.committed_batch() + 1, kind="snapshot"
         )
+        if not res.get("skipped"):
+            # obs.get blocks until the first action over env completes —
+            # safe here because an unfenced _apply_batch always runs one
+            self.metrics.record(
+                kind="snapshot_progress", table=self.table.name,
+                rows_scanned=int(obs.get["rows_scanned"]),
+                tables_total=tables_total,
+                tables_completed=tables_completed,
+            )
         self.notifications.notify(
             "Initial Snapshot", "COMPLETED", version=res.get("version")
         )
@@ -494,9 +516,18 @@ class CdcEngine:
                             (nxt[1], nxt[2]),
                             prefetch.submit(envelopes_for, nxt[1], nxt[2]),
                         )
-                r = self._apply_batch(env, batch_id=batch_id, kind="replay",
-                                      offsets={"lo": sub_lo, "next": sub_hi},
-                                      refetch_ids=envelopes_for_ids)
+                r = self._apply_batch(
+                    env, batch_id=batch_id, kind="replay",
+                    offsets={"lo": sub_lo, "next": sub_hi},
+                    refetch_ids=envelopes_for_ids,
+                    # the generator's event time is closed-form in the
+                    # offset (envelope.cdc_events_over_ids: base + id), so
+                    # the batch's source high-watermark is known for free
+                    source_ts_ms=(
+                        1_700_000_000_000 + sub_hi - 1
+                        if builtin_source else None
+                    ),
+                )
                 stats["batches"] += 1
                 stats["events"] += sub_hi - sub_lo
                 stats["wall_sec"] += r["wall_sec"]
@@ -864,9 +895,15 @@ class CdcEngine:
             last_key = tuple(agg["mk"])
             chunks += 1
             rows_total += n
-            # per-chunk progress notification (the reference's
-            # IncrementalSnapshotNotificationService IN_PROGRESS events
-            # carry the completed chunk position for dashboards)
+            # per-chunk progress metric + notification (the reference's
+            # SnapshotChangeEventSourceMetricsMXBean ChunkId/RowsScanned
+            # and IncrementalSnapshotNotificationService IN_PROGRESS
+            # events carry the completed chunk position for dashboards)
+            self.metrics.record(
+                kind="snapshot_chunk", chunk_id=chunks, rows=n,
+                last_key=list(last_key),
+                window_lo=window_lo, window_hi=window_hi,
+            )
             self.notifications.notify(
                 "Incremental Snapshot", "IN_PROGRESS",
                 chunks=chunks, rows=rows_total, last_key=list(last_key),
@@ -1027,6 +1064,10 @@ class CdcEngine:
             chunks += 1
             rows_total += n
             done = chunk_idx >= n_chunks
+            self.metrics.record(
+                kind="snapshot_chunk", chunk_id=chunk_idx, rows=n,
+                window_lo=window_lo, window_hi=window_hi,
+            )
             self.notifications.notify(
                 "Incremental Snapshot", "IN_PROGRESS",
                 chunks=chunks, rows=rows_total, chunk_idx=chunk_idx,
@@ -1200,6 +1241,7 @@ class CdcEngine:
         offsets: dict | None = None, mode: str | None = None,
         refetch_ids: Callable[[DataFrame], DataFrame] | None = None,
         extra_summary: dict | None = None,
+        source_ts_ms: int | None = None,
     ) -> dict:
         t0 = time.time()
         # fence FIRST: a redelivered batch must be a TOTAL no-op. Side
@@ -1238,7 +1280,7 @@ class CdcEngine:
             return self._apply_batch_inner(
                 env, batch_id=batch_id, kind=kind, offsets=offsets,
                 mode=mode, t0=t0, refetch_ids=refetch_ids,
-                extra_summary=extra_summary,
+                extra_summary=extra_summary, source_ts_ms=source_ts_ms,
             )
         finally:
             if persisted:
@@ -1249,6 +1291,7 @@ class CdcEngine:
         offsets: dict | None, mode: str | None, t0: float,
         refetch_ids: Callable[[DataFrame], DataFrame] | None = None,
         extra_summary: dict | None = None,
+        source_ts_ms: int | None = None,
     ) -> dict:
         if self.cfg.dlq_enabled:
             env = self._quarantine_malformed(env, batch_id)
@@ -1412,12 +1455,21 @@ class CdcEngine:
             self.table.expire_versions(keep_last=self.cfg.expire_keep_last)
         wall = time.time() - t0
         n_events = offsets["next"] - offsets["lo"] if offsets else -1
+        extra_metrics = {}
+        if source_ts_ms is not None:
+            # StreamingChangeEventSourceMetricsMXBean
+            # MilliSecondsBehindSource: commit wall-clock minus the
+            # batch's high-watermark SOURCE event time, supplied by the
+            # caller that knows it (no extra agg job in the hot path)
+            extra_metrics["ms_behind_source"] = (
+                int(time.time() * 1000) - source_ts_ms
+            )
         self.metrics.record(
             kind=kind, batch_id=batch_id, n_events=n_events,
             offsets=offsets, wall_sec=round(wall, 3),
             version=res.get("version"), skipped=res.get("skipped", False),
             affected_buckets=res.get("affected_buckets"),
-            strategy=chosen_strategy,
+            strategy=chosen_strategy, **extra_metrics,
         )
         if (
             self.offset_store is not None

@@ -31,6 +31,56 @@ class MetricsLog:
         with open(self.path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
+    def snapshot_progress(self) -> dict:
+        """Snapshot-phase progress, MXBean-shaped
+        (core/pipeline/metrics/SnapshotChangeEventSourceMetricsMXBean.java:
+        TotalTableCount / RemainingTableCount / RowsScanned / ChunkId /
+        SnapshotRunning / SnapshotCompleted). Folded from the
+        ``snapshot_progress`` rows the engine records per snapshotted
+        table and the ``snapshot_chunk`` rows each backfill chunk commit
+        records."""
+        rows = self.read()
+        tables = [r for r in rows if r.get("kind") == "snapshot_progress"]
+        chunks = [r for r in rows if r.get("kind") == "snapshot_chunk"]
+        last = tables[-1] if tables else {}
+        total = int(last.get("tables_total", 0))
+        completed = int(last.get("tables_completed", 0))
+        return {
+            "total_table_count": total,
+            "completed_table_count": completed,
+            "remaining_table_count": max(0, total - completed),
+            "rows_scanned": {
+                r["table"]: r.get("rows_scanned") for r in tables
+            },
+            "current_chunk_id": chunks[-1]["chunk_id"] if chunks else None,
+            "chunk_rows_total": sum(int(c.get("rows", 0)) for c in chunks),
+            "snapshot_running": bool(tables) and completed < total,
+            "snapshot_completed": bool(tables) and completed >= total,
+        }
+
+    def streaming_status(self) -> dict:
+        """Streaming-phase status, MXBean-shaped
+        (StreamingChangeEventSourceMetricsMXBean.java:
+        MilliSecondsBehindSource / TotalNumberOfEventsSeen and the batch
+        counters of StreamingMeter.java:28-91). Folded from the per-batch
+        replay records; ``milliseconds_behind_source`` is wall-clock at
+        commit minus the batch's high-watermark SOURCE event time, so it
+        is only present when the source reported event time."""
+        rows = [
+            r for r in self.read()
+            if r.get("kind") == "replay" and not r.get("skipped")
+        ]
+        last = rows[-1] if rows else {}
+        return {
+            "milliseconds_behind_source": last.get("ms_behind_source"),
+            "number_of_committed_batches": len(rows),
+            "total_number_of_events_seen": sum(
+                r["n_events"] for r in rows if r.get("n_events", -1) > 0
+            ),
+            "last_offsets": last.get("offsets"),
+            "last_wall_sec": last.get("wall_sec"),
+        }
+
     def throughput(self) -> dict:
         # n_events is -1 for batches without stream offsets (snapshots);
         # only positive counts contribute to the rate

@@ -164,3 +164,46 @@ def test_skipped_operations_rejects_unknown(spark, tmp_root):
     eng = default_engine(spark, tmp_root, config=cfg, n_buckets=8)
     with pytest.raises(ValueError, match="unknown ops"):
         eng.replay(1000)
+
+
+def test_mxbean_progress_metrics(spark, tmp_root):
+    """Snapshot/streaming progress parity with the reference's MXBeans
+    (SnapshotChangeEventSourceMetricsMXBean: table counts + rows scanned
+    + chunk id; StreamingChangeEventSourceMetricsMXBean:
+    MilliSecondsBehindSource + events seen): a snapshot -> chunked
+    backfill -> replay run must surface every field deterministically."""
+    cfg = EngineConfig(batch_size=1000, n_keys=50, seed=5)
+    eng = default_engine(spark, tmp_root, config=cfg, n_buckets=8)
+    src = spark.range(0, 120).selectExpr(
+        "concat('r', id % 10) AS repo", "concat('p/', id) AS path",
+        "concat('c', id) AS commit", "'py' AS lang",
+        "concat('body', id) AS content",
+    )
+    eng.run_snapshot(src, tables_total=2, tables_completed=1)
+    snap = eng.metrics.snapshot_progress()
+    assert snap["total_table_count"] == 2
+    assert snap["completed_table_count"] == 1
+    assert snap["remaining_table_count"] == 1
+    assert snap["rows_scanned"] == {"source_code_repos": 120}
+    assert snap["snapshot_running"] and not snap["snapshot_completed"]
+
+    # chunked backfill: chunk ids + per-chunk rows land in the log
+    eng.run_incremental_snapshot(
+        src, 0, 500, chunk_size=50,
+        stream_window=cdc_events(spark, 500, n_keys=cfg.n_keys,
+                                 seed=cfg.seed),
+    )
+    snap2 = eng.metrics.snapshot_progress()
+    assert snap2["current_chunk_id"] >= 2
+    assert snap2["chunk_rows_total"] == 120
+
+    # streaming: replay with the builtin generator reports lag vs the
+    # generator's event time (base 1_700_000_000_000 + offset -> always
+    # positive against current wall-clock) and exact event counts
+    stats = eng.replay(3000)
+    st = eng.metrics.streaming_status()
+    assert st["number_of_committed_batches"] == stats["batches"]
+    assert st["total_number_of_events_seen"] == 3000
+    assert st["milliseconds_behind_source"] is not None
+    assert st["milliseconds_behind_source"] > 0
+    assert st["last_offsets"] == {"lo": 2000, "next": 3000}
