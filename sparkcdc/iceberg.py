@@ -22,20 +22,26 @@ flush) and the per-dialect upsert statement builders
 Exactly-once contract
 ---------------------
 LakeTable commits the (writer, batch_id) fence and the offset vector in
-the same atomic manifest flip as the data. Iceberg's analog is a
-snapshot-summary property written by the committing transaction
-(``org.apache.iceberg.spark.CommitMetadata.withCommitProperties`` — a
-JVM-side shim, not reachable from pure SQL). This adapter instead
-records the fence in TABLE properties (``ALTER TABLE .. SET
-TBLPROPERTIES``) immediately after each data statement. The window
-between the two commits is crash-exposed, and that is safe BY
+the same atomic manifest flip as the data. This adapter does the same
+when the Iceberg runtime is on the classpath: the post-commit state JSON
+rides the DATA statement's own snapshot as a snapshot-summary property
+(``org.apache.iceberg.spark.CommitMetadata.withCommitProperties``, a
+thread-local the committing transaction reads — reached from Python via
+a py4j callback under pinned-thread mode, no extra jar). Table
+properties remain the cheap read mirror, rewritten after each data
+commit; if a crash loses that mirror write, ``_read_state`` finds the
+newer state in the latest snapshot's summary and heals the mirror —
+strict single-commit exactly-once (the contract the reference implements
+by committing offsets after delivery, embedded/EmbeddedEngine.java:885-902,
+made atomic here because Iceberg gives us a transaction to ride).
+
+Catalogs without the shim (``commit_properties_runner`` unavailable)
+fall back to the two-commit order: data statement, then the property
+write. A crash between them replays one batch, which is safe BY
 CONSTRUCTION of the engine's batches: a reduced per-key LWW batch
 re-applied over its own post-state is a row-level no-op (same rows
-upserted to identical values; deletes match nothing), so a crash in the
-window replays one batch idempotently — Debezium's documented
-effectively-exactly-once story for non-transactional sinks. Installing
-the CommitMetadata shim upgrades this to the strict single-commit fence
-without changing this adapter's interface.
+upserted to identical values; deletes match nothing) — Debezium's
+documented effectively-exactly-once story for non-transactional sinks.
 """
 
 from __future__ import annotations
@@ -47,6 +53,9 @@ import uuid
 from pyspark.sql import DataFrame
 
 from .lake import CommitConflict, Field, Manifest, apply_schema_changes, type_of
+
+#: sentinel: runner not yet resolved (None = resolved as unavailable)
+_UNSET = object()
 
 #: manifest type name -> Iceberg Spark SQL type
 _SQL_TYPE = {
@@ -185,7 +194,8 @@ class IcebergTableSink:
 
     PROPS = "sparkcdc.state"  # one JSON property: fields/epochs/fences/offsets
 
-    def __init__(self, spark, identifier: str, meta_dir: str):
+    def __init__(self, spark, identifier: str, meta_dir: str,
+                 commit_properties_runner=None):
         parts = identifier.split(".")
         if len(parts) < 3:
             raise ValueError(
@@ -197,6 +207,14 @@ class IcebergTableSink:
         self.table_ref = ".".join(parts[1:])  # namespace.table, for CALLs
         self.name = parts[-1]
         self.meta_dir = meta_dir
+        # runner(props, fn): execute fn() with the given snapshot-summary
+        # properties attached to the Iceberg commit it makes. Injectable
+        # (tests, custom integrations); auto-detected from the JVM on
+        # first use otherwise.
+        self._cp_runner = (
+            commit_properties_runner
+            if commit_properties_runner is not None else _UNSET
+        )
 
     # -- construction ---------------------------------------------------------
 
@@ -204,8 +222,10 @@ class IcebergTableSink:
     def create(
         cls, spark, identifier: str, fields: list[tuple[str, str]],
         key_cols: list[str], meta_dir: str, n_buckets: int = 16,
+        commit_properties_runner=None,
     ) -> "IcebergTableSink":
-        sink = cls(spark, identifier, meta_dir)
+        sink = cls(spark, identifier, meta_dir,
+                   commit_properties_runner=commit_properties_runner)
         spark.sql(create_table_sql(identifier, fields, key_cols, n_buckets))
         flds = [Field(i + 1, n, t) for i, (n, t) in enumerate(fields)]
         sink._write_state({
@@ -220,20 +240,113 @@ class IcebergTableSink:
         })
         return sink
 
+    # -- single-commit fence plumbing -----------------------------------------
+
+    def _commit_runner(self):
+        """Resolve the commit-properties runner once: the injected one,
+        else the JVM ``CommitMetadata`` shim, else None (two-commit
+        fallback)."""
+        if self._cp_runner is _UNSET:
+            self._cp_runner = self._detect_jvm_runner()
+        return self._cp_runner
+
+    def _detect_jvm_runner(self):
+        """Build a runner over
+        ``org.apache.iceberg.spark.CommitMetadata.withCommitProperties``:
+        the shim stores the properties in a thread-local the committing
+        transaction reads, so the data statement must execute on the SAME
+        JVM thread — which py4j pinned-thread mode guarantees for the
+        re-entrant Python callback (JVM thread → Python ``call()`` →
+        ``spark.sql`` returns to the originating JVM thread)."""
+        try:
+            gw = self.spark.sparkContext._gateway
+            gw.jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.CommitMetadata"
+            )
+            from pyspark.java_gateway import ensure_callback_server_started
+        except Exception:
+            return None
+        ensure_callback_server_started(gw)
+
+        class _PyCallable:
+            def __init__(self, fn):
+                self._fn = fn
+                self.error = None
+
+            def call(self):
+                try:
+                    self._fn()
+                except BaseException as e:  # surface to the Python caller
+                    self.error = e
+                    raise
+                return None
+
+            def toString(self):
+                return "sparkcdc-commit-callable"
+
+            class Java:
+                implements = ["java.util.concurrent.Callable"]
+
+        def runner(props: dict, fn) -> None:
+            jmap = gw.jvm.java.util.HashMap()
+            for k, v in props.items():
+                jmap.put(k, v)
+            cb = _PyCallable(fn)
+            rex = gw.jvm.java.lang.Class.forName("java.lang.RuntimeException")
+            try:
+                gw.jvm.org.apache.iceberg.spark.CommitMetadata \
+                    .withCommitProperties(jmap, cb, rex)
+            except Exception:
+                if cb.error is not None:
+                    raise cb.error
+                raise
+
+        return runner
+
+    def _latest_snapshot_state(self) -> dict | None:
+        """The newest snapshot-summary copy of the state (single-commit
+        mode writes one per data commit); None when no snapshot carries
+        one."""
+        try:
+            rows = self.spark.sql(
+                f"SELECT summary['{self.PROPS}'] AS state "
+                f"FROM {self.identifier}.snapshots "
+                f"WHERE summary['{self.PROPS}'] IS NOT NULL "
+                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+            ).collect()
+        except Exception:
+            return None
+        if rows and rows[0]["state"]:
+            return json.loads(rows[0]["state"])
+        return None
+
     # -- state mirror ---------------------------------------------------------
 
     def _read_state(self) -> dict:
         rows = self.spark.sql(
             f"SHOW TBLPROPERTIES {self.identifier} ('{self.PROPS}')"
         ).collect()
+        state = None
         for r in rows:
             if r["key"] == self.PROPS and r["value"]:
-                return json.loads(r["value"])
-        raise ValueError(
-            f"{self.identifier} carries no {self.PROPS} property — not a "
-            "sparkcdc-managed table (create() it, or adopt it by writing "
-            "the state property)"
-        )
+                state = json.loads(r["value"])
+                break
+        if state is None:
+            raise ValueError(
+                f"{self.identifier} carries no {self.PROPS} property — not a "
+                "sparkcdc-managed table (create() it, or adopt it by writing "
+                "the state property)"
+            )
+        if self._commit_runner() is not None:
+            # single-commit mode: a crash between the data commit (which
+            # carried the state in its snapshot summary) and the property
+            # mirror write leaves the mirror one version behind — the
+            # snapshot copy is authoritative; heal the mirror and proceed
+            snap = self._latest_snapshot_state()
+            if snap is not None and snap["version"] > state["version"]:
+                self._write_state(snap)
+                return snap
+        return state
 
     def _write_state(self, state: dict) -> None:
         self.spark.sql(set_properties_sql(
@@ -302,13 +415,20 @@ class IcebergTableSink:
         natively. On a real catalog the property write itself is an
         atomic optimistic metadata commit, so the read-back observes a
         serialized order."""
+        expected, s = self._prepare_state(s, writer, batch_id, summary)
+        return self._write_prepared(expected, s)
+
+    def _prepare_state(
+        self, s: dict, writer: str | None, batch_id: int | None,
+        summary: dict | None,
+    ) -> tuple[str | None, dict]:
+        """Mutate the read snapshot into its post-commit form (version,
+        fresh token, fences, offsets) WITHOUT writing; returns the token
+        the state carried at read time (the conflict pre-check value).
+        Split out so single-commit mode can ship the exact post-commit
+        JSON inside the data statement's snapshot summary before the
+        property mirror is written."""
         expected = s.get("commit_token")
-        current = self._read_state()
-        if current.get("commit_token") != expected:
-            raise CommitConflict(
-                f"{self.identifier}: state advanced since read "
-                "(concurrent writer) — re-read and retry"
-            )
         s["version"] += 1
         s["commit_token"] = uuid.uuid4().hex
         if writer is not None and batch_id is not None:
@@ -318,6 +438,15 @@ class IcebergTableSink:
                 s["offsets"] = v
             else:
                 s.setdefault("summary_extra", {})[k] = v
+        return expected, s
+
+    def _write_prepared(self, expected: str | None, s: dict) -> int:
+        current = self._read_state()
+        if current.get("commit_token") != expected:
+            raise CommitConflict(
+                f"{self.identifier}: state advanced since read "
+                "(concurrent writer) — re-read and retry"
+            )
         self._write_state(s)
         check = self._read_state()
         if check.get("commit_token") != s["commit_token"]:
@@ -326,6 +455,20 @@ class IcebergTableSink:
                 "— this commit's fence/offsets did not land; retry"
             )
         return s["version"]
+
+    def _run_data_statement(self, stmt_fn, prepared_state: dict) -> None:
+        """Execute the data statement; in single-commit mode the
+        post-commit state rides its snapshot summary (fence + data in ONE
+        Iceberg commit), with the property mirror written afterwards by
+        the caller."""
+        runner = self._commit_runner()
+        if runner is not None:
+            runner(
+                {self.PROPS: json.dumps(prepared_state, sort_keys=True)},
+                stmt_fn,
+            )
+        else:
+            stmt_fn()
 
     def merge(
         self, changes: DataFrame, batch_id: int, writer: str = "default",
@@ -346,14 +489,19 @@ class IcebergTableSink:
               for c, f in zip(cols, m.fields)], "_op"
         )
         src.createOrReplaceTempView(view)
+        expected, ns = self._prepare_state(s, writer, batch_id, summary)
         try:
-            self.spark.sql(merge_sql(self.identifier, view, cols,
-                                     s["key_cols"]))
+            self._run_data_statement(
+                lambda: self.spark.sql(
+                    merge_sql(self.identifier, view, cols, ns["key_cols"])
+                ),
+                ns,
+            )
         finally:
             self.spark.catalog.dropTempView(view)
-        v = self._commit_state(s, writer, batch_id, summary)
+        v = self._write_prepared(expected, ns)
         return {"version": v, "skipped": False, "files": -1,
-                "affected_buckets": s["n_buckets"]}
+                "affected_buckets": ns["n_buckets"]}
 
     def append(
         self, rows: DataFrame, batch_id: int, writer: str = "default",
@@ -376,13 +524,18 @@ class IcebergTableSink:
             *[rows[c].cast(type_of(f.type)).alias(c)
               for c, f in zip(cols, m.fields)]
         ).createOrReplaceTempView(view)
+        expected, ns = self._prepare_state(s, writer, batch_id, summary)
         try:
-            self.spark.sql(insert_sql(self.identifier, view, cols))
+            self._run_data_statement(
+                lambda: self.spark.sql(insert_sql(self.identifier, view,
+                                                  cols)),
+                ns,
+            )
         finally:
             self.spark.catalog.dropTempView(view)
-        v = self._commit_state(s, writer, batch_id, summary)
+        v = self._write_prepared(expected, ns)
         return {"version": v, "skipped": False, "files": -1,
-                "affected_buckets": s["n_buckets"]}
+                "affected_buckets": ns["n_buckets"]}
 
     def evolve(self, changes: list[dict]) -> dict:
         s = self._read_state()
@@ -399,12 +552,30 @@ class IcebergTableSink:
         return {"version": v, "epoch": s["epoch"]}
 
     def delete_where(
-        self, predicate: str, batch_id: int | None = None
+        self, predicate: str, batch_id: int | None = None,
+        writer: str = "default",
     ) -> dict:
+        """Targeted delete, carrying the batch lineage like merge does
+        (LakeTable records the triggering batch in the manifest summary):
+        a redelivered batch's delete is fence-CHECKED and skipped, but the
+        fence itself is not advanced — the batch's own merge commit does
+        that, and an advanced fence here would wrongly skip it."""
         s = self._read_state()
-        self.spark.sql(delete_where_sql(self.identifier, predicate))
-        v = self._commit_state(s, None, None, None)
-        return {"version": v, "rewritten_buckets": s["n_buckets"]}
+        if batch_id is not None and self._fenced(s, writer, batch_id):
+            return {"version": s["version"], "skipped": True,
+                    "reason": "fenced", "rewritten_buckets": 0}
+        expected, ns = self._prepare_state(s, None, None, {
+            "op": "delete_where", "predicate": predicate,
+            "delete_batch_id": batch_id,
+        })
+        self._run_data_statement(
+            lambda: self.spark.sql(
+                delete_where_sql(self.identifier, predicate)
+            ),
+            ns,
+        )
+        v = self._write_prepared(expected, ns)
+        return {"version": v, "rewritten_buckets": ns["n_buckets"]}
 
     def delta_counts(self, m: Manifest | None = None) -> dict[int, int]:
         """Per-bucket delete-file counts from the ``files`` metadata table

@@ -292,3 +292,112 @@ def test_engine_conformance_on_real_catalog(spark, tmp_root):
     assert eng.committed_offset() == 1500
     assert eng.table.read().count() > 0
     assert eng.replay(1500)["batches"] == 0  # fenced resume
+
+
+# -- single-commit fence (snapshot-summary properties) -------------------------
+
+
+def _mk_single_commit(spark, canned=None):
+    """Sink wired with a recording commit-properties runner — the test
+    stand-in for the JVM CommitMetadata shim: records which statements
+    ran inside the props context."""
+    rec = RecordingSpark(spark, canned)
+    committed = []
+
+    def runner(props, fn):
+        n = len(rec.log)
+        fn()
+        committed.append((dict(props), rec.log[n:]))
+
+    sink = IcebergTableSink.create(
+        rec, IDENT, FIELDS, KEY, meta_dir="/tmp/ice-meta", n_buckets=16,
+        commit_properties_runner=runner,
+    )
+    return rec, sink, committed
+
+
+def test_single_commit_fence_rides_data_statement(spark):
+    """Fence + offsets land in the SAME Iceberg commit as the MERGE: the
+    post-commit state JSON is attached as a snapshot-summary property of
+    the data statement itself, and only the best-effort mirror property
+    write follows."""
+    rec, sink, committed = _mk_single_commit(spark)
+    batch = spark.createDataFrame(
+        [("r1", "p1", "c", "py", "x", "u")],
+        [n for n, _ in FIELDS] + ["_op"],
+    )
+    sink.merge(batch, batch_id=3, writer="w",
+               summary={"offsets": {"next": 400}})
+    assert len(committed) == 1
+    props, stmts = committed[0]
+    # the data statement executed inside the props context...
+    assert len(stmts) == 1 and stmts[0].startswith("MERGE INTO")
+    # ...carrying the EXACT post-commit state (fence + offsets + version)
+    state = json.loads(props[IcebergTableSink.PROPS])
+    assert state["last_batch"] == {"w": 3}
+    assert state["offsets"] == {"next": 400}
+    assert state["version"] == 1
+    # the mirror property write happened strictly AFTER the data commit
+    merge_at = rec.log.index(stmts[0])
+    prop_writes = [i for i, q in enumerate(rec.log)
+                   if q.startswith("ALTER TABLE") and "TBLPROPERTIES" in q
+                   and i > merge_at]
+    assert prop_writes, "mirror write missing"
+    # and the mirror carries the same state the snapshot carried
+    assert json.loads(rec.props[IcebergTableSink.PROPS]) == state
+
+
+def test_read_state_heals_lost_mirror_from_snapshot(spark):
+    """Crash window closed: if the property mirror write is lost after a
+    single-commit data statement, _read_state adopts the newer state from
+    the snapshot summary and rewrites the mirror."""
+    rec, sink, committed = _mk_single_commit(spark)
+    batch = spark.createDataFrame(
+        [("r1", "p1", "c", "py", "x", "u")],
+        [n for n, _ in FIELDS] + ["_op"],
+    )
+    sink.merge(batch, batch_id=5, writer="w",
+               summary={"offsets": {"next": 600}})
+    snap_state = committed[0][0][IcebergTableSink.PROPS]
+    # simulate the crash: roll the mirror back to the pre-merge state and
+    # serve the snapshot-summary copy from the .snapshots metadata table
+    stale = json.loads(rec.props[IcebergTableSink.PROPS])
+    stale["version"] = 0
+    stale["last_batch"] = {}
+    stale["offsets"] = {}
+    rec.props[IcebergTableSink.PROPS] = json.dumps(stale)
+    rec.canned[".snapshots"] = [{"state": snap_state}]
+    m = sink.manifest()  # reads state -> must self-heal
+    assert m.summary["last_batch"] == {"w": 5}
+    assert m.summary["offsets"] == {"next": 600}
+    assert sink.current_version() == 1
+    # the mirror was healed in place
+    assert json.loads(rec.props[IcebergTableSink.PROPS])["version"] == 1
+    # and the redelivered batch is fenced off the healed state
+    r = sink.merge(batch, batch_id=5, writer="w")
+    assert r["skipped"] and r["reason"] == "fenced"
+
+
+def test_delete_where_carries_lineage_and_fence_check(spark):
+    """delete_where records the triggering batch in the committed summary
+    (LakeTable parity) and skips a redelivered batch's delete — without
+    advancing the fence, so the same batch's merge still applies."""
+    rec, sink = _mk(spark)
+    sink.delete_where("lang = 'py'", batch_id=2)
+    m = sink.manifest()
+    assert m.summary["op"] == "delete_where"
+    assert m.summary["delete_batch_id"] == 2
+    assert m.summary["predicate"] == "lang = 'py'"
+    # fence map untouched: batch 2's own merge must not be skipped
+    assert m.summary["last_batch"] == {}
+    batch = spark.createDataFrame(
+        [("r1", "p1", "c", "py", "x", "u")],
+        [n for n, _ in FIELDS] + ["_op"],
+    )
+    r = sink.merge(batch, batch_id=2, writer="default")
+    assert not r["skipped"]
+    # NOW batch 2 is fenced: its redelivered delete is a no-op
+    n = len(rec.log)
+    r2 = sink.delete_where("lang = 'py'", batch_id=2)
+    assert r2["skipped"] and r2["reason"] == "fenced"
+    assert not any(q.startswith("DELETE FROM") for q in rec.log[n:])
