@@ -39,9 +39,24 @@ _TYPE_MAP = [
     (r"(var)?binary(\s*\(\d+\))?|(tiny|medium|long)?blob(\s*\(\d+\))?|vector(\s*\(\d+\))?"
      r"|point|geometry|linestring|polygon|multipoint|multilinestring"
      r"|multipolygon|geometrycollection|geomcollection", "binary"),
-    (r"datetime(\s*\(\d+\))?|timestamp(\s*\(\d+\))?", "timestamp"),
+    (r"datetime(\s*\(\d+\))?|timestamp(\s*\(\d+\))?"
+     r"(\s+with(\s+local)?\s+time\s+zone)?", "timestamp"),
     (r"date", "date"),
     (r"time(\s*\(\d+\))?|year(\s*\(\d+\))?|bit(\s*\(\d+\))?", "long"),
+    # -- Oracle dialect (the LogMiner redo-DDL journal path; corpus:
+    #    debezium-ddl-parser/src/test/resources/oracle/examples) --------
+    (r"(n)?varchar2(\s*\(\s*\d+(\s+(char|byte))?\s*\))?"
+     r"|(n)?char(\s*\(\s*\d+(\s+(char|byte))?\s*\))?"
+     r"|(n)?clob|long(\s+varchar)?|xmltype|rowid|urowid(\s*\(\d+\))?"
+     r"|(sys\.)?anydata|interval\s+year(\s*\(\d+\))?\s+to\s+month"
+     r"|interval\s+day(\s*\(\d+\))?\s+to\s+second(\s*\(\d+\))?", "string"),
+    # NUMBER(p[,s]) -> decimal (negative/star scales clamp to 0 below);
+    # bare/star-precision NUMBER is variable-scale -> double
+    (r"number\s*\(\s*(\d+)\s*(?:,\s*(-?\d+)\s*)?\)", "decimal"),
+    (r"number(\s*\(\s*\*\s*(,\s*-?\d+\s*)?\))?|binary_double", "double"),
+    (r"binary_float", "float"),
+    (r"(long\s+)?raw(\s*\(\d+\))?|bfile"
+     r"|sdo_geometry|sdo_topo_geometry|sdo_georaster", "binary"),
 ]
 
 
@@ -84,7 +99,10 @@ class TableChange:
 
 
 def _ident(s: str) -> str:
-    return s.strip().strip("`\"'")
+    # normalize per dotted part: Oracle redo SQL writes '"SYSTEM".
+    # LOGMNR_ATTRCOL$' (quoted schema, whitespace around the dot)
+    parts = re.split(r"\s*\.\s*", s.strip())
+    return ".".join(p.strip("`\"'") for p in parts if p)
 
 
 def _split_top_level(s: str, delim: str = ",") -> list[str]:
@@ -133,6 +151,10 @@ _COL_STOPWORDS = re.compile(
     r"|on\s+update\s+\S+(\s*\(\d*\))?"
     r"|invisible|visible|srid\s+\d+|zerofill"
     r"|column_format\s+(fixed|dynamic|default)|storage\s+(disk|memory)"
+    # Oracle tails: a second uncomma'd ADD CONSTRAINT/FK clause after the
+    # column def, constraint states, annotation clauses
+    r"|add\s+(constraint|foreign\s+key|primary\s+key|unique|check)\b.*$"
+    r"|enable(\s+novalidate)?$|disable$|annotations\s*\((?:[^()]|\([^()]*\))*\)"
     r"|binary(?!\s*\())",
     re.I,
 )
@@ -225,6 +247,28 @@ _NOOP_ALTER = re.compile(
     )""",
 )
 
+#: ALTER tails that must be recognized as no-ops BEFORE comma splitting:
+#: Oracle partition maintenance takes comma-separated partition-name
+#: lists ("DROP PARTITION p0, p1") and INTO-lists whose items are not
+#: ALTER clauses at all; storage/annotation clauses likewise span the
+#: whole tail (corpus: oracle/examples/ddl_alter.sql).
+_WHOLE_ALTER_NOOP = re.compile(
+    r"""(?ix)^(
+      (add|drop|truncate|coalesce|exchange|merge|split|rename|move|modify)
+        \s+ (sub)?partition\b
+    | move\b | shrink\s+space\b | allocate\s+extent\b
+    | deallocate\s+unused\b | (no)?logging\b | (no)?parallel\b
+    | (no\s+)?inmemory\b | read\s+(only|write)\b
+    | (enable|disable)\s+(row\s+movement|all\s+triggers|constraint)\b
+    | annotations\s*\(
+    | (add|drop)\s+supplemental\s+log\b
+    | add\s+xmltype\s*$
+    | (pctfree|pctused|initrans|storage)\b
+    | set\s+interval\b
+    | (no\s+)?memoptimize\b
+    )""",
+)
+
 
 def _parse_alter_item(item: str, current_types: dict[str, str] | None) -> list[dict]:
     item = item.strip()
@@ -261,13 +305,26 @@ def _parse_alter_item(item: str, current_types: dict[str, str] | None) -> list[d
         if current_types is not None and current_types.get(old) not in (None, new_type):
             out.append({"action": "widen", "name": new, "type": new_type})
         return out
+    # parenthesized multi-column modify (Oracle): MODIFY (c1 t1, c2 t2)
+    if m := re.match(r"modify\s*\((.*)\)$", item, re.I | re.S):
+        out = []
+        for sub in _split_top_level(m.group(1)):
+            out.extend(_parse_alter_item(f"modify {sub.strip()}",
+                                         current_types))
+        return out
     if m := re.match(
         r"modify\s+(column\s+)?(if\s+exists\s+)?[`\"]?(\w+)[`\"]?\s+(.+)",
         item, re.I | re.S,
     ):
-        rest = _COL_STOPWORDS.sub("", m.group(4) or "")
-        new_type = map_type(rest.strip())
+        # pad so an attribute-only rest ("DEFAULT NULL", "INVISIBLE",
+        # "annotations (...)") matches the \s+-anchored stopwords
+        rest = _COL_STOPWORDS.sub("", " " + (m.group(4) or "")).strip()
         name = m.group(3)
+        if not rest:
+            # attribute-only MODIFY (DEFAULT/NULL/visibility/annotations):
+            # no column-shape change for the sink
+            return []
+        new_type = map_type(rest)
         if current_types is not None and current_types.get(name) == new_type:
             return []  # nullability/default tweak only
         return [{"action": "widen", "name": name, "type": new_type}]
@@ -323,17 +380,19 @@ def parse_ddl(
             out.append(_parse_create(m.group(3), _ident(m.group(2))))
         elif m := re.match(
             r"alter\s+(ignore\s+)?(online\s+|offline\s+)?table\s+"
-            r"(if\s+exists\s+)?([`\"\w.]+)\s+(?:(?:no)?wait(\s+\d+)?\s+)?(.*)$",
+            r"(if\s+exists\s+)?((?:[`\"\w$]+\s*\.\s*)*[`\"\w$]+)\s+"
+            r"(?:(?:no)?wait(\s+\d+)?\s+)?(.*)$",
             stmt, re.I | re.S,
         ):
             table, rest = _ident(m.group(4)), m.group(6)
-            if rm := re.match(r"rename\s+(to\s+)?[`\"]?([\w.]+)[`\"]?$", rest, re.I):
+            if rm := re.match(r"rename\s+(to\s+)?[`\"]?([\w.$]+)[`\"]?$", rest, re.I):
                 out.append(TableChange(type="RENAME", table=_ident(rm.group(2)),
                                        previous_table=table))
                 continue
             changes = []
-            for item in _split_top_level(rest):
-                changes.extend(_parse_alter_item(item, current_types))
+            if not _WHOLE_ALTER_NOOP.match(rest.strip()):
+                for item in _split_top_level(rest):
+                    changes.extend(_parse_alter_item(item, current_types))
             out.append(TableChange(type="ALTER", table=table, changes=changes))
         elif m := re.match(r"rename\s+table\s+([`\"\w.]+)\s+to\s+([`\"\w.]+)", stmt, re.I):
             out.append(TableChange(type="RENAME", table=_ident(m.group(2)),
@@ -353,7 +412,8 @@ _STMT_TABLE = re.compile(
     r"|alter\s+(?:ignore\s+)?(?:online\s+|offline\s+)?table\s+"
     r"(?:if\s+exists\s+)?"
     r"|drop\s+table\s+(?:if\s+exists\s+)?"
-    r"|truncate\s+(?:table\s+)?|rename\s+table\s+)([`\"\w.]+)",
+    r"|truncate\s+(?:table\s+)?|rename\s+table\s+)"
+    r"((?:[`\"\w$]+\s*\.\s*)*[`\"\w$]+)",
     re.I,
 )
 

@@ -420,3 +420,127 @@ def test_create_partitioned_and_defaulted():
     [tc] = parse_ddl("CREATE TABLE v (id INT, vec1 VECTOR, vec2 VECTOR)")
     assert tc.fields == [("id", "int"), ("vec1", "binary"),
                          ("vec2", "binary")]
+
+
+_CORPUS_ROOT = "/root/reference/debezium-ddl-parser/src/test/resources"
+
+
+def _corpus_alter_skips(dialect: str):
+    """Run every *.sql under a dialect's examples tree through
+    parse_ddl_tolerant; returns (n_changes, n_skipped, alter_skips)."""
+    import glob
+    import os
+    import re as _re
+
+    import pytest as _pytest
+
+    from sparkcdc.ddl import parse_ddl_tolerant
+
+    files = sorted(glob.glob(
+        os.path.join(_CORPUS_ROOT, dialect, "**", "*.sql"), recursive=True
+    ))
+    if not files:
+        _pytest.skip(f"reference {dialect} DDL corpus not available")
+    total_changes = total_skipped = 0
+    alter_skips = []
+    for f in files:
+        sql = open(f, encoding="utf-8", errors="replace").read()
+        changes, skipped = parse_ddl_tolerant(sql)  # must not raise
+        total_changes += len(changes)
+        total_skipped += len(skipped)
+        for stmt, err in skipped:
+            assert err, f"skip without a reason: {stmt[:80]!r}"
+            if _re.match(r"(?i)\s*alter\s+table\b", stmt):
+                alter_skips.append((f, stmt[:120], err))
+    return total_changes, total_skipped, alter_skips
+
+
+def test_reference_mariadb_corpus_never_skips_a_table_alter():
+    """MariaDB grammar corpus (mariadb/examples, fast+slow) through
+    parse_ddl_tolerant: zero captured-table ALTER skips — the same
+    hardening bar as the MySQL corpus (MariaDB's dialect extensions —
+    IF [NOT] EXISTS everywhere, WAIT n, PERSISTENT generated columns —
+    all parse)."""
+    changes, skipped, alter_skips = _corpus_alter_skips("mariadb")
+    assert alter_skips == []
+    assert changes >= 100
+    assert skipped >= 500  # DML/admin noise skipped WITH reasons
+
+
+def test_reference_oracle_corpus_never_skips_a_table_alter():
+    """Oracle grammar corpus (oracle/examples) through parse_ddl_tolerant
+    — the shapes the LogMiner redo-DDL journal path must survive: ADD
+    without COLUMN keyword, parenthesized MODIFY lists, VARCHAR2/NUMBER/
+    CLOB/RAW/SDO types, partition maintenance with comma'd name lists,
+    INMEMORY/MEMOPTIMIZE/annotations storage noise, '"SCHEMA".  NAME$'
+    identifiers. Zero ALTER TABLE statements may hit journal-and-skip."""
+    changes, skipped, alter_skips = _corpus_alter_skips("oracle")
+    assert alter_skips == []
+    assert changes >= 50
+
+
+def test_oracle_alter_shapes():
+    """Unit pins for the Oracle dialect shapes the corpus exercises."""
+    from sparkcdc.ddl import map_type
+
+    # types: Oracle spellings map to manifest types
+    assert map_type("VARCHAR2(20)") == "string"
+    assert map_type("NVARCHAR2(100)") == "string"
+    assert map_type("char(10 char)") == "string"
+    assert map_type("NUMBER(5)") == "decimal(5,0)"
+    assert map_type("NUMBER(10, 2)") == "decimal(10,2)"
+    assert map_type("NUMBER(5,-2)") == "decimal(5,0)"  # neg scale clamps
+    assert map_type("NUMBER") == "double"  # variable scale
+    assert map_type("NUMBER(*, 0)") == "double"
+    assert map_type("BINARY_FLOAT") == "float"
+    assert map_type("BINARY_DOUBLE") == "double"
+    assert map_type("CLOB") == "string"
+    assert map_type("LONG RAW") == "binary"
+    assert map_type("RAW(2000)") == "binary"
+    assert map_type("sdo_geometry") == "binary"
+    assert map_type("TIMESTAMP(6) WITH LOCAL TIME ZONE") == "timestamp"
+    assert map_type("INTERVAL DAY(2) TO SECOND(6)") == "string"
+    # ADD without the COLUMN keyword
+    assert parse_ddl(
+        "ALTER TABLE SCOTT.T_DBZ_TEST1 ADD T_VARCHAR2 VARCHAR2(20)"
+    )[0].changes == [{"action": "add", "name": "T_VARCHAR2",
+                      "type": "string"}]
+    # MODIFY without COLUMN = widen (type known to differ)
+    assert parse_ddl(
+        "ALTER TABLE t MODIFY c VARCHAR2(20)",
+        current_types={"c": "int"},
+    )[0].changes == [{"action": "widen", "name": "c", "type": "string"}]
+    # attribute-only MODIFYs are explicit no-ops
+    for stmt in (
+        "ALTER TABLE TEST001 MODIFY NAME DEFAULT NULL",
+        "ALTER TABLE dc.pack_slip_sku MODIFY LAST_UPDATE_DATETIME INVISIBLE",
+        "alter table fruit modify (id annotations (Visibility 'Hidden'))",
+    ):
+        [tc] = parse_ddl(stmt)
+        assert tc.changes == [], stmt
+    # partition maintenance with comma'd lists / INTO lists: no-ops
+    for stmt in (
+        "ALTER TABLE S.PRODUCTS DROP PARTITION p0, p1",
+        "ALTER TABLE sales merge partition p2 and p3 into partition p23",
+        "ALTER TABLE sales split partition p5 into (Partition p6 values"
+        " less than (1996), Partition p7 values less than (MAXVALUE))",
+        "ALTER TABLE REIMBURSE.T_CLAIM_BASE INMEMORY",
+        "ALTER TABLE boff_item_jn SET INTERVAL ( numtodsinterval"
+        " ( 1, 'DAY' ) )",
+    ):
+        [tc] = parse_ddl(stmt)
+        assert tc.changes == [], stmt
+    # quoted-schema + $ identifier with whitespace around the dot
+    [tc] = parse_ddl(
+        'ALTER TABLE "SYSTEM". LOGMNR_ATTRCOL$ exchange partition P1023'
+        " with table LOGMNRT_1023_ATTRCOL$ including indexes without"
+        " validation"
+    )
+    assert tc.table == "SYSTEM.LOGMNR_ATTRCOL$"
+    assert tc.changes == []
+    # a trailing uncomma'd ADD FOREIGN KEY after the column def
+    assert parse_ddl(
+        "ALTER TABLE TABLE_A ADD TABLE_B_ID NUMBER(5) ADD FOREIGN KEY"
+        " (TABLE_B_ID) REFERENCES TABLE_B (ID)"
+    )[0].changes == [{"action": "add", "name": "TABLE_B_ID",
+                      "type": "decimal(5,0)"}]
