@@ -48,7 +48,17 @@ class TopicPartitionCodec:
     ``part_id = topic_ordinal * stride + partition``: the topic list is
     fixed configuration (like the connector's table include list), so the
     ordinal is stable across restarts; ``stride`` bounds partitions per
-    topic and must not change once offsets are committed."""
+    topic and must not change once offsets are committed.
+
+    **Migration**: changing ``stride`` — or reordering/removing topics —
+    changes the part-id mapping and silently invalidates every committed
+    OffsetVector (part id 107 means (topic 1, partition 7) under
+    stride=100 but (topic 0, partition 107) under stride=10_000). The
+    only safe changes in place are APPENDING topics and growing a
+    partition count. For anything else, re-encode the committed vector
+    through :func:`migrate_vector` (old codec → (topic, partition) →
+    new codec) inside the same maintenance window that updates the
+    config, before the engine restarts."""
 
     topics: tuple[str, ...]
     stride: int = 10_000
@@ -87,6 +97,23 @@ def kafka_offsets_to_vector(
         codec.part_id(t, int(p)): int(o)
         for t, parts in offsets.items()
         for p, o in parts.items()
+    })
+
+
+def migrate_vector(
+    vec: OffsetVector, old: TopicPartitionCodec, new: TopicPartitionCodec
+) -> OffsetVector:
+    """Re-encode a committed OffsetVector under a NEW codec (stride change,
+    topic reorder). Decodes every part id through the old codec back to
+    (topic, partition) and re-encodes through the new one; raises KeyError
+    if the new codec no longer subscribes a topic with committed progress
+    — dropping committed positions silently would re-deliver from
+    ``default`` on resume. Run inside the maintenance window that changes
+    the codec config, writing the result back with the same
+    commit-offsets path the engine uses (storage mirrors included)."""
+    return OffsetVector({
+        new.part_id(*old.topic_partition(part_id)): nxt
+        for part_id, nxt in vec.parts.items()
     })
 
 

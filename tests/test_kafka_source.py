@@ -15,6 +15,7 @@ from sparkcdc.sources.kafka import (
     TopicPartitionCodec,
     envelopes_from_kafka,
     kafka_offsets_to_vector,
+    migrate_vector,
     starting_offsets_json,
 )
 
@@ -45,6 +46,32 @@ def test_offsets_translation_round_trip():
         starting_offsets_json(vec, c, partitions={"a": 1, "b": 1})
     # empty vector -> "earliest", valid for any partition count
     assert starting_offsets_json(OffsetVector(), c) == "earliest"
+
+
+def test_migrate_vector_stride_change():
+    """Changing the codec stride invalidates committed part ids;
+    migrate_vector re-encodes them losslessly, and refuses to drop a
+    topic that still has committed progress."""
+    old = TopicPartitionCodec(("a", "b"), stride=100)
+    vec = kafka_offsets_to_vector({"a": {0: 10, 1: 20}, "b": {0: 5}}, old)
+
+    new = TopicPartitionCodec(("a", "b"), stride=10_000)
+    mig = migrate_vector(vec, old, new)
+    assert mig == OffsetVector({0: 10, 1: 20, 10_000: 5})
+    # round-trips back to identical Kafka positions
+    for part_id, nxt in mig.parts.items():
+        t, p = new.topic_partition(part_id)
+        assert vec.parts[old.part_id(t, p)] == nxt
+
+    # topic reorder is also just a re-encode
+    flipped = migrate_vector(vec, old, TopicPartitionCodec(("b", "a"),
+                                                           stride=100))
+    assert flipped == OffsetVector({100: 10, 101: 20, 0: 5})
+
+    # dropping a topic with committed progress must raise, not silently
+    # forget the position
+    with pytest.raises(KeyError):
+        migrate_vector(vec, old, TopicPartitionCodec(("a",), stride=100))
 
 
 def _kafka_frame(spark, env_df, topic, n_parts):
@@ -146,3 +173,72 @@ def test_engine_resumes_from_kafka_offsets(spark, tmp_root):
     assert len(proj(eng2.table)) > 0
     raw.unpersist()
     kafka_env.unpersist()
+
+
+# -- real-connector conformance (auto-skipped without spark-sql-kafka) ---------
+
+
+def _kafka_connector_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        return True
+    except Exception:
+        return False
+
+
+def test_starting_offsets_against_real_connector(spark):
+    """`starting_offsets_json` output checked against the connector's OWN
+    accept/reject behavior, not a re-implementation of it:
+
+    - ``JsonUtils.partitionOffsets`` is the exact parser the source runs
+      on a ``startingOffsets`` string (KafkaSourceProvider.
+      getKafkaOffsetRangeLimit); our JSON must parse to the committed
+      positions plus the -2 (earliest) sentinel for unseen partitions,
+      and the malformed shapes the engine must never emit must throw.
+    - the full ``readStream.format("kafka").load()`` path must accept
+      the generated JSON at analysis time (no broker contact yet) and
+      expose the documented record schema `envelopes_from_kafka`
+      composes on.
+
+    Needs spark-sql-kafka on the classpath but NO broker; auto-skips in
+    the sandbox like the Iceberg catalog conformance test."""
+    if not _kafka_connector_available(spark):
+        pytest.skip("spark-sql-kafka not on the classpath "
+                    "(expected in sandbox)")
+
+    c = TopicPartitionCodec(("app.orders", "app.users"), stride=100)
+    vec = OffsetVector({0: 10, 1: 20, 100: 5})
+    j = starting_offsets_json(
+        vec, c, partitions={"app.orders": 3, "app.users": 2})
+
+    ju = spark._jvm.org.apache.spark.sql.kafka010.JsonUtils
+    parsed = ju.partitionOffsets(j)
+    got = {}
+    it = parsed.iterator()
+    while it.hasNext():
+        t = it.next()
+        tp = t._1()
+        got[(tp.topic(), tp.partition())] = t._2()
+    assert got == {
+        ("app.orders", 0): 10, ("app.orders", 1): 20,
+        ("app.orders", 2): -2,  # earliest sentinel for unseen partitions
+        ("app.users", 0): 5, ("app.users", 1): -2,
+    }
+    for bad in ('{"app.orders": {"0": "x"}}', "{", '["app.orders"]'):
+        with pytest.raises(Exception):
+            ju.partitionOffsets(bad)
+
+    df = (
+        spark.readStream.format("kafka")
+        # never contacted at load(): analysis only validates options
+        .option("kafka.bootstrap.servers", "localhost:1")
+        .option("subscribe", ",".join(c.topics))
+        .option("startingOffsets", j)
+        .load()
+    )
+    assert {"key", "value", "topic", "partition", "offset",
+            "timestamp", "timestampType"} <= set(df.columns)
+    out = envelopes_from_kafka(df, c)
+    assert out.isStreaming
+    assert {"op", "part_id", "offset"} <= set(out.columns)
