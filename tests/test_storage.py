@@ -7,13 +7,23 @@ resume path."""
 import json
 import os
 
+import pytest
+
 from sparkcdc.engine import EngineConfig, default_engine
 from sparkcdc.schema_history import SchemaHistory
 from sparkcdc.storage import (
     FileHistoryStore,
     FileOffsetStore,
+    KvHistoryStore,
+    KvOffsetStore,
+    LocalObjectStoreClient,
     MemoryHistoryStore,
+    MemoryKvClient,
+    MemoryObjectStoreClient,
     MemoryOffsetStore,
+    ObjectHistoryStore,
+    ObjectOffsetStore,
+    StorageConflict,
     TableHistoryStore,
 )
 
@@ -26,6 +36,10 @@ def _stores(tmp_root, spark):
         "file": FileHistoryStore(os.path.join(tmp_root, "hist.jsonl")),
         "memory": MemoryHistoryStore(),
         "table": TableHistoryStore(table),
+        "object": ObjectHistoryStore(MemoryObjectStoreClient()),
+        "object_local": ObjectHistoryStore(
+            LocalObjectStoreClient(os.path.join(tmp_root, "objstore"))),
+        "kv": KvHistoryStore(MemoryKvClient()),
     }
 
 
@@ -186,3 +200,119 @@ def test_table_offset_store_empty_load(spark, tmp_root):
     t = TableOffsetStore.create_offset_table(
         spark, tmp_root, name="empty_mirror")
     assert TableOffsetStore(t).load() is None
+
+
+# -- object-store backends (the debezium-storage-s3/-azure-blob analogs) -------
+
+
+def test_object_history_store_survives_reopen(tmp_root):
+    """The journal is one whole object (S3SchemaHistory shape): a fresh
+    store over the same client/key recovers every entry in order."""
+    client = LocalObjectStoreClient(os.path.join(tmp_root, "bucket"))
+    h = ObjectHistoryStore(client, key="srv/schema_history.jsonl")
+    h.append({"offset": 1, "changes": []})
+    h.append({"offset": 2, "changes": [{"action": "add", "name": "x"}]})
+
+    reopened = ObjectHistoryStore(
+        LocalObjectStoreClient(os.path.join(tmp_root, "bucket")),
+        key="srv/schema_history.jsonl")
+    assert reopened.load() == [
+        {"offset": 1, "changes": []},
+        {"offset": 2, "changes": [{"action": "add", "name": "x"}]},
+    ]
+
+
+def test_object_history_store_detects_concurrent_writer(tmp_root):
+    """Two engines pointed at the same journal object: the second append
+    from the stale store must raise StorageConflict (etag precondition),
+    never silently truncate the other writer's history — the failure
+    mode the reference's unconditional putObject allows."""
+    client = MemoryObjectStoreClient()
+    a = ObjectHistoryStore(client)
+    b = ObjectHistoryStore(client)
+    a.append({"offset": 1, "changes": []})
+    b.load()                       # b reads the journal at a's entry 1
+    a.append({"offset": 2, "changes": []})
+    with pytest.raises(StorageConflict):
+        b.append({"offset": 3, "changes": []})  # stale etag: a moved it
+    # a's history is intact
+    assert [e["offset"] for e in a.load()] == [1, 2]
+
+    # first-write race: both stores start empty, second create fails
+    shared = MemoryObjectStoreClient()
+    c1, c2 = ObjectHistoryStore(shared), ObjectHistoryStore(shared)
+    c1.load(), c2.load()
+    c1.append({"offset": 1, "changes": []})
+    with pytest.raises(StorageConflict):
+        c2.append({"offset": 1, "changes": []})
+
+
+def test_object_store_client_preconditions(tmp_root):
+    for client in (MemoryObjectStoreClient(),
+                   LocalObjectStoreClient(os.path.join(tmp_root, "b2"))):
+        etag = client.put("k", b"v1")
+        assert client.get("k") == (b"v1", etag)
+        with pytest.raises(StorageConflict):
+            client.put("k", b"v2", if_none_match=True)
+        with pytest.raises(StorageConflict):
+            client.put("k", b"v2", if_match="wrong-etag")
+        etag2 = client.put("k", b"v2", if_match=etag)
+        assert client.get("k") == (b"v2", etag2)
+        assert client.get("missing") is None
+
+
+def test_object_offset_store_contract():
+    store = ObjectOffsetStore(MemoryObjectStoreClient())
+    assert store.load() is None
+    store.save({"next": 1000, "lo": 0})
+    assert store.load() == {"next": 1000, "lo": 0}
+    store.save({"next": 2000, "lo": 1000})  # last write wins
+    assert store.load() == {"next": 2000, "lo": 1000}
+
+
+# -- key-value backends (the debezium-storage-redis/-rocketmq analogs) ---------
+
+
+def test_kv_offset_store_contract():
+    client = MemoryKvClient()
+    store = KvOffsetStore(client)
+    assert store.load() is None
+    store.save({"next": 1000, "lo": 0})
+    assert store.load() == {"next": 1000, "lo": 0}
+    # field-addressable server-side: one HGET-shaped read per position
+    assert json.loads(client.hgetall("sparkcdc.offsets")["next"]) == 1000
+    store.save({"next": 2000, "lo": 1000})
+    assert store.load() == {"next": 2000, "lo": 1000}
+
+
+def test_engine_over_service_backends(spark, tmp_root):
+    """An engine wired with the object-store journal and the KV offset
+    mirror behaves exactly like the file-backed one: DDL journals to the
+    object, offsets mirror to the hash, and a migrated sink resumes from
+    the mirror (the S3-history + Redis-offsets deployment shape)."""
+    obj = MemoryObjectStoreClient()
+    kv = MemoryKvClient()
+    eng = default_engine(
+        spark, os.path.join(tmp_root, "a"), config=CFG, n_buckets=4,
+        history_store=ObjectHistoryStore(obj),
+        offset_store=KvOffsetStore(kv))
+    eng.replay(1000, schema_changes=[
+        (600, [{"action": "add", "name": "stars", "type": "long"}]),
+    ])
+    assert "stars" in eng.table.read().columns
+    assert KvOffsetStore(kv).load()["next"] == 1000
+
+    # restart over the same service state: history + offsets recovered
+    eng2 = default_engine(
+        spark, os.path.join(tmp_root, "a"), config=CFG, n_buckets=4,
+        history_store=ObjectHistoryStore(obj),
+        offset_store=KvOffsetStore(kv))
+    assert [e["offset"] for e in eng2.schema_history.entries()] == [600]
+    assert eng2.committed_offset() == 1000
+
+    # migration: a FRESH sink with no committed summary resumes from the
+    # KV mirror
+    eng3 = default_engine(
+        spark, os.path.join(tmp_root, "b"), config=CFG, n_buckets=4,
+        offset_store=KvOffsetStore(kv))
+    assert eng3.committed_offset() == 1000
