@@ -2,7 +2,13 @@
 __spark_entry__ query on Spark AND its DuckDB oracle at sf0.01, compare
 row count, column names/types, and an order-insensitive value hash.
 
-Usage: python tools/check_entry.py [query ...]
+Usage: python tools/check_entry.py [--granular] [query ...]
+
+By default this checks the consolidated driver-facing registry
+(``queries()``, exactly the 50 entries the driver gate evaluates).
+``--granular`` checks the per-operator registry instead
+(``granular_queries()`` / ``granular_oracle_sql()`` — what bench.py
+times), useful when narrowing a composite failure to one operator.
 """
 
 from __future__ import annotations
@@ -45,15 +51,21 @@ def table_hash(rows, cols) -> str:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    granular = "--granular" in args
+    only = {a for a in args if not a.startswith("--")}
     spark = get_spark("check-entry", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if granular:
+        qs = entrymod.granular_queries()
+        oracles = entrymod.granular_oracle_sql()
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
