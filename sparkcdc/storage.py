@@ -47,6 +47,16 @@ whose two-or-three-method surface maps 1:1 onto the real service call
   :class:`KvHistoryStore` / :class:`KvOffsetStore` over a
   :class:`KvClient` (append-only log + hash map).
   :class:`MemoryKvClient` ships for tests.
+
+The remaining two reference backends need no new protocol:
+debezium-storage-configmap is a whole-object store with
+compare-and-swap on ``metadata.resourceVersion`` — exactly
+:class:`ObjectStoreClient` with the ConfigMap PUT's optimistic-lock
+error mapped to :class:`StorageConflict`; debezium-storage-kafka
+(KafkaSchemaHistory / Connect's offset topics) is an append-only log
+with last-value-per-key reads — exactly :class:`KvClient` where
+``append_log`` is a topic produce and ``read_log`` a from-beginning
+consume.
 """
 
 from __future__ import annotations
