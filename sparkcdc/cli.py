@@ -137,6 +137,17 @@ def main(argv: list[str] | None = None) -> int:
                          "index (near-duplicates also dropped)")
 
     sp = sub.add_parser(
+        "metrics",
+        help="print the table's progress metrics, MXBean-shaped: snapshot "
+             "phase (total/completed/remaining tables, rows scanned, "
+             "current chunk), streaming status (ms-behind-source, batches, "
+             "events seen) and cumulative throughput — read straight from "
+             "the lineage log, no Spark session",
+    )
+    sp.add_argument("--root", required=True, help="lake root directory")
+    sp.add_argument("--table", default="source_code_repos")
+
+    sp = sub.add_parser(
         "properties",
         help="resolve a Debezium .properties file into the sparkcdc "
              "pipeline it configures (engine kwargs, transform chain, "
@@ -148,6 +159,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="collect unknown keys instead of failing")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "metrics":
+        import os
+
+        from .metrics import MetricsLog
+
+        # the engine writes <root>/<table>/meta/metrics.jsonl (engine.py);
+        # reading it needs no Spark session — this is the dashboard poll
+        log = MetricsLog(
+            os.path.join(args.root, args.table, "meta", "metrics.jsonl")
+        )
+        print(json.dumps({
+            "snapshot": log.snapshot_progress(),
+            "streaming": log.streaming_status(),
+            "throughput": log.throughput(),
+        }, indent=2))
+        return 0
 
     if args.cmd == "properties":
         from .properties import pipeline_from_properties

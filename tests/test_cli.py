@@ -244,3 +244,27 @@ def test_dedup_ingest_minhash_method(spark, tmp_root, capsys):
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # doc 9 is a (near-)dup of committed doc 0 -> dropped
     assert out2["admitted"] == 1 and out2["corpus_rows"] == 3
+
+
+def test_metrics_subcommand(spark, tmp_root, capsys):
+    """`metrics` prints the MXBean-shaped progress readers straight from
+    the lineage log — after a replay the streaming status must carry the
+    committed batches/events and the throughput must be positive."""
+    import json as _json
+
+    root = os.path.join(tmp_root, "lake_metrics")
+    assert main(["replay", "--root", root, "--events", "2000",
+                 "--batch-size", "1000", "--buckets", "4",
+                 "--keys", "50"]) == 0
+    capsys.readouterr()
+    assert main(["metrics", "--root", root]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["streaming"]["number_of_committed_batches"] >= 2
+    assert out["streaming"]["total_number_of_events_seen"] == 2000
+    assert out["streaming"]["milliseconds_behind_source"] is not None
+    assert out["throughput"]["events_per_sec"] > 0
+    # replay-only run: the snapshot phase never started, and the reader
+    # says so rather than inventing progress
+    assert out["snapshot"]["snapshot_running"] is False
+    assert out["snapshot"]["snapshot_completed"] is False
+    assert out["snapshot"]["total_table_count"] == 0
