@@ -86,6 +86,35 @@ class MultiTableEngine:
             return not any(re.fullmatch(p, name) for p in self.exclude)
         return True
 
+    def run_snapshot(
+        self, sources: dict[str, DataFrame]
+    ) -> dict[str, dict]:
+        """Initial consistent snapshot of every captured table (S3 — the
+        reference snapshots tables on a thread pool sized by
+        ``snapshot.max.threads``,
+        RelationalSnapshotChangeEventSource.java:471-578; here each
+        table's snapshot is itself a distributed Spark job, so tables run
+        sequentially while each table's ROWS parallelize across the
+        cluster — the right inversion of that design at scale).
+
+        ``sources``: qualified table name → the pinned source DataFrame
+        to snapshot. Names not captured (include/exclude filtered, or not
+        configured) are skipped, same as :meth:`apply_batch` slices.
+        Progress lands in each table's metrics log with the global
+        (tables_total, tables_completed) position — the MXBean
+        TotalTableCount/RemainingTableCount shape — so
+        ``metrics.snapshot_progress()`` on the last-snapshotted table
+        reads completed == total and ``cli.py metrics`` can dashboard
+        the phase table-by-table."""
+        names = sorted(n for n in sources if n in self.engines)
+        out: dict[str, dict] = {}
+        for i, name in enumerate(names):
+            out[name] = self.engines[name].run_snapshot(
+                sources[name],
+                tables_total=len(names), tables_completed=i + 1,
+            )
+        return out
+
     def apply_batch(
         self, env: DataFrame, batch_id: int | None, offsets: dict | None = None
     ) -> dict[str, dict]:

@@ -77,3 +77,38 @@ def test_per_table_fencing_on_reapply(spark, tmp_root):
                           offsets={"lo": 0, "next": 500})
     assert all(r.get("skipped") for r in out.values())
     assert tables["code.repos_a"].current_version() == va
+
+
+def test_multi_table_snapshot_with_progress(spark, tmp_root):
+    """run_snapshot drives each captured table's snapshot and journals
+    the global (tables_total, tables_completed) MXBean position; a
+    filtered-out source is skipped like an apply_batch slice."""
+    tables = make_tables(spark, tmp_root, ["repos_a", "repos_b"])
+    mte = MultiTableEngine(spark, tables, EngineConfig(n_keys=100, n_parts=4))
+
+    def src(tag):
+        return spark.createDataFrame(
+            [(f"org/{tag}", f"f{i}.py", "c0", "py", f"{tag}-{i}")
+             for i in range(5)],
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        )
+
+    out = mte.run_snapshot({
+        "code.repos_a": src("a"),
+        "code.repos_b": src("b"),
+        "code.ignored": src("x"),  # not captured -> skipped
+    })
+    assert set(out) == {"code.repos_a", "code.repos_b"}
+    assert mte.state("code.repos_a").count() == 5
+    assert mte.state("code.repos_b").count() == 5
+
+    # per-table MXBean position: sorted order means repos_a completed 1/2,
+    # repos_b closed the phase at 2/2
+    pa = mte.engines["code.repos_a"].metrics.snapshot_progress()
+    pb = mte.engines["code.repos_b"].metrics.snapshot_progress()
+    assert pa["total_table_count"] == 2 and pa["completed_table_count"] == 1
+    assert pa["snapshot_running"] is True
+    assert pb["completed_table_count"] == 2
+    assert pb["snapshot_completed"] is True
+    assert pb["rows_scanned"] == {"repos_b": 5}
