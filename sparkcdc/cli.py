@@ -137,6 +137,25 @@ def main(argv: list[str] | None = None) -> int:
                          "index (near-duplicates also dropped)")
 
     sp = sub.add_parser(
+        "snapshot",
+        help="initial consistent snapshot (S1): read a pinned source "
+             "(parquet or JSON-lines), wrap rows as op='r' envelopes and "
+             "apply them as the table's first fenced batch; creates the "
+             "sink table from the source schema when absent",
+    )
+    sp.add_argument("--root", required=True, help="lake root directory")
+    sp.add_argument("--table", default="source_code_repos")
+    sp.add_argument("--master", default=None)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--path", required=True,
+                    help="source rows: .parquet dir/file or JSON-lines")
+    sp.add_argument("--json", action="store_true",
+                    help="input is JSON lines (default: parquet)")
+    sp.add_argument("--key", default=None,
+                    help="comma-joined key column(s); required when the "
+                         "table does not exist yet")
+
+    sp = sub.add_parser(
         "metrics",
         help="print the table's progress metrics, MXBean-shaped: snapshot "
              "phase (total/completed/remaining tables, rows scanned, "
@@ -201,6 +220,40 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark("sparkcdc-cli", master=args.master)
+
+    if args.cmd == "snapshot":
+        from .engine import CdcEngine
+        from .lake import LakeTable
+
+        src = (spark.read.json(args.path) if args.json
+               else spark.read.parquet(args.path))
+        # source schema -> manifest field vocabulary, same mapping as
+        # dedup-ingest (bigint -> long, ...)
+        _SQL_TO_MANIFEST = {"bigint": "long", "smallint": "int",
+                            "tinyint": "int", "real": "float"}
+        fields = [
+            (f.name,
+             _SQL_TO_MANIFEST.get(f.dataType.simpleString(),
+                                  f.dataType.simpleString()))
+            for f in src.schema.fields
+        ]
+        if LakeTable.exists(args.root, args.table):
+            table = LakeTable.load(spark, args.root, args.table)
+        else:
+            if not args.key:
+                p.error("--key is required when creating a new table")
+            table = LakeTable.create(
+                spark, args.root, args.table, fields=fields,
+                key_cols=args.key.split(","), n_buckets=args.buckets,
+            )
+        eng = CdcEngine(spark, table, EngineConfig())
+        res = eng.run_snapshot(src)
+        print(json.dumps({
+            "version": res.get("version"), "skipped": res.get("skipped"),
+            "rows": table.read().count(),
+            "snapshot": eng.metrics.snapshot_progress(),
+        }))
+        return 0
 
     if args.cmd == "describe":
         from .lake import LakeTable

@@ -268,3 +268,34 @@ def test_metrics_subcommand(spark, tmp_root, capsys):
     assert out["snapshot"]["snapshot_running"] is False
     assert out["snapshot"]["snapshot_completed"] is False
     assert out["snapshot"]["total_table_count"] == 0
+
+
+def test_snapshot_subcommand(spark, tmp_root, capsys):
+    """`snapshot` bootstraps a table from a parquet source (schema derived,
+    op='r' envelopes, fenced batch) and the metrics poll sees the phase."""
+    import json as _json
+
+    src = spark.createDataFrame(
+        [(f"org/r{i}", f"src/f{i}.py", "c0", "py", f"body-{i}")
+         for i in range(25)],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    path = os.path.join(tmp_root, "snap_src.parquet")
+    src.write.parquet(path)
+    root = os.path.join(tmp_root, "lake_snap")
+    assert main(["snapshot", "--root", root, "--path", path,
+                 "--key", "repo,path", "--buckets", "4"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 25
+    assert out["snapshot"]["snapshot_completed"] is True
+    assert out["snapshot"]["rows_scanned"] == {"source_code_repos": 25}
+
+    # the snapshot state is the LWW base: a subsequent wire ingest
+    # upserts over it through the normal fenced path
+    from sparkcdc.lake import LakeTable
+
+    t = LakeTable.load(spark, root, "source_code_repos")
+    assert {r["repo"] for r in t.read().select("repo").collect()} == {
+        f"org/r{i}" for i in range(25)
+    }
