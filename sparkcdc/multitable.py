@@ -115,15 +115,45 @@ class MultiTableEngine:
             )
         return out
 
+    def derived(self, writer_suffix: str) -> "MultiTableEngine":
+        """A view over the same sink tables whose fences live in a
+        suffixed writer namespace — the multi-table form of the seam
+        ``streaming.start_stream`` uses so a streaming run's batch-id
+        sequence (Spark's checkpointed ids) can never collide with the
+        same tables' batch ``replay`` ids. Every pluggable seam of each
+        engine (history store, offset mirror, signals) is inherited."""
+        from dataclasses import replace
+
+        clone = MultiTableEngine.__new__(MultiTableEngine)
+        clone.spark = self.spark
+        clone.include, clone.exclude = self.include, self.exclude
+        clone.engines = {
+            name: CdcEngine(
+                eng.spark, eng.table,
+                config=replace(
+                    eng.cfg, writer=f"{eng.cfg.writer}{writer_suffix}"
+                ),
+                signal_processor=eng.signals,
+                history_store=eng.schema_history.store,
+                offset_store=eng.offset_store,
+            )
+            for name, eng in self.engines.items()
+        }
+        return clone
+
     def apply_batch(
-        self, env: DataFrame, batch_id: int | None, offsets: dict | None = None
+        self, env: DataFrame, batch_id: int | None,
+        offsets: dict | None = None, kind: str = "replay",
     ) -> dict[str, dict]:
         """Split one envelope micro-batch by ``source.table`` and apply each
         slice to its table's engine. The batch is persisted so the (possibly
         expensive) upstream is computed once for all tables.
 
         ``batch_id=None`` → each engine uses its own next id; an explicit
-        id is applied to every engine (and fenced per engine)."""
+        id is applied to every engine (and fenced per engine). ``offsets``
+        is shared: every table's checkpoint advances over the whole slice
+        of the LOG, including tables the slice never touched — a restart
+        must not re-read offsets any engine already covered."""
         qualified = F.concat_ws(
             ".", F.col("source.db"), F.col("source.table")
         )
@@ -134,7 +164,7 @@ class MultiTableEngine:
                 bid = batch_id if batch_id is not None else eng.committed_batch() + 1
                 part = env.filter(F.col("__qtable") == name).drop("__qtable")
                 out[name] = eng._apply_batch(
-                    part, batch_id=bid, kind="replay", offsets=offsets
+                    part, batch_id=bid, kind=kind, offsets=offsets
                 )
             return out
         finally:

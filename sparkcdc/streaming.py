@@ -207,6 +207,69 @@ def start_stream(
     return writer.start()
 
 
+def start_multi_stream(
+    mte,
+    envelope_stream: DataFrame,
+    checkpoint_dir: str | None = None,
+    *,
+    trigger_interval: str = "1 second",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """One envelope stream → many sink tables: the streaming front-end of
+    :class:`~sparkcdc.multitable.MultiTableEngine` (the reference's
+    one-connector/topic-per-table shape, §3.2). Each micro-batch is split
+    by ``source.table`` through the SAME splitter as batch
+    ``apply_batch`` and committed per table with the Spark streaming
+    batch id as the fence token — fences live in a dedicated
+    ``:stream``-suffixed writer namespace per table (via
+    :meth:`MultiTableEngine.derived`) so batch replays on the same
+    tables can never collide. The shared offset vector advances over the
+    whole slice for EVERY table, touched or not, so a restart never
+    re-reads offsets any table already covered.
+
+    The checkpoint dir defaults to ``multi_stream_ckpt`` under the
+    first captured table's meta dir — deterministic across restarts (a
+    fresh tempdir would reset Spark's batch ids to 0 under a retained
+    fence and silently drop live batches, same caveat as
+    ``start_stream``)."""
+    import os
+
+    stream_mte = mte.derived(":stream")
+    if checkpoint_dir is None:
+        first = stream_mte.engines[min(stream_mte.engines)]
+        checkpoint_dir = os.path.join(first.table.meta_dir,
+                                      "multi_stream_ckpt")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            from .offsets import partition_bounds
+
+            bounds = batch_df.agg(
+                F.min("offset").alias("lo"), F.max("offset").alias("hi")
+            ).collect()[0]
+            parts = partition_bounds(batch_df)
+            stream_mte.apply_batch(
+                batch_df, batch_id=batch_id, kind="stream",
+                offsets={"lo": int(bounds["lo"]),
+                         "next": int(bounds["hi"]) + 1,
+                         "parts": parts.to_summary()},
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = envelope_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
 def stateful_lww_stream(
     env_stream: DataFrame,
     row_fields: list[tuple[str, T.DataType]],

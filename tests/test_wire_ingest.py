@@ -91,3 +91,65 @@ def test_json_wire_stream_restart_resumes(spark, tmp_root):
     ref.replay(1500)
     assert _state(eng.table) == _state(ref.table)
     assert eng.table.current_version() > v1
+
+
+def test_multi_table_stream_matches_batch_split(spark, tmp_root):
+    """start_multi_stream: one JSON wire stream split by source.table into
+    two sink tables reaches exactly the state of the batch MultiTableEngine
+    over the same envelopes, and a second availableNow run (restart) is a
+    fenced no-op."""
+    from sparkcdc.multitable import MultiTableEngine
+    from sparkcdc.streaming import start_multi_stream
+    from sparkcdc.transforms.serialize import parse_envelope_json
+
+    def shard(env):
+        s = F.when(
+            F.pmod(F.xxhash64(
+                F.coalesce(F.col("after.path"), F.col("before.path"))
+            ), F.lit(2)) == 0,
+            F.lit("repos_a"),
+        ).otherwise(F.lit("repos_b"))
+        return env.withColumn("source", F.col("source").withField("table", s))
+
+    wire_dir = os.path.join(tmp_root, "wire_mt")
+    for lo, hi in ((0, 1000), (1000, 2000)):
+        env = shard(cdc_events(spark, hi - lo, start=lo, n_keys=100, n_parts=4))
+        envelope_to_json(env).write.mode("append").text(wire_dir)
+
+    def make_mte(root):
+        tables = {
+            f"code.{n}": LakeTable.create(
+                spark, root, n, fields=REPO_FIELDS,
+                key_cols=["repo", "path"], n_buckets=4,
+            )
+            for n in ("repos_a", "repos_b")
+        }
+        return MultiTableEngine(
+            spark, tables, EngineConfig(batch_size=1000, n_keys=100, n_parts=4)
+        )
+
+    mte = make_mte(os.path.join(tmp_root, "lake_mt_stream"))
+    raw = spark.readStream.text(wire_dir)
+    stream = parse_envelope_json(raw, None)
+    q = start_multi_stream(mte, stream, available_now=True)
+    q.awaitTermination(120)
+
+    # reference: the batch splitter over the same envelopes
+    ref = make_mte(os.path.join(tmp_root, "lake_mt_batch"))
+    ref.replay(2000, lambda lo, hi: shard(
+        cdc_events(spark, hi - lo, start=lo, n_keys=100, n_parts=4)))
+
+    for name in ("code.repos_a", "code.repos_b"):
+        assert _state(mte.engines[name].table) == _state(ref.engines[name].table)
+        assert len(_state(mte.engines[name].table)) > 0
+
+    # restart on the same checkpoint: nothing new -> state unchanged;
+    # per-table committed offsets cover the whole log slice
+    va = mte.engines["code.repos_a"].table.current_version()
+    q2 = start_multi_stream(mte, parse_envelope_json(
+        spark.readStream.text(wire_dir), None), available_now=True)
+    q2.awaitTermination(120)
+    assert mte.engines["code.repos_a"].table.current_version() == va
+    for name in ("code.repos_a", "code.repos_b"):
+        stream_eng = mte.derived(":stream").engines[name]
+        assert stream_eng.committed_offset() == 2000
