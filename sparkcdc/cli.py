@@ -59,6 +59,17 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("replay", help="bounded replay of generated envelopes")
     common(sp)
     sp.add_argument("--events", type=int, required=True)
+    sp.add_argument(
+        "--snapshot-mode", default=None,
+        choices=["always", "initial", "initial_only", "when_needed",
+                 "no_data", "never", "recovery", "configuration_based"],
+        help="run the full coordinator (doSnapshot -> streamEvents) in "
+             "this snapshot mode instead of replay-only; modes that read "
+             "data need --snapshot-source",
+    )
+    sp.add_argument("--snapshot-source", default=None,
+                    help="parquet path snapshotted as the initial state "
+                         "when --snapshot-mode wants a data phase")
 
     sp = sub.add_parser("stream", help="continuous rate-source streaming")
     common(sp)
@@ -329,6 +340,8 @@ def main(argv: list[str] | None = None) -> int:
         commit_mode=args.commit_mode,
         compact_max_deltas=args.compact_max_deltas,
         reduce_strategy=args.reduce_strategy,
+        **({"snapshot_mode": args.snapshot_mode}
+           if getattr(args, "snapshot_mode", None) else {}),
     )
 
     if args.cmd == "ingest":
@@ -402,7 +415,12 @@ def main(argv: list[str] | None = None) -> int:
                          n_buckets=args.buckets, config=cfg)
 
     if args.cmd == "replay":
-        stats = eng.replay(args.events)
+        if args.snapshot_mode:
+            src = (spark.read.parquet(args.snapshot_source)
+                   if args.snapshot_source else None)
+            stats = eng.run(args.events, source_df=src)
+        else:
+            stats = eng.replay(args.events)
         print(json.dumps(stats))
         return 0
 

@@ -299,3 +299,34 @@ def test_snapshot_subcommand(spark, tmp_root, capsys):
     assert {r["repo"] for r in t.read().select("repo").collect()} == {
         f"org/r{i}" for i in range(25)
     }
+
+
+def test_replay_with_snapshot_mode(spark, tmp_root, capsys):
+    """--snapshot-mode runs the full coordinator: initial snapshot of the
+    parquet source, then the bounded replay, one command — and a re-run in
+    mode=initial skips the snapshot phase (done_before)."""
+    import json as _json
+
+    src = spark.createDataFrame(
+        [(f"org/s{i}", f"f{i}.py", "c0", "py", f"seed-{i}")
+         for i in range(10)],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    path = os.path.join(tmp_root, "coord_src.parquet")
+    src.write.parquet(path)
+    root = os.path.join(tmp_root, "lake_coord")
+    argv = ["replay", "--root", root, "--events", "1000",
+            "--batch-size", "500", "--buckets", "4", "--keys", "50",
+            "--snapshot-mode", "initial", "--snapshot-source", path]
+    assert main(argv) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["snapshot"] is not None
+    assert out1["replay"]["batches"] == 2
+
+    # second start in mode=initial: progress exists -> no snapshot, no
+    # replay work left
+    assert main(argv) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["snapshot"] is None
+    assert out2["replay"]["batches"] == 0
