@@ -23,6 +23,20 @@ local dev just runs python):
       --format wal2json --path /data/wal/*.jsonl \
       --fields user_id:long,event_type:string,value:double,props:string \
       --key user_id --source-table events
+
+  # the full operational loop: bootstrap from a pinned source, tail the
+  # log, watch progress
+  python -m sparkcdc.cli snapshot --root /tmp/lake --table events \
+      --path /data/initial.parquet --key user_id
+  python -m sparkcdc.cli ingest --root /tmp/lake --table events \
+      --format wal2json --path /data/wal/*.jsonl \
+      --fields user_id:long,event_type:string,value:double,props:string \
+      --key user_id --source-table events
+  python -m sparkcdc.cli metrics --root /tmp/lake --table events
+
+  # or both phases as one coordinator start (snapshot.mode semantics)
+  python -m sparkcdc.cli replay --root /tmp/lake --events 1000000 \
+      --snapshot-mode initial --snapshot-source /data/initial.parquet
 """
 
 from __future__ import annotations
